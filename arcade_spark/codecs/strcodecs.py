@@ -1,0 +1,413 @@
+"""String/binary codecs: plain, local dictionary, differential global
+dictionary (the reference's triple — writer.cpp:63-373), plus RLE and a
+vectorized FSST-style symbol-table codec per the north star.
+
+All kernels are numpy-vectorized over Arrow-shaped (lengths, payload)
+blocks; factorization happens once per block (pandas C hash path) and is
+shared between stats, selector, and the dict codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from arcade_spark.bits import (
+    bit_width,
+    pack_sections,
+    pack_uints,
+    unpack_sections,
+    unpack_uints,
+)
+from arcade_spark.blocks import StrBlock, object_array_to_strblock
+from arcade_spark.codecs.intcodecs import decode_for_int, encode_for_int
+from arcade_spark.gdict import GlobalDict, GlobalDictDecoder
+
+# ------------------------------------------------------- factorization
+
+
+@dataclass
+class StrFactor:
+    """One factorization shared by stats + dict codecs: ``codes`` index
+    ``uniques`` which are sorted ascending (the reference keeps
+    dictionaries sorted to power zone maps — writer.cpp:57-61)."""
+
+    codes: np.ndarray  # int64[n] into uniques
+    uniques: np.ndarray  # object[u] of bytes, sorted
+
+    @property
+    def n_distinct(self) -> int:
+        return len(self.uniques)
+
+
+def factorize_block(block: StrBlock) -> StrFactor:
+    obj = block.to_object_array()
+    if block.validity is not None:
+        # codecs never see nulls: sentinel b'' under null slots
+        obj = obj.copy()
+        obj[~block.validity] = b""
+    codes, uniques = pd.factorize(obj, use_na_sentinel=False)
+    uniques = np.asarray(uniques, dtype=object)
+    order = np.argsort(uniques)
+    rank = np.empty(len(uniques), dtype=np.int64)
+    rank[order] = np.arange(len(uniques))
+    return StrFactor(codes=rank[codes.astype(np.int64)], uniques=uniques[order])
+
+
+# ------------------------------------------------------------- plain
+# Raw values: FOR-bitpacked lengths + concatenated payload (the
+# reference serializes plain chunks as varint-framed raw strings —
+# writer.cpp:74-81; our framing is columnar instead of interleaved).
+
+
+def encode_plain(block: StrBlock) -> tuple[bytes, dict]:
+    lens_payload, _ = encode_for_int(block.lengths)
+    payload = pack_sections(lens_payload, block.payload)
+    return payload, {"codec": "plain", "n_values": block.n}
+
+
+def decode_plain(payload, meta) -> StrBlock:
+    lens_sec, data_sec = unpack_sections(payload)
+    n = meta["n_values"]
+    lengths = decode_for_int(lens_sec, {"n_values": n})
+    return StrBlock(lengths=lengths, payload=bytes(data_sec))
+
+
+def _serialize_values(values: np.ndarray) -> bytes:
+    """Serialize a (small) sorted value list — dict payloads."""
+    blk = object_array_to_strblock(values)
+    payload, _ = encode_plain(blk)
+    return struct.pack("<I", len(values)) + payload
+
+
+def _deserialize_values(buf) -> np.ndarray:
+    mv = memoryview(buf)
+    (n,) = struct.unpack_from("<I", mv, 0)
+    blk = decode_plain(mv[4:], {"n_values": n})
+    return blk.to_object_array()
+
+
+# --------------------------------------------------------- dict_local
+# This block's sorted distinct set + bit-packed codes (writer.cpp:255-373;
+# code width minimized by dict size as in writer.cpp:316-370, generalized
+# to arbitrary bit widths).
+
+
+def encode_dict_local(block: StrBlock, fact: StrFactor) -> tuple[bytes, dict]:
+    u = fact.n_distinct
+    w = bit_width(u - 1) if u > 1 else 0
+    payload = pack_sections(
+        _serialize_values(fact.uniques),
+        pack_uints(fact.codes.view(np.uint64), w),
+    )
+    return payload, {
+        "codec": "dict_local",
+        "n_values": block.n,
+        "dict_len": u,
+        "code_width": w,
+    }
+
+
+def decode_dict_local(payload, meta) -> StrBlock:
+    dict_sec, codes_sec = unpack_sections(payload)
+    uniques = _deserialize_values(dict_sec)
+    n = meta["n_values"]
+    codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+    return object_array_to_strblock(uniques[codes])
+
+
+# -------------------------------------------------------- dict_global
+# Differential global dictionary (writer.cpp:167-253): store only values
+# new to the running per-partition dictionary; codes index the
+# concatenated dictionary. The code width is chosen from the *global*
+# size after append, as the reference does (writer.cpp:198-252).
+
+
+def encode_dict_global(
+    block: StrBlock, fact: StrFactor, gdict: GlobalDict
+) -> tuple[bytes, dict]:
+    diff = gdict.diff(fact.uniques)
+    global_start = gdict.append(diff)
+    gcodes = gdict.codes_for(fact.uniques, fact.codes)
+    gsize = len(gdict)
+    w = bit_width(gsize - 1) if gsize > 1 else 0
+    payload = pack_sections(
+        _serialize_values(np.asarray(diff, dtype=object)),
+        pack_uints(gcodes.view(np.uint64), w),
+    )
+    return payload, {
+        "codec": "dict_global",
+        "n_values": block.n,
+        "dict_len": len(diff),
+        "code_width": w,
+        "global_start": global_start,
+        "global_size": gsize,
+        "gdict_epoch": gdict.epoch,
+    }
+
+
+def decode_dict_global(payload, meta, gdec: GlobalDictDecoder) -> StrBlock:
+    dict_sec, codes_sec = unpack_sections(payload)
+    segment = _deserialize_values(dict_sec)
+    if meta.get("global_start", len(gdec)) != len(gdec):
+        raise ValueError(
+            f"global dict replay out of sync: expected start {len(gdec)}, "
+            f"chunk says {meta.get('global_start')}"
+        )
+    gdec.append(segment)
+    n = meta["n_values"]
+    codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+    return object_array_to_strblock(gdec.take(codes))
+
+
+def append_segment_only(payload, gdec: GlobalDictDecoder) -> None:
+    """Zone-map-skipped blocks still contribute their dict segment to the
+    running dictionary (the reference fetches skipped blocks' segments
+    via the previndex walk — process.cpp:88-123; we just replay)."""
+    dict_sec, _ = unpack_sections(payload)
+    gdec.append(_deserialize_values(dict_sec))
+
+
+# ------------------------------------------------------------- rle_str
+# Dictionary + run-length codes: beats dict on sorted/clustered
+# low-cardinality columns (lang). Runs are computed on the factorized
+# codes (vectorized), not on raw strings.
+
+
+def encode_rle_str(block: StrBlock, fact: StrFactor) -> tuple[bytes, dict]:
+    codes = fact.codes
+    n = len(codes)
+    if n == 0:
+        starts = np.empty(0, dtype=np.int64)
+        run_lens = np.empty(0, dtype=np.int64)
+    else:
+        change = np.nonzero(codes[1:] != codes[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        run_lens = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+    run_codes = codes[starts]
+    u = fact.n_distinct
+    w = bit_width(u - 1) if u > 1 else 0
+    lens_payload, _ = encode_for_int(run_lens)
+    payload = pack_sections(
+        _serialize_values(fact.uniques),
+        struct.pack("<I", len(run_codes)) + pack_uints(run_codes.view(np.uint64), w),
+        lens_payload,
+    )
+    return payload, {
+        "codec": "rle_str",
+        "n_values": n,
+        "dict_len": u,
+        "code_width": w,
+        "n_runs": len(run_codes),
+    }
+
+
+def decode_rle_str(payload, meta) -> StrBlock:
+    dict_sec, codes_sec, lens_sec = unpack_sections(payload)
+    uniques = _deserialize_values(dict_sec)
+    (nruns,) = struct.unpack_from("<I", codes_sec, 0)
+    run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
+    run_lens = decode_for_int(lens_sec, {"n_values": nruns})
+    codes = np.repeat(run_codes, run_lens)
+    return object_array_to_strblock(uniques[codes])
+
+
+# ---------------------------------------------------------------- fsst
+# Vectorized FSST-style symbol-table compression (north star requires
+# FSST; reference has none — README.md:120 lists only snappy-on-dicts).
+# Symbols are 1- or 2-byte sequences mapped to codes 0..254; code 255
+# escapes a literal byte. Greedy longest-match left-to-right is computed
+# without any per-byte Python via a run-parity trick (see _greedy_select).
+# The whole concatenated payload is encoded at once; per-string
+# boundaries are restored from the stored original lengths, so symbols
+# crossing string boundaries are harmless.
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+
+
+def _greedy_select(cand: np.ndarray) -> np.ndarray:
+    """Greedy non-overlapping selection of 2-byte matches scanning left
+    to right == within each maximal run of candidate positions, select
+    positions at even offset from the run start. Vectorized."""
+    n = len(cand)
+    if n == 0:
+        return cand
+    idx = np.arange(n, dtype=np.int64)
+    prev = np.empty(n, dtype=bool)
+    prev[0] = False
+    prev[1:] = cand[:-1]
+    starts = cand & ~prev
+    last_start = np.maximum.accumulate(np.where(starts, idx, np.int64(-1)))
+    return cand & (((idx - last_start) & 1) == 0)
+
+
+def train_fsst(sample: np.ndarray, max_digrams: int = 192) -> tuple[np.ndarray, np.ndarray]:
+    """Build the symbol table from a byte sample.
+
+    Returns (sym_lens uint8[n_sym], sym_bytes uint8[n_sym, 2]): codes
+    0..n_sym-1; 1-byte symbols use only column 0.
+    """
+    if len(sample) < 8:
+        return np.empty(0, dtype=np.uint8), np.empty((0, 2), dtype=np.uint8)
+    byte_counts = np.bincount(sample, minlength=256)
+    dig = sample[:-1].astype(np.int32) * 256 + sample[1:]
+    dig_counts = np.bincount(dig, minlength=65536)
+    # digram saving per occurrence ≈ 1 byte vs two single-byte codes
+    dig_order = np.argsort(dig_counts)[::-1]
+    good = dig_order[dig_counts[dig_order] >= 4][:max_digrams]
+    n_dig = len(good)
+    n_single = min(MAX_SYMBOLS - n_dig, int((byte_counts > 0).sum()))
+    single_order = np.argsort(byte_counts)[::-1][:n_single]
+    single_order = single_order[byte_counts[single_order] > 0]
+    n_sym = n_dig + len(single_order)
+    sym_lens = np.empty(n_sym, dtype=np.uint8)
+    sym_bytes = np.zeros((n_sym, 2), dtype=np.uint8)
+    sym_lens[:n_dig] = 2
+    sym_bytes[:n_dig, 0] = good // 256
+    sym_bytes[:n_dig, 1] = good % 256
+    sym_lens[n_dig:] = 1
+    sym_bytes[n_dig:, 0] = single_order
+    return sym_lens, sym_bytes
+
+
+def _tables(sym_lens: np.ndarray, sym_bytes: np.ndarray):
+    dig_code = np.full(65536, -1, dtype=np.int32)
+    sing_code = np.full(256, -1, dtype=np.int32)
+    for code in range(len(sym_lens)):
+        if sym_lens[code] == 2:
+            dig_code[int(sym_bytes[code, 0]) * 256 + int(sym_bytes[code, 1])] = code
+        else:
+            sing_code[int(sym_bytes[code, 0])] = code
+    return dig_code, sing_code
+
+
+def fsst_compress(data: np.ndarray, dig_code: np.ndarray, sing_code: np.ndarray) -> np.ndarray:
+    """Encode a uint8 byte stream against the tables. Fully vectorized."""
+    n = len(data)
+    if n == 0:
+        return data
+    cand = np.zeros(n, dtype=bool)
+    if n >= 2:
+        dig = data[:-1].astype(np.int32) * 256 + data[1:]
+        cand[:-1] = dig_code[dig] >= 0
+    sel = _greedy_select(cand)
+    covered2 = np.empty(n, dtype=bool)
+    covered2[0] = False
+    covered2[1:] = sel[:-1]
+    lit = ~sel & ~covered2
+    lit_single = lit & (sing_code[data] >= 0)
+    lit_esc = lit & ~lit_single
+    out_len = np.zeros(n, dtype=np.int64)
+    out_len[sel] = 1
+    out_len[lit_single] = 1
+    out_len[lit_esc] = 2
+    off = np.zeros(n, dtype=np.int64)
+    np.cumsum(out_len[:-1], out=off[1:])
+    total = int(off[-1] + out_len[-1])
+    out = np.empty(total, dtype=np.uint8)
+    if n >= 2:
+        sel_pos = np.nonzero(sel)[0]
+        out[off[sel_pos]] = dig_code[dig[sel_pos]].astype(np.uint8)
+    ls_pos = np.nonzero(lit_single)[0]
+    out[off[ls_pos]] = sing_code[data[ls_pos]].astype(np.uint8)
+    le_pos = np.nonzero(lit_esc)[0]
+    out[off[le_pos]] = ESCAPE
+    out[off[le_pos] + 1] = data[le_pos]
+    return out
+
+
+def fsst_decompress(enc: np.ndarray, sym_lens: np.ndarray, sym_bytes: np.ndarray) -> np.ndarray:
+    """Decode a code stream. Escape resolution uses the same greedy
+    parity trick (an escape consumes exactly the next byte)."""
+    n = len(enc)
+    if n == 0:
+        return enc
+    esc = _greedy_select(enc == ESCAPE)
+    data_pos = np.empty(n, dtype=bool)
+    data_pos[0] = False
+    data_pos[1:] = esc[:-1]
+    sym = ~esc & ~data_pos
+    lens_lut = np.zeros(256, dtype=np.int64)
+    lens_lut[: len(sym_lens)] = sym_lens
+    out_len = np.zeros(n, dtype=np.int64)
+    out_len[esc] = 1
+    out_len[sym] = lens_lut[enc[sym]]
+    off = np.zeros(n, dtype=np.int64)
+    np.cumsum(out_len[:-1], out=off[1:])
+    total = int(off[-1] + out_len[-1])
+    out = np.empty(total, dtype=np.uint8)
+    esc_pos = np.nonzero(esc)[0]
+    out[off[esc_pos]] = enc[esc_pos + 1]
+    b0 = np.zeros(256, dtype=np.uint8)
+    b1 = np.zeros(256, dtype=np.uint8)
+    b0[: len(sym_lens)] = sym_bytes[:, 0]
+    b1[: len(sym_lens)] = sym_bytes[:, 1]
+    sym_pos = np.nonzero(sym)[0]
+    out[off[sym_pos]] = b0[enc[sym_pos]]
+    two = sym_pos[lens_lut[enc[sym_pos]] == 2]
+    out[off[two] + 1] = b1[enc[two]]
+    return out
+
+
+def _serialize_table(sym_lens: np.ndarray, sym_bytes: np.ndarray) -> bytes:
+    return (
+        struct.pack("<B", len(sym_lens))
+        + sym_lens.tobytes()
+        + sym_bytes.tobytes()
+    )
+
+
+def _deserialize_table(buf) -> tuple[np.ndarray, np.ndarray]:
+    mv = memoryview(buf)
+    (n_sym,) = struct.unpack_from("<B", mv, 0)
+    sym_lens = np.frombuffer(mv[1 : 1 + n_sym], dtype=np.uint8)
+    sym_bytes = np.frombuffer(mv[1 + n_sym : 1 + n_sym + 2 * n_sym], dtype=np.uint8).reshape(
+        n_sym, 2
+    )
+    return sym_lens, sym_bytes
+
+
+FSST_SAMPLE_BYTES = 262144
+
+
+def encode_fsst(block: StrBlock) -> tuple[bytes, dict]:
+    data = np.frombuffer(block.payload, dtype=np.uint8)
+    sym_lens, sym_bytes = train_fsst(data[:FSST_SAMPLE_BYTES])
+    dig_code, sing_code = _tables(sym_lens, sym_bytes)
+    enc = fsst_compress(data, dig_code, sing_code)
+    lens_payload, _ = encode_for_int(block.lengths)
+    payload = pack_sections(
+        _serialize_table(sym_lens, sym_bytes), lens_payload, enc.tobytes()
+    )
+    return payload, {"codec": "fsst", "n_values": block.n, "dict_len": len(sym_lens)}
+
+
+def decode_fsst(payload, meta) -> StrBlock:
+    table_sec, lens_sec, enc_sec = unpack_sections(payload)
+    sym_lens, sym_bytes = _deserialize_table(table_sec)
+    n = meta["n_values"]
+    lengths = decode_for_int(lens_sec, {"n_values": n})
+    enc = np.frombuffer(enc_sec, dtype=np.uint8)
+    data = fsst_decompress(enc, sym_lens, sym_bytes)
+    return StrBlock(lengths=lengths, payload=data.tobytes())
+
+
+def estimate_fsst_bytes(block: StrBlock) -> int:
+    """Selector estimate: train + encode on a payload sample, scale the
+    ratio to the full payload; add lengths + table overhead."""
+    data = np.frombuffer(block.payload, dtype=np.uint8)
+    if len(data) == 0:
+        return 64
+    sample = data[: min(len(data), 65536)]
+    sym_lens, sym_bytes = train_fsst(sample)
+    if len(sym_lens) == 0:
+        return len(data) * 2
+    dig_code, sing_code = _tables(sym_lens, sym_bytes)
+    enc = fsst_compress(sample, dig_code, sing_code)
+    ratio = len(enc) / len(sample)
+    lens_size = len(encode_for_int(block.lengths)[0])
+    return int(len(data) * ratio) + lens_size + 3 * len(sym_lens) + 16

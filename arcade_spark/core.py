@@ -1,0 +1,153 @@
+"""Single-block encode/decode API: profile → select → encode, with the
+validity bitmap and codec payload framed into one self-describing blob.
+This is the pure-Python core the Spark kernels (encode.py / decode.py)
+call per Arrow batch — unit-testable without a SparkSession.
+
+Blob layout: sections(validity_bitmap, codec_payload). Everything else
+(codec id, widths, dict lineage, zone map) lives in the chunk's manifest
+row — the queryable analogue of ARCADE's ``struct D`` header
+(process.h:5-14).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from arcade_spark.bits import pack_sections, pack_validity, unpack_sections, unpack_validity
+from arcade_spark.blocks import IntBlock, StrBlock
+from arcade_spark.codecs.intcodecs import INT_DECODERS, INT_ENCODERS
+from arcade_spark.codecs import strcodecs as sc
+from arcade_spark.gdict import GlobalDict, GlobalDictDecoder
+from arcade_spark.selector import choose_int_codec, choose_str_codec
+from arcade_spark.stats import profile_int_block, profile_str_block
+
+
+def encode_str_block(block: StrBlock, gdict: GlobalDict) -> tuple[bytes, dict[str, Any]]:
+    stats = profile_str_block(block)
+    decision = choose_str_codec(stats, gdict, block)
+
+    if decision.reset_before:
+        gdict.reset()
+
+    codec = decision.codec
+    if codec == "plain":
+        payload, cmeta = sc.encode_plain(block)
+    elif codec == "fsst":
+        payload, cmeta = sc.encode_fsst(block)
+    elif codec == "rle_str":
+        payload, cmeta = sc.encode_rle_str(block, stats.fact)
+    elif codec == "dict_local":
+        payload, cmeta = sc.encode_dict_local(block, stats.fact)
+        if decision.seed_gdict:
+            gdict.append([bytes(v) for v in stats.fact.uniques])
+    elif codec == "dict_global":
+        payload, cmeta = sc.encode_dict_global(block, stats.fact, gdict)
+    else:  # pragma: no cover
+        raise ValueError(codec)
+
+    blob = pack_sections(pack_validity(block.validity), payload)
+    meta: dict[str, Any] = {
+        "codec": codec,
+        "n_values": block.n,
+        "raw_bytes": block.nbytes,
+        "encoded_bytes": len(blob),
+        "n_distinct": stats.n_distinct,
+        "n_runs": stats.n_runs,
+        "n_nulls": int((~block.validity).sum()) if block.validity is not None else 0,
+        "code_width": cmeta.get("code_width", 0),
+        "dict_len": cmeta.get("dict_len", 0),
+        "global_start": cmeta.get("global_start", -1),
+        "global_size": cmeta.get("global_size", -1),
+        "gdict_epoch": gdict.epoch,
+        "gdict_reset": decision.reset_before,
+        "gdict_seed": decision.seed_gdict,
+        "min_bin": stats.min_val,
+        "max_bin": stats.max_val,
+        "min_exact": stats.min_exact,
+        "max_exact": stats.max_exact,
+        "min_int": None,
+        "max_int": None,
+        "entropy": stats.entropy,
+    }
+    return blob, meta
+
+
+def decode_str_block(blob, meta: dict[str, Any], gdec: GlobalDictDecoder) -> StrBlock:
+    validity_sec, payload = unpack_sections(blob)
+    validity = unpack_validity(validity_sec, meta["n_values"])
+    codec = meta["codec"]
+
+    if meta.get("gdict_reset"):
+        gdec.reset()
+
+    if codec == "plain":
+        out = sc.decode_plain(payload, meta)
+    elif codec == "fsst":
+        out = sc.decode_fsst(payload, meta)
+    elif codec == "rle_str":
+        out = sc.decode_rle_str(payload, meta)
+    elif codec == "dict_local":
+        out = sc.decode_dict_local(payload, meta)
+        if meta.get("gdict_seed"):
+            dict_sec, _ = unpack_sections(payload)
+            gdec.append(sc._deserialize_values(dict_sec))
+    elif codec == "dict_global":
+        out = sc.decode_dict_global(payload, meta, gdec)
+    else:  # pragma: no cover
+        raise ValueError(codec)
+
+    out.validity = validity
+    return out
+
+
+def replay_str_block(blob, meta: dict[str, Any], gdec: GlobalDictDecoder) -> None:
+    """Advance the running-dictionary state without materializing values
+    — used for zone-map-skipped blocks (SURVEY.md §4 O2; the reference
+    resolves skipped blocks' segments via previndex, process.cpp:88-123)."""
+    if meta.get("gdict_reset"):
+        gdec.reset()
+    codec = meta["codec"]
+    if codec == "dict_global" or (codec == "dict_local" and meta.get("gdict_seed")):
+        _, payload = unpack_sections(blob)
+        dict_sec = unpack_sections(payload)[0]
+        gdec.append(sc._deserialize_values(dict_sec))
+
+
+def encode_int_block(block: IntBlock) -> tuple[bytes, dict[str, Any]]:
+    stats = profile_int_block(block)
+    decision = choose_int_codec(stats)
+    payload, cmeta = INT_ENCODERS[decision.codec](block.values)
+    blob = pack_sections(pack_validity(block.validity), payload)
+    meta: dict[str, Any] = {
+        "codec": decision.codec,
+        "n_values": block.n,
+        "raw_bytes": block.nbytes,
+        "encoded_bytes": len(blob),
+        "n_distinct": stats.n_distinct,
+        "n_runs": stats.n_runs,
+        "n_nulls": int((~block.validity).sum()) if block.validity is not None else 0,
+        "code_width": cmeta.get("code_width", 0),
+        "dict_len": 0,
+        "global_start": -1,
+        "global_size": -1,
+        "gdict_epoch": 0,
+        "gdict_reset": False,
+        "gdict_seed": False,
+        "min_bin": None,
+        "max_bin": None,
+        "min_exact": True,
+        "max_exact": True,
+        "min_int": stats.min_val if block.n else None,
+        "max_int": stats.max_val if block.n else None,
+        "entropy": 0.0,
+    }
+    return blob, meta
+
+
+def decode_int_block(blob, meta: dict[str, Any]) -> IntBlock:
+    validity_sec, payload = unpack_sections(blob)
+    validity = unpack_validity(validity_sec, meta["n_values"])
+    values = INT_DECODERS[meta["codec"]](payload, meta)
+    return IntBlock(values=np.asarray(values, dtype=np.int64), validity=validity)
