@@ -5,13 +5,14 @@ writer.cpp:379-496 — SURVEY.md §3a).
 Plan shape:
 
     source scan (Catalyst: column pruning, filter pushdown)
-      → part_id = pmod(xxhash64(salt_keys...), P)   [explicit skew salting]
+      → part_id = pmod(xxhash64(host, salt), P)     [explicit skew salting]
       → repartition(P, part_id)                     [the one shuffle]
       → sortWithinPartitions(part_id, order_key)    [deterministic blocks]
       → mapInPandas(encode_kernel)                  [Arrow-batched, no per-row Python]
-      → write blocks parquet (partitioned by part_id, dynamic overwrite)
-      → write manifest (commit barrier — a partition exists in the
-        manifest iff all its blocks are durably written)
+          kernel streams each partition's chunk rows to
+          blocks/part-NNNNN.parquet and commits a manifest marker
+          (manifest.py) — per-partition checkpoint, resumable mid-run
+      → driver collects the (tiny) manifest rows for job metrics
 
 Partitioning & skew: the default partition key is (host(url), salt)
 where salt = xxhash64(url) % salt_buckets — pages of one host co-locate
@@ -20,17 +21,20 @@ where salt = xxhash64(url) % salt_buckets — pages of one host co-locate
 rule's explicit skew handling). Deterministic: every retry of a task
 sees the same rows in the same order (sortWithinPartitions by url), so
 differential-dictionary state and block contents are reproducible —
-required for resume and for Spark speculative re-execution.
+which also makes the tmp+rename block writes idempotent under Spark
+task retries and speculative execution.
 
-Resume: completed part_ids are read from the manifest and anti-joined
-out of the input (FIXTURES.md §4); re-running a partially-failed job
-re-encodes only missing partitions, and dynamic partition overwrite
-makes per-partition block writes idempotent.
+Resume: a partition is complete iff its manifest marker exists
+(manifest.completed_parts); the job anti-joins those out of the input,
+so a killed run re-encodes only unfinished partitions (FIXTURES.md §4).
+
+Scale note: out_dir must be shared storage on a real cluster (the
+kernel writes through pyarrow; an s3://... or hdfs://... out_dir works
+via pyarrow.fs — local paths here because the sandbox is single-host).
 """
 
 from __future__ import annotations
 
-import json
 import time
 import uuid
 from collections.abc import Iterator
@@ -41,11 +45,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from arcade_spark import BLOCK_ROWS
-from arcade_spark.blocks import IntBlock, StrBlock
+from arcade_spark.blocks import StrBlock
 from arcade_spark.convert import series_to_block
 from arcade_spark.core import encode_int_block, encode_str_block
 from arcade_spark.gdict import GlobalDict
-from arcade_spark.schema import BLOCKS_DDL, MANIFEST_DDL, spark_vtype
+from arcade_spark.manifest import MANIFEST_ARROW_SCHEMA, PartWriter, completed_parts
+from arcade_spark.schema import MANIFEST_DDL, spark_vtype
 
 _PART_COL = "__arcade_part"
 
@@ -72,23 +77,30 @@ def with_part_id(
     return df.withColumn(_PART_COL, part)
 
 
-def make_encode_kernel(columns: list[tuple[str, str]], block_rows: int = BLOCK_ROWS):
+def make_encode_kernel(
+    columns: list[tuple[str, str]],
+    out_dir: str,
+    run_id: str,
+    block_rows: int = BLOCK_ROWS,
+):
     """Build the mapInPandas kernel closure. ``columns`` is
     [(name, vtype)] in output order. State per task: one GlobalDict per
     (part_id, string column) — the reference's per-file running
-    dictionary scope (writer.cpp:167-253) mapped to per-partition."""
+    dictionary scope (writer.cpp:167-253) mapped to per-partition.
+    Yields one manifest row per completed partition."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cur_part: int | None = None
+        writer: PartWriter | None = None
         buffer: list[pd.DataFrame] = []
         buffered = 0
         gdicts: dict[str, GlobalDict] = {}
         block_id = 0
         row_start = 0
 
-        def encode_block_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        def encode_block(pdf: pd.DataFrame) -> None:
             nonlocal block_id, row_start
-            out_rows = []
+            chunk_rows = []
             n = len(pdf)
             for name, vtype in columns:
                 t0 = time.monotonic()
@@ -107,51 +119,61 @@ def make_encode_kernel(columns: list[tuple[str, str]], block_rows: int = BLOCK_R
                     row_start=row_start,
                     blob=blob,
                 )
-                out_rows.append(meta)
+                chunk_rows.append(meta)
+            writer.write_block(chunk_rows)
             block_id += 1
             row_start += n
-            return pd.DataFrame(out_rows)
 
-        def flush_part() -> Iterator[pd.DataFrame]:
-            nonlocal buffer, buffered, block_id, row_start, gdicts
-            while buffer:
-                head = pd.concat(buffer, ignore_index=True) if len(buffer) > 1 else buffer[0]
-                buffer, buffered = [], 0
-                for s in range(0, len(head), block_rows):
-                    chunk = head.iloc[s : s + block_rows]
-                    if len(chunk) == block_rows or s + block_rows >= len(head):
-                        if len(chunk):
-                            yield encode_block_rows(chunk.reset_index(drop=True))
+        def drain(final: bool) -> None:
+            """Encode full blocks from the buffer (all remaining rows
+            when final)."""
+            nonlocal buffer, buffered
+            if buffered == 0:
+                return
+            head = pd.concat(buffer, ignore_index=True) if len(buffer) > 1 else buffer[0]
+            limit = len(head) if final else (len(head) // block_rows) * block_rows
+            for s in range(0, limit, block_rows):
+                encode_block(head.iloc[s : s + block_rows].reset_index(drop=True))
+            rest = head.iloc[limit:]
+            buffer = [rest] if len(rest) else []
+            buffered = len(rest)
+
+        def finish_part() -> Iterator[pd.DataFrame]:
+            nonlocal writer, gdicts, block_id, row_start
+            drain(final=True)
+            if writer is not None:
+                row = writer.commit()
+                yield pd.DataFrame([row])
+            writer = None
             gdicts = {}
             block_id = 0
             row_start = 0
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            parts = pdf[_PART_COL].to_numpy()
-            bounds = np.nonzero(parts[1:] != parts[:-1])[0] + 1
-            segments = np.split(np.arange(len(pdf)), bounds)
-            for seg in segments:
-                pid = int(parts[seg[0]])
-                sub = pdf.iloc[seg[0] : seg[-1] + 1]
-                if cur_part is not None and pid != cur_part:
-                    yield from flush_part()
-                cur_part = pid
-                buffer.append(sub)
-                buffered += len(sub)
-                while buffered >= block_rows:
-                    head = pd.concat(buffer, ignore_index=True) if len(buffer) > 1 else buffer[0]
-                    full = (len(head) // block_rows) * block_rows
-                    for s in range(0, full, block_rows):
-                        yield encode_block_rows(
-                            head.iloc[s : s + block_rows].reset_index(drop=True)
-                        )
-                    rest = head.iloc[full:]
-                    buffer = [rest] if len(rest) else []
-                    buffered = len(rest)
-        if cur_part is not None:
-            yield from flush_part()
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                parts = pdf[_PART_COL].to_numpy()
+                bounds = np.nonzero(parts[1:] != parts[:-1])[0] + 1
+                seg_starts = np.concatenate([[0], bounds])
+                seg_ends = np.concatenate([bounds, [len(pdf)]])
+                for s, e in zip(seg_starts, seg_ends):
+                    pid = int(parts[s])
+                    if cur_part is not None and pid != cur_part:
+                        yield from finish_part()
+                    if writer is None:
+                        cur_part = pid
+                        writer = PartWriter(out_dir, pid, run_id)
+                    cur_part = pid
+                    buffer.append(pdf.iloc[s:e])
+                    buffered += e - s
+                    if buffered >= block_rows:
+                        drain(final=False)
+            yield from finish_part()
+        except Exception:
+            if writer is not None:
+                writer.abort()
+            raise
 
     return kernel
 
@@ -168,92 +190,46 @@ def encode_job(
 ) -> dict:
     """Run the full encode pipeline; returns job metrics."""
     columns = [(f.name, spark_vtype(f.dataType)) for f in source.schema.fields]
-    df = with_part_id(source, num_parts, salt_col=order_col, host_col=order_col,
-                      salt_buckets=salt_buckets)
+    df = with_part_id(
+        source, num_parts, salt_col=order_col, host_col=order_col, salt_buckets=salt_buckets
+    )
 
-    done: set[int] = set()
-    manifest_path = f"{out_dir}/manifest"
-    blocks_path = f"{out_dir}/blocks"
-    if resume:
-        try:
-            done = {
-                r.part_id
-                for r in spark.read.parquet(manifest_path)
-                .filter(F.col("status") == "done")
-                .select("part_id")
-                .collect()
-            }
-        except Exception:
-            done = set()
+    done = completed_parts(out_dir) if resume else set()
     if done:
-        df = df.filter(~F.col(_PART_COL).isin(*done))
+        df = df.filter(~F.col(_PART_COL).isin(*sorted(done)))
 
+    run_id = uuid.uuid4().hex[:12]
     t0 = time.time()
-    kernel = make_encode_kernel(columns, block_rows)
-    encoded = (
+    kernel = make_encode_kernel(columns, out_dir, run_id, block_rows)
+    new_rows = (
         df.repartition(num_parts, F.col(_PART_COL))
         .sortWithinPartitions(_PART_COL, order_col)
-        .mapInPandas(kernel, schema=BLOCKS_DDL)
+        .mapInPandas(kernel, schema=MANIFEST_DDL)
+        .collect()
     )
+    wall_seconds = time.time() - t0
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        encoded.write.mode("overwrite" if done else "overwrite")
-        .partitionBy("part_id")
-        .parquet(blocks_path)
-    )
-    encode_seconds = time.time() - t0
+    import pyarrow.parquet as pq
+    import os
 
-    # ---- manifest commit barrier: derive from what actually landed ----
-    run_id = uuid.uuid4().hex[:12]
-    blocks = spark.read.parquet(blocks_path)
-    n_cols = len(columns)
-    manifest = (
-        blocks.groupBy("part_id")
-        .agg(
-            (F.countDistinct("block_id")).cast("int").alias("n_blocks"),
-            (F.sum(F.col("n_values").cast("long")) / n_cols).cast("long").alias("n_rows"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("encoded_bytes").alias("encoded_bytes"),
-            (F.sum("kernel_ms") / 1000.0).alias("encode_seconds"),
-        )
-        .withColumn(
-            "throughput_mbps",
-            F.col("raw_bytes") / F.greatest(F.col("encode_seconds"), F.lit(1e-9)) / F.lit(1e6),
-        )
-        .withColumn("codec_counts", F.lit("{}"))
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("status", F.lit("done"))
-    )
-    codec_counts = (
-        blocks.groupBy("part_id", "codec").count().groupBy("part_id")
-        .agg(F.map_from_arrays(F.collect_list("codec"), F.collect_list("count")).alias("cc"))
-        .select("part_id", F.to_json("cc").alias("codec_counts_json"))
-    )
-    manifest = (
-        manifest.join(codec_counts, "part_id", "left")
-        .drop("codec_counts")
-        .withColumnRenamed("codec_counts_json", "codec_counts")
-        .select(*[f.name for f in spark.createDataFrame([], MANIFEST_DDL).schema.fields])
-    )
-    manifest.write.mode("overwrite").parquet(manifest_path)
-
-    totals = (
-        spark.read.parquet(manifest_path)
-        .agg(
-            F.sum("n_rows").alias("rows"),
-            F.sum("raw_bytes").alias("raw"),
-            F.sum("encoded_bytes").alias("enc"),
-        )
-        .collect()[0]
-    )
+    mdir = os.path.join(out_dir, "manifest")
+    totals = {"rows": 0, "raw": 0, "enc": 0, "kernel_s": 0.0}
+    if os.path.isdir(mdir):
+        t = pq.read_table(mdir, schema=MANIFEST_ARROW_SCHEMA)
+        totals["rows"] = sum(t.column("n_rows").to_pylist())
+        totals["raw"] = sum(t.column("raw_bytes").to_pylist())
+        totals["enc"] = sum(t.column("encoded_bytes").to_pylist())
+        totals["kernel_s"] = sum(t.column("encode_seconds").to_pylist())
+    new_raw = sum(r.raw_bytes for r in new_rows)
     return {
         "rows": totals["rows"],
         "raw_bytes": totals["raw"],
         "encoded_bytes": totals["enc"],
         "ratio": (totals["enc"] / totals["raw"]) if totals["raw"] else None,
-        "encode_seconds": encode_seconds,
-        "throughput_mbps": (totals["raw"] or 0) / max(encode_seconds, 1e-9) / 1e6,
+        "encode_seconds": wall_seconds,
+        "kernel_seconds": totals["kernel_s"],
+        "throughput_mbps": new_raw / max(wall_seconds, 1e-9) / 1e6,
+        "new_parts": len(new_rows),
         "skipped_parts": len(done),
         "run_id": run_id,
     }

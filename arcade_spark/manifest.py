@@ -1,0 +1,188 @@
+"""Per-partition checkpoint layout and commit protocol.
+
+Layout under an encode out_dir:
+
+    blocks/part-NNNNN.parquet     one file per encode partition (all its
+                                  chunk rows, written by the kernel task)
+    manifest/part-NNNNN.parquet   one-row manifest file per partition —
+                                  the COMMIT MARKER: written only after
+                                  the blocks file is durably renamed
+
+This is the analogue of ARCADE's backpatched file header + blocksizes
+index (writer.cpp:419-430, :488-493) re-expressed as an Iceberg-style
+metadata commit: data files first, then an atomic metadata marker.
+Tasks write to a hidden tmp name and ``os.replace`` — idempotent under
+Spark task retries/speculation because partition contents are
+deterministic (sorted by url), so two attempts produce identical bytes.
+
+Resume = list the manifest dir: a partition is done iff its marker
+exists; killed runs keep every completed partition (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BLOCKS_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("block_id", pa.int32()),
+        pa.field("column", pa.string()),
+        pa.field("vtype", pa.string()),
+        pa.field("codec", pa.string()),
+        pa.field("n_values", pa.int32()),
+        pa.field("row_start", pa.int64()),
+        pa.field("raw_bytes", pa.int64()),
+        pa.field("encoded_bytes", pa.int64()),
+        pa.field("n_distinct", pa.int64()),
+        pa.field("n_runs", pa.int64()),
+        pa.field("n_nulls", pa.int64()),
+        pa.field("code_width", pa.int32()),
+        pa.field("dict_len", pa.int64()),
+        pa.field("global_start", pa.int64()),
+        pa.field("global_size", pa.int64()),
+        pa.field("gdict_epoch", pa.int32()),
+        pa.field("gdict_reset", pa.bool_()),
+        pa.field("gdict_seed", pa.bool_()),
+        pa.field("min_bin", pa.binary()),
+        pa.field("max_bin", pa.binary()),
+        pa.field("min_exact", pa.bool_()),
+        pa.field("max_exact", pa.bool_()),
+        pa.field("min_int", pa.int64()),
+        pa.field("max_int", pa.int64()),
+        pa.field("entropy", pa.float64()),
+        pa.field("kernel_ms", pa.float64()),
+        pa.field("blob", pa.large_binary()),
+    ]
+)
+
+MANIFEST_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("n_blocks", pa.int32()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("raw_bytes", pa.int64()),
+        pa.field("encoded_bytes", pa.int64()),
+        pa.field("encode_seconds", pa.float64()),
+        pa.field("throughput_mbps", pa.float64()),
+        pa.field("codec_counts", pa.string()),
+        pa.field("run_id", pa.string()),
+        pa.field("status", pa.string()),
+    ]
+)
+
+
+def blocks_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, "blocks", f"part-{part_id:05d}.parquet")
+
+
+def manifest_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, "manifest", f"part-{part_id:05d}.parquet")
+
+
+def completed_parts(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for fn in os.listdir(mdir):
+        if fn.startswith("part-") and fn.endswith(".parquet"):
+            out.add(int(fn[5:-8]))
+    return out
+
+
+class PartWriter:
+    """Streams one partition's chunk rows to its blocks file, then
+    commits the manifest marker. Row groups flush per block batch, so
+    task memory stays O(block)."""
+
+    def __init__(self, out_dir: str, part_id: int, run_id: str):
+        self.out_dir = out_dir
+        self.part_id = part_id
+        self.run_id = run_id
+        os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+        self._tmp = os.path.join(
+            out_dir, "blocks", f".tmp-{part_id:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        self._writer = pq.ParquetWriter(
+            self._tmp, BLOCKS_ARROW_SCHEMA, compression="zstd"
+        )
+        self.n_blocks = 0
+        self.n_rows = 0
+        self.raw_bytes = 0
+        self.encoded_bytes = 0
+        self.kernel_ms = 0.0
+        self.codec_counts: dict[str, int] = {}
+
+    def write_block(self, chunk_rows: list[dict]) -> None:
+        table = pa.Table.from_pylist(chunk_rows, schema=BLOCKS_ARROW_SCHEMA)
+        self._writer.write_table(table)
+        self.n_blocks += 1
+        self.n_rows += chunk_rows[0]["n_values"]
+        for r in chunk_rows:
+            self.raw_bytes += r["raw_bytes"]
+            self.encoded_bytes += r["encoded_bytes"]
+            self.kernel_ms += r["kernel_ms"]
+            self.codec_counts[r["codec"]] = self.codec_counts.get(r["codec"], 0) + 1
+
+    def commit(self) -> dict:
+        self._writer.close()
+        os.replace(self._tmp, blocks_path(self.out_dir, self.part_id))
+        secs = self.kernel_ms / 1000.0
+        row = {
+            "part_id": self.part_id,
+            "n_blocks": self.n_blocks,
+            "n_rows": self.n_rows,
+            "raw_bytes": self.raw_bytes,
+            "encoded_bytes": self.encoded_bytes,
+            "encode_seconds": secs,
+            "throughput_mbps": self.raw_bytes / max(secs, 1e-9) / 1e6,
+            "codec_counts": json.dumps(self.codec_counts, sort_keys=True),
+            "run_id": self.run_id,
+            "status": "done",
+        }
+        mtmp = os.path.join(
+            self.out_dir, "manifest", f".tmp-{self.part_id:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        pq.write_table(pa.Table.from_pylist([row], schema=MANIFEST_ARROW_SCHEMA), mtmp)
+        os.replace(mtmp, manifest_path(self.out_dir, self.part_id))
+        return row
+
+    def abort(self) -> None:
+        try:
+            self._writer.close()
+        finally:
+            if os.path.exists(self._tmp):
+                os.remove(self._tmp)
+
+
+def verify_integrity(spark, out_dir: str) -> dict:
+    """Cross-check manifest vs blocks: every committed partition's
+    blocks file must exist with matching block/row counts (guards the
+    silent-shrink failure mode when files go missing)."""
+    from pyspark.sql import functions as F
+
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    blocks = spark.read.parquet(os.path.join(out_dir, "blocks"))
+    per_part = blocks.groupBy("part_id").agg(
+        F.countDistinct("block_id").alias("b_blocks"),
+        F.sum(F.when(F.col("block_id") >= 0, F.col("n_values")).otherwise(0)).alias("chunk_vals"),
+        F.countDistinct("column").alias("n_cols"),
+    )
+    joined = (
+        manifest.alias("m")
+        .join(per_part.alias("b"), "part_id", "full_outer")
+        .withColumn(
+            "ok",
+            (F.col("m.n_blocks") == F.col("b.b_blocks"))
+            & (F.col("m.n_rows") * F.col("b.n_cols") == F.col("b.chunk_vals")),
+        )
+    )
+    bad = joined.filter(~F.coalesce(F.col("ok"), F.lit(False))).select("part_id").collect()
+    return {"ok": not bad, "bad_parts": sorted(r.part_id for r in bad)}
