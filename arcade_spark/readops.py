@@ -1,0 +1,382 @@
+"""Read operators over the encoded-blocks table:
+
+- ``equi_filter`` — ArcadeReader::equi_filter (reader.cpp:7-66,
+  process.cpp:182-422): zone-map block pruning decided in the DataFrame
+  plan (Catalyst pushes the min/max predicate to parquet row-group
+  stats), then an Arrow-batched kernel that compares dictionary CODES —
+  integer compare, no string materialization — with late
+  materialization of projected columns at matched positions only.
+- ``random_access`` — ArcadeReader::random_access (reader.cpp:69-143):
+  rowid → (partition, block, position) via the manifest prefix sums
+  (the analogue of the ``blocksizes`` index, reader.cpp:113-115), then
+  positional decode of only the touched blocks.
+- count-only projection (runner.cpp:11): ``equi_filter(...,
+  count_only=True)`` skips all materialization and returns per-block
+  match counts (guards process.cpp:214,338,404).
+
+Zone-map safety with truncated bounds: ``min_bin`` is a prefix of the
+true minimum, so ``v < min_bin ⇒ v < min`` is always safe; the upper
+prune ``v > max_bin`` is applied only when ``max_exact``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arcade_spark.bits import unpack_sections, unpack_uints, unpack_validity
+from arcade_spark.codecs import strcodecs as sc
+from arcade_spark.codecs.intcodecs import decode_for_int
+from arcade_spark.convert import block_to_series
+from arcade_spark.core import decode_int_block, decode_str_block
+from arcade_spark.decode import read_blocks, table_columns
+from arcade_spark.gdict import GlobalDictDecoder
+from arcade_spark.schema import spark_type_for
+
+
+def _meta_from_row(row) -> dict:
+    return {
+        "codec": row.codec,
+        "n_values": int(row.n_values),
+        "code_width": int(row.code_width),
+        "global_start": int(row.global_start),
+        "gdict_reset": bool(row.gdict_reset),
+        "gdict_seed": bool(row.gdict_seed),
+    }
+
+
+def _searchsorted_bytes(sorted_obj: np.ndarray, value: bytes) -> int:
+    """Index of value in a sorted object array of bytes, or -1."""
+    i = int(np.searchsorted(sorted_obj, value))
+    if i < len(sorted_obj) and sorted_obj[i] == value:
+        return i
+    return -1
+
+
+class _StrFilterState:
+    """Per-(part, column) filter state: running dict replay + the
+    memoized global code of the target value (ARCADE's carried offset,
+    recomputed only after a dict reset — process.cpp:241)."""
+
+    def __init__(self, value: bytes):
+        self.value = value
+        self.gdec = GlobalDictDecoder()
+        self.target_gid = -1
+
+    def _absorb_segment(self, segment: np.ndarray) -> None:
+        if self.target_gid < 0 and len(segment):
+            idx = _searchsorted_bytes(segment, self.value)
+            if idx >= 0:
+                self.target_gid = len(self.gdec) + idx
+        self.gdec.append(segment)
+
+    def match_positions(self, blob, meta: dict) -> np.ndarray:
+        """Positions of rows equal to the target value in this block;
+        advances replay state either way."""
+        validity_sec, payload = unpack_sections(blob)
+        codec = meta["codec"]
+        if meta.get("gdict_reset"):
+            self.gdec.reset()
+            self.target_gid = -1
+        n = meta["n_values"]
+
+        if codec == "dict_global":
+            dict_sec, codes_sec = unpack_sections(payload)
+            self._absorb_segment(sc._deserialize_values(dict_sec))
+            if self.target_gid < 0:
+                return np.empty(0, dtype=np.int64)
+            codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+            pos = np.nonzero(codes == self.target_gid)[0]
+        elif codec == "dict_local":
+            dict_sec, codes_sec = unpack_sections(payload)
+            uniques = sc._deserialize_values(dict_sec)
+            if meta.get("gdict_seed"):
+                self._absorb_segment(uniques)
+            code = _searchsorted_bytes(uniques, self.value)
+            if code < 0:
+                return np.empty(0, dtype=np.int64)
+            codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+            pos = np.nonzero(codes == code)[0]
+        elif codec == "rle_str":
+            dict_sec, codes_sec, lens_sec = unpack_sections(payload)
+            uniques = sc._deserialize_values(dict_sec)
+            code = _searchsorted_bytes(uniques, self.value)
+            if code < 0:
+                return np.empty(0, dtype=np.int64)
+            import struct
+
+            (nruns,) = struct.unpack_from("<I", codes_sec, 0)
+            run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
+            run_lens = decode_for_int(lens_sec, {"n_values": nruns})
+            pos = np.nonzero(np.repeat(run_codes == code, run_lens))[0]
+        else:  # plain / fsst: materialize then byte-compare
+            if codec == "plain":
+                block = sc.decode_plain(payload, meta)
+            else:
+                block = sc.decode_fsst(payload, meta)
+            obj = block.to_object_array()
+            pos = np.nonzero(obj == self.value)[0]
+
+        validity = unpack_validity(validity_sec, n)
+        if validity is not None and len(pos):
+            pos = pos[validity[pos]]
+        return pos
+
+    def replay(self, blob, meta: dict) -> None:
+        if meta.get("gdict_reset"):
+            self.gdec.reset()
+            self.target_gid = -1
+        codec = meta["codec"]
+        if codec == "dict_global" or (codec == "dict_local" and meta.get("gdict_seed")):
+            _, payload = unpack_sections(blob)
+            dict_sec = unpack_sections(payload)[0]
+            self._absorb_segment(sc._deserialize_values(dict_sec))
+
+
+def equi_filter(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    value,
+    project: list[str] | None = None,
+    count_only: bool = False,
+) -> DataFrame:
+    """``SELECT project... FROM encoded WHERE column = value``.
+
+    The zone-map prune is computed in the DataFrame plan (`zone_keep`),
+    so Catalyst evaluates min/max against parquet row-group stats
+    before any Python runs; pruned dictionary blocks are still replayed
+    (segments ride in chunk payloads) but never scanned or
+    materialized — mirroring process.cpp:256-273 + the previndex
+    segment walk (process.cpp:88-123)."""
+    all_cols = dict(table_columns(spark, out_dir))
+    if column not in all_cols:
+        raise KeyError(f"no such column: {column}")
+    fvt = all_cols[column]
+    project = [c for c in (project or [c for c in all_cols if c != column])]
+    sel_cols = [column] + [c for c in project if c != column]
+    vtypes = {c: all_cols[c] for c in sel_cols}
+
+    is_str = fvt in ("str", "binary")
+    vb = value.encode() if isinstance(value, str) else value
+
+    blocks = read_blocks(spark, out_dir, sel_cols)
+    if is_str:
+        lit = F.lit(bytearray(vb))
+        prune = (lit < F.col("min_bin")) | (F.col("max_exact") & (lit > F.col("max_bin")))
+    else:
+        lit = F.lit(int(vb))
+        prune = (lit < F.col("min_int")) | (lit > F.col("max_int"))
+    blocks = blocks.withColumn(
+        "zone_keep",
+        F.when(F.col("column") == column, ~F.coalesce(prune, F.lit(False))).otherwise(
+            F.lit(True)
+        ),
+    )
+
+    n_parts = blocks.select("part_id").distinct().count()
+    proj_items = [(c, vtypes[c]) for c in project]
+    want = set(sel_cols)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fstates: dict[int, _StrFilterState] = {}
+        gdecs: dict[tuple[int, str], GlobalDictDecoder] = {}
+        pending: dict[tuple[int, int], dict[str, tuple]] = {}
+
+        def handle_block(part_id: int, block_id: int, chunks) -> pd.DataFrame | None:
+            fblob, fmeta, fkeep = chunks[column]
+            if is_str:
+                st = fstates.setdefault(part_id, _StrFilterState(vb))
+                if fkeep:
+                    pos = st.match_positions(fblob, fmeta)
+                else:
+                    st.replay(fblob, fmeta)
+                    pos = np.empty(0, dtype=np.int64)
+            else:
+                if fkeep:
+                    iblock = decode_int_block(fblob, fmeta)
+                    pos = np.nonzero(iblock.values == int(vb))[0]
+                    if iblock.validity is not None and len(pos):
+                        pos = pos[iblock.validity[pos]]
+                else:
+                    pos = np.empty(0, dtype=np.int64)
+
+            if count_only:
+                return pd.DataFrame(
+                    {"part_id": [part_id], "block_id": [block_id],
+                     "matches": [len(pos)], "zone_skipped": [0 if fkeep else 1]}
+                )
+
+            data = {}
+            for name, vt in proj_items:
+                blob, meta, _ = chunks[name]
+                if vt in ("str", "binary"):
+                    gdec = gdecs.setdefault((part_id, name), GlobalDictDecoder())
+                    if len(pos) == 0:
+                        from arcade_spark.core import replay_str_block
+
+                        replay_str_block(blob, meta, gdec)
+                        continue
+                    block = decode_str_block(blob, meta, gdec)
+                    obj = block.to_object_array()[pos]
+                    if vt == "str":
+                        data[name] = pd.Series(
+                            [None if v is None else v.decode() for v in obj], dtype=object
+                        )
+                    else:
+                        data[name] = pd.Series(obj, dtype=object)
+                else:
+                    if len(pos) == 0:
+                        continue
+                    block = decode_int_block(blob, meta)
+                    s = block_to_series(block, vt)
+                    data[name] = s.iloc[pos].reset_index(drop=True)
+            if len(pos) == 0:
+                return None
+            out = pd.DataFrame(data)
+            if column in (project or []):
+                pass
+            return out
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                key = (int(row.part_id), int(row.block_id))
+                pending.setdefault(key, {})[row.column] = (
+                    row.blob,
+                    _meta_from_row(row),
+                    bool(row.zone_keep),
+                )
+                if set(pending[key]) >= want:
+                    chunks = pending.pop(key)
+                    out = handle_block(key[0], key[1], chunks)
+                    if out is not None and len(out):
+                        yield out
+        for key in sorted(pending):
+            chunks = pending[key]
+            if set(chunks) >= want:
+                out = handle_block(key[0], key[1], chunks)
+                if out is not None and len(out):
+                    yield out
+
+    if count_only:
+        schema = "part_id int, block_id int, matches long, zone_skipped int"
+    else:
+        schema = ", ".join(f"{n} {spark_type_for(v)}" for n, v in proj_items)
+
+    result = (
+        blocks.repartition(max(n_parts, 1), F.col("part_id"))
+        .sortWithinPartitions("part_id", "block_id", "column")
+        .mapInPandas(kernel, schema=schema)
+    )
+    return result
+
+
+def filter_count(spark: SparkSession, out_dir: str, column: str, value) -> DataFrame:
+    """Count-only fast path: one row ``cnt`` (plus blocks_skipped for
+    zone-map observability — FIXTURES.md §3)."""
+    per_block = equi_filter(spark, out_dir, column, value, count_only=True)
+    return per_block.agg(
+        F.sum("matches").alias("cnt"), F.sum("zone_skipped").alias("blocks_skipped")
+    )
+
+
+def random_access(
+    spark: SparkSession,
+    out_dir: str,
+    row_ids: list[int],
+    project: list[str] | None = None,
+) -> DataFrame:
+    """Multi-row lookup by global rowid (canonical order: part_id asc,
+    block order within part). Metadata math on the driver (manifest +
+    chunk headers are metadata, not data), positional decode on
+    executors for only the partitions touched."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    all_cols = table_columns(spark, out_dir)
+    if project is not None:
+        all_cols = [(n, v) for n, v in all_cols if n in project]
+
+    manifest = pq.read_table(os.path.join(out_dir, "manifest"),
+                             columns=["part_id", "n_rows"])
+    parts = sorted(zip(manifest.column("part_id").to_pylist(),
+                       manifest.column("n_rows").to_pylist()))
+    part_ids = [p for p, _ in parts]
+    offsets = np.concatenate([[0], np.cumsum([n for _, n in parts])])
+
+    targets: dict[int, list[tuple[int, int]]] = {}
+    for rid in row_ids:
+        pi = int(np.searchsorted(offsets, rid, side="right")) - 1
+        if pi < 0 or pi >= len(part_ids) or rid >= offsets[pi + 1]:
+            raise IndexError(f"row id {rid} out of range")
+        targets.setdefault(part_ids[pi], []).append((rid - int(offsets[pi]), rid))
+
+    touched = sorted(targets)
+    blocks = read_blocks(spark, out_dir, [n for n, _ in all_cols]).filter(
+        F.col("part_id").isin(touched)
+    )
+    want = {n for n, _ in all_cols}
+    vtypes = dict(all_cols)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gdecs: dict[tuple[int, str], GlobalDictDecoder] = {}
+        pending: dict[tuple[int, int], dict[str, tuple]] = {}
+
+        def handle(part_id: int, block_id: int, chunks) -> pd.DataFrame | None:
+            row_start = chunks["__row_start"]
+            n_vals = chunks[next(iter(want))][1]["n_values"]
+            local = targets.get(part_id, [])
+            pos_rid = [
+                (lp - row_start, rid)
+                for lp, rid in local
+                if row_start <= lp < row_start + n_vals
+            ]
+            need = len(pos_rid) > 0
+            pos = np.array([p for p, _ in pos_rid], dtype=np.int64)
+            data = {"row_id": pd.Series([r for _, r in pos_rid], dtype="int64")}
+            for name, vt in all_cols:
+                blob, meta = chunks[name][:2]
+                if vt in ("str", "binary"):
+                    gdec = gdecs.setdefault((part_id, name), GlobalDictDecoder())
+                    if not need:
+                        from arcade_spark.core import replay_str_block
+
+                        replay_str_block(blob, meta, gdec)
+                        continue
+                    block = decode_str_block(blob, meta, gdec)
+                    obj = block.to_object_array()[pos]
+                    data[name] = pd.Series(
+                        [None if v is None else (v.decode() if vt == "str" else v) for v in obj],
+                        dtype=object,
+                    )
+                else:
+                    if not need:
+                        continue
+                    block = decode_int_block(blob, meta)
+                    data[name] = block_to_series(block, vt).iloc[pos].reset_index(drop=True)
+            if not need:
+                return None
+            return pd.DataFrame(data)
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                key = (int(row.part_id), int(row.block_id))
+                d = pending.setdefault(key, {})
+                d[row.column] = (row.blob, _meta_from_row(row))
+                d["__row_start"] = int(row.row_start)
+                if set(k for k in d if not k.startswith("__")) >= want:
+                    out = handle(key[0], key[1], pending.pop(key))
+                    if out is not None and len(out):
+                        yield out
+
+    schema = "row_id long, " + ", ".join(f"{n} {spark_type_for(v)}" for n, v in all_cols)
+    return (
+        blocks.repartition(max(len(touched), 1), F.col("part_id"))
+        .sortWithinPartitions("part_id", "block_id", "column")
+        .mapInPandas(kernel, schema=schema)
+    )
