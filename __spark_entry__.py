@@ -1,38 +1,321 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator (SURVEY.md §2) over
+the driver-provided tables; ``oracle_sql()`` holds the DuckDB twin of
+each. Engine operators (the ARCADE-derived compression engine) run the
+real encode→read pipeline on the table, so the oracle comparison
+doubles as the lossless-decode gate.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_SHIPPED = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make arcade_spark importable on Python workers regardless of the
+    driver's cwd (the spark-submit --py-files equivalent)."""
+    global _SHIPPED
+    if _SHIPPED:
+        return
+    try:
+        from arcade_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass
+    _SHIPPED = True
+
+
+def _encoded_dir(spark: SparkSession, sf_dir: str, table: str, order_col: str,
+                 num_parts: int = 4) -> str:
+    """Encode a testdata table once per (sf_dir, table); resume makes
+    repeat calls free."""
+    from arcade_spark.encode import encode_job
+
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "arcade_entry_cache", key,
+        f"{table}-p{num_parts}-{order_col}",
+    )
+    src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    encode_job(spark, src, out, num_parts=num_parts, order_col=order_col)
+    return out
+
+
+# --------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode `documents` (sf0.001) with the adaptive
+    engine, then run ARCADE's F operator — equi-filter lang='en' with
+    projection — over the encoded table."""
+    _ship_package(spark)
+    from arcade_spark.readops import equi_filter
+
+    out = _encoded_dir(spark, "/root/testdata/sf0.001", "documents", "doc_id",
+                       num_parts=2)
+    return equi_filter(spark, out, "lang", "en", project=["doc_id", "text"])
+
+
+# -------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def arcade_scan_documents(spark, sf_dir):
+        _ship_package(spark)
+        from arcade_spark.decode import scan
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return scan(spark, out).select("doc_id", "text", "lang", "source", "n_chars")
+
+    def arcade_filter_lang(spark, sf_dir):
+        _ship_package(spark)
+        from arcade_spark.readops import equi_filter
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return equi_filter(spark, out, "lang", "en", project=["doc_id", "text"])
+
+    def arcade_filter_count(spark, sf_dir):
+        _ship_package(spark)
+        from arcade_spark.readops import filter_count
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return filter_count(spark, out, "lang", "el").select(
+            F.col("cnt").cast("long").alias("cnt")
+        )
+
+    def arcade_random_access(spark, sf_dir):
+        _ship_package(spark)
+        from arcade_spark.readops import random_access
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id", num_parts=1)
+        return random_access(
+            spark, out, [15, 100, 254, 255, 256, 499], project=["doc_id", "text", "lang"]
+        ).select("row_id", "doc_id", "text", "lang")
+
+    def arcade_scan_lineitem(spark, sf_dir):
+        _ship_package(spark)
+        from arcade_spark.decode import scan
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        return scan(spark, out).select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        )
+
+    def arcade_filter_events(spark, sf_dir):
+        _ship_package(spark)
+        from arcade_spark.readops import equi_filter
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return equi_filter(
+            spark, out, "event_type", "click", project=["event_id", "user_id", "value"]
+        )
+
+    def _wrap(fn):
+        def inner(spark, sf_dir):
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return inner
+
+    from arcade_spark.dedup import (
+        dedup_exact,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+    from arcade_spark.multimodal import media_meta
+    from arcade_spark.simsearch import (
+        ann_cosine_topk,
+        ann_lsh_topk,
+        embedding_cosine_pairs,
+    )
+    from arcade_spark.textops import fingerprint, lang_id, quality_score, token_stats
+
+    return {
+        # ---- engine operators (SURVEY.md §2 W1-W11 / R1-R9) ----
+        "arcade_scan_documents": arcade_scan_documents,
+        "arcade_filter_lang": arcade_filter_lang,
+        "arcade_filter_count": arcade_filter_count,
+        "arcade_random_access": arcade_random_access,
+        "arcade_scan_lineitem": arcade_scan_lineitem,
+        "arcade_filter_events": arcade_filter_events,
+        # ---- training-data pipeline operators ----
+        "token_stats": _wrap(token_stats),
+        "quality_score": _wrap(quality_score),
+        "fingerprint": _wrap(fingerprint),
+        "lang_id": _wrap(lang_id),
+        "dedup_exact": _wrap(dedup_exact),
+        "dedup_ngram_jaccard": _wrap(dedup_ngram_jaccard),
+        "dedup_minhash_lsh": _wrap(dedup_minhash_lsh),
+        "dedup_simhash": _wrap(dedup_simhash),
+        "ann_cosine_topk": _wrap(ann_cosine_topk),
+        "ann_lsh_topk": _wrap(ann_lsh_topk),
+        "embedding_cosine_pairs": _wrap(embedding_cosine_pairs),
+        "media_meta": _wrap(media_meta),
+    }
+
+
+# ------------------------------------------------------------- oracles
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SHINGLE_CTE = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 0) + 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM norm WHERE len(w) >= 3
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(floor(10000 * i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter)) AS BIGINT) AS jacc_bp
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.id_a
+JOIN counts cb ON cb.doc_id = i.id_b
+WHERE floor(10000 * i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter)) >= 8000
+"""
+
+_STOP = "('the','a','of','and','to','in','is','for')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    marker = {
+        "en": "('the','and','of','to','is')",
+        "de": "('der','die','und','das','ist')",
+        "fr": "('le','la','et','les','est')",
+        "es": "('el','la','los','que','es')",
+    }
+    lang_scores = ", ".join(
+        f"CAST(len(list_filter(string_split(lower(trim(text)), ' '), "
+        f"w -> w IN {m})) AS BIGINT) AS s_{l}"
+        for l, m in marker.items()
+    )
+    return {
+        "arcade_scan_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "arcade_filter_lang": "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        "arcade_filter_count": "SELECT count(*) AS cnt FROM documents WHERE lang = 'el'",
+        "arcade_random_access": """
+            SELECT rid AS row_id, doc_id, text, lang FROM (
+              SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS rid FROM documents
+            ) WHERE rid IN (15, 100, 254, 255, 256, 499)
+        """,
+        "arcade_scan_lineitem": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+            "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+            "l_shipdate FROM lineitem"
+        ),
+        "arcade_filter_events": (
+            "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'"
+        ),
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+                     AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+                     AS n_re_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split(lower(trim(text)), ' ')) END AS BIGINT) AS n_words,
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                        w -> w IN {_STOP})) AS BIGINT) AS n_stopwords,
+                   CAST(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split(lower(trim(text)), ' ')) END) > 0
+                        THEN floor(10000 * len(list_filter(string_split(lower(trim(text)), ' '),
+                             w -> w IN {_STOP}))
+                             / len(string_split(lower(trim(text)), ' ')))
+                        ELSE 0 END AS BIGINT) AS stopword_bp
+            FROM documents
+        """,
+        "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "lang_id": f"""
+            WITH s AS (SELECT doc_id, {lang_scores} FROM documents)
+            SELECT doc_id, s_en, s_de, s_fr, s_es,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM s
+        """,
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, count(*) AS n_copies, "
+            "min(doc_id) AS keep_id FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_ngram_jaccard": _SHINGLE_CTE,
+        "dedup_minhash_lsh": _SHINGLE_CTE,
+        "dedup_simhash": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+              FROM words
+            ), bits AS (
+              SELECT doc_id, b, CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM hashed, (SELECT unnest(range(60)) AS b)
+            ), sums AS (
+              SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT)
+                     AS simhash
+            FROM sums GROUP BY doc_id
+        """,
+        "ann_cosine_topk": """
+            SELECT q.vec_id AS query_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                              e.vec_id ASC) AS BIGINT) AS rank,
+                   e.vec_id AS neighbor_id
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+            QUALIFY rank <= 10
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) * 10000 >= 9500
+        """,
+        "media_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                   CAST((CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END * 256
+                       + CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END)
+                       % 1024 + 16 AS BIGINT) AS width,
+                   CAST((CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END * 256
+                       + CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END)
+                       % 1024 + 16 AS BIGINT) AS height,
+                   CAST((octet_length(CAST(text AS BLOB)) + 4095) // 4096 AS BIGINT) AS n_frames
+            FROM documents
+        """,
+        # ann_lsh_topk: approximate by construction — rows-only check
+    }

@@ -1,0 +1,75 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+kernels. The real decode step (PIL/ffmpeg et al.) is STUBBED — the
+libraries are not in this container — behind ``decode_media``; the
+deterministic fake path keeps the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) real and testable.
+
+The fake "decode" derives header fields from the first bytes with pure
+integer math, so the DuckDB oracle can reproduce it via ascii()/
+octet_length() and the driver's value-hash check stays exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+FRAME_BYTES = 4096  # fake: one "frame" per 4 KiB of payload
+
+
+def decode_media(payload: bytes, *, fake: bool = True) -> dict:
+    """Stub for the real media decoder. With the real libraries:
+    PIL.Image.open / av.open over ``payload``. Here: deterministic
+    header math (fake=True) or NotImplementedError."""
+    if not fake:
+        raise NotImplementedError(
+            "real media decode requires PIL/av, not present in this container"
+        )
+    b0 = payload[0] if len(payload) > 0 else 0
+    b1 = payload[1] if len(payload) > 1 else 0
+    return {
+        "width": (b0 * 256 + b1) % 1024 + 16,
+        "height": (b1 * 256 + b0) % 1024 + 16,
+        "n_frames": (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES,
+    }
+
+
+def media_meta_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized over each Arrow batch: numpy byte math, no per-row
+    Python (the loop below is over batches, not rows)."""
+    for pdf in batches:
+        arr = pa.Array.from_pandas(pdf["payload"], type=pa.large_binary())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+        lengths = np.diff(offsets)
+        b0 = np.where(lengths > 0, data[np.minimum(offsets[:-1], max(len(data) - 1, 0))], 0).astype(np.int64)
+        b1 = np.where(lengths > 1, data[np.minimum(offsets[:-1] + 1, max(len(data) - 1, 0))], 0).astype(np.int64)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": lengths.astype(np.int64),
+                "width": (b0 * 256 + b1) % 1024 + 16,
+                "height": (b1 * 256 + b0) % 1024 + 16,
+                "n_frames": (lengths + FRAME_BYTES - 1) // FRAME_BYTES,
+            }
+        )
+
+
+def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat documents.text bytes as an opaque media payload; extract
+    typed metadata through the mapInPandas decode plumbing."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        media_meta_kernel,
+        schema="doc_id long, n_bytes long, width long, height long, n_frames long",
+    )
