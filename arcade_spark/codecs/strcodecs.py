@@ -229,20 +229,29 @@ ESCAPE = 255
 MAX_SYMBOLS = 255
 
 
-def _greedy_select(cand: np.ndarray) -> np.ndarray:
+def _greedy_select_positions(cand: np.ndarray) -> np.ndarray:
     """Greedy non-overlapping selection of 2-byte matches scanning left
     to right == within each maximal run of candidate positions, select
-    positions at even offset from the run start. Vectorized."""
-    n = len(cand)
-    if n == 0:
-        return cand
-    idx = np.arange(n, dtype=np.int64)
-    prev = np.empty(n, dtype=bool)
-    prev[0] = False
-    prev[1:] = cand[:-1]
-    starts = cand & ~prev
-    last_start = np.maximum.accumulate(np.where(starts, idx, np.int64(-1)))
-    return cand & (((idx - last_start) & 1) == 0)
+    positions at even offset from the run start. Computed sparsely over
+    the candidate positions only (m ≤ n), int32 domain."""
+    cand_pos = np.flatnonzero(cand).astype(np.int32)
+    m = len(cand_pos)
+    if m == 0:
+        return cand_pos
+    gap = np.empty(m, dtype=bool)
+    gap[0] = True
+    np.greater(np.diff(cand_pos), 1, out=gap[1:])
+    run_id = np.cumsum(gap, dtype=np.int32) - 1
+    run_start = cand_pos[gap]
+    offset = cand_pos - run_start[run_id]
+    return cand_pos[(offset & 1) == 0]
+
+
+def _greedy_select(cand: np.ndarray) -> np.ndarray:
+    """Boolean-mask wrapper around _greedy_select_positions."""
+    sel = np.zeros(len(cand), dtype=bool)
+    sel[_greedy_select_positions(cand)] = True
+    return sel
 
 
 def train_fsst(sample: np.ndarray, max_digrams: int = 192) -> tuple[np.ndarray, np.ndarray]:
@@ -286,35 +295,34 @@ def _tables(sym_lens: np.ndarray, sym_bytes: np.ndarray):
 
 
 def fsst_compress(data: np.ndarray, dig_code: np.ndarray, sing_code: np.ndarray) -> np.ndarray:
-    """Encode a uint8 byte stream against the tables. Fully vectorized."""
+    """Encode a uint8 byte stream against the tables. Fully vectorized,
+    int32/uint8 domain throughout (cache-friendly on slow cores)."""
     n = len(data)
     if n == 0:
         return data
+    is_single = sing_code[data] >= 0
     cand = np.zeros(n, dtype=bool)
     if n >= 2:
-        dig = data[:-1].astype(np.int32) * 256 + data[1:]
-        cand[:-1] = dig_code[dig] >= 0
-    sel = _greedy_select(cand)
-    covered2 = np.empty(n, dtype=bool)
-    covered2[0] = False
-    covered2[1:] = sel[:-1]
-    lit = ~sel & ~covered2
-    lit_single = lit & (sing_code[data] >= 0)
-    lit_esc = lit & ~lit_single
-    out_len = np.zeros(n, dtype=np.int64)
-    out_len[sel] = 1
-    out_len[lit_single] = 1
-    out_len[lit_esc] = 2
-    off = np.zeros(n, dtype=np.int64)
-    np.cumsum(out_len[:-1], out=off[1:])
+        dig = (data[:-1].astype(np.int32) << 8) | data[1:]
+        np.greater_equal(dig_code[dig], 0, out=cand[:-1])
+    sel_pos = _greedy_select_positions(cand)
+    covered = np.zeros(n, dtype=bool)
+    covered[sel_pos] = True
+    out_len = np.where(is_single, np.uint8(1), np.uint8(2))
+    out_len[covered] = 1  # digram code byte
+    covered[sel_pos + 1] = True  # second byte of each digram emits nothing
+    out_len[sel_pos + 1] = 0
+    off = np.empty(n, dtype=np.int32)
+    off[0] = 0
+    np.cumsum(out_len[:-1], dtype=np.int32, out=off[1:])
     total = int(off[-1] + out_len[-1])
     out = np.empty(total, dtype=np.uint8)
-    if n >= 2:
-        sel_pos = np.nonzero(sel)[0]
-        out[off[sel_pos]] = dig_code[dig[sel_pos]].astype(np.uint8)
-    ls_pos = np.nonzero(lit_single)[0]
+    out[off[sel_pos]] = dig_code[dig[sel_pos]].astype(np.uint8)
+    lit_single = ~covered & is_single
+    ls_pos = np.flatnonzero(lit_single)
     out[off[ls_pos]] = sing_code[data[ls_pos]].astype(np.uint8)
-    le_pos = np.nonzero(lit_esc)[0]
+    lit_esc = ~covered & ~is_single
+    le_pos = np.flatnonzero(lit_esc)
     out[off[le_pos]] = ESCAPE
     out[off[le_pos] + 1] = data[le_pos]
     return out
@@ -326,27 +334,28 @@ def fsst_decompress(enc: np.ndarray, sym_lens: np.ndarray, sym_bytes: np.ndarray
     n = len(enc)
     if n == 0:
         return enc
-    esc = _greedy_select(enc == ESCAPE)
-    data_pos = np.empty(n, dtype=bool)
-    data_pos[0] = False
-    data_pos[1:] = esc[:-1]
-    sym = ~esc & ~data_pos
-    lens_lut = np.zeros(256, dtype=np.int64)
+    esc_pos = _greedy_select_positions(enc == ESCAPE)
+    lens_lut = np.zeros(256, dtype=np.uint8)
     lens_lut[: len(sym_lens)] = sym_lens
-    out_len = np.zeros(n, dtype=np.int64)
-    out_len[esc] = 1
-    out_len[sym] = lens_lut[enc[sym]]
-    off = np.zeros(n, dtype=np.int64)
-    np.cumsum(out_len[:-1], out=off[1:])
+    out_len = lens_lut[enc]
+    out_len[esc_pos] = 1
+    if len(esc_pos):
+        out_len[esc_pos + 1] = 0  # escaped literal byte emits with the escape
+    nonsym = np.zeros(n, dtype=bool)
+    nonsym[esc_pos] = True
+    if len(esc_pos):
+        nonsym[esc_pos + 1] = True
+    off = np.empty(n, dtype=np.int32)
+    off[0] = 0
+    np.cumsum(out_len[:-1], dtype=np.int32, out=off[1:])
     total = int(off[-1] + out_len[-1])
     out = np.empty(total, dtype=np.uint8)
-    esc_pos = np.nonzero(esc)[0]
-    out[off[esc_pos]] = enc[esc_pos + 1]
+    out[off[esc_pos]] = enc[esc_pos + 1] if len(esc_pos) else 0
     b0 = np.zeros(256, dtype=np.uint8)
     b1 = np.zeros(256, dtype=np.uint8)
     b0[: len(sym_lens)] = sym_bytes[:, 0]
     b1[: len(sym_lens)] = sym_bytes[:, 1]
-    sym_pos = np.nonzero(sym)[0]
+    sym_pos = np.flatnonzero(~nonsym)
     out[off[sym_pos]] = b0[enc[sym_pos]]
     two = sym_pos[lens_lut[enc[sym_pos]] == 2]
     out[off[two] + 1] = b1[enc[two]]

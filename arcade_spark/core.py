@@ -20,6 +20,7 @@ from arcade_spark.blocks import IntBlock, StrBlock
 from arcade_spark.codecs.intcodecs import INT_DECODERS, INT_ENCODERS
 from arcade_spark.codecs import strcodecs as sc
 from arcade_spark.gdict import GlobalDict, GlobalDictDecoder
+from arcade_spark.postpass import maybe_post, unpost
 from arcade_spark.selector import choose_int_codec, choose_str_codec
 from arcade_spark.stats import profile_int_block, profile_str_block
 
@@ -47,9 +48,11 @@ def encode_str_block(block: StrBlock, gdict: GlobalDict) -> tuple[bytes, dict[st
     else:  # pragma: no cover
         raise ValueError(codec)
 
+    payload, post = maybe_post(payload, codec)
     blob = pack_sections(pack_validity(block.validity), payload)
     meta: dict[str, Any] = {
         "codec": codec,
+        "post": post,
         "n_values": block.n,
         "raw_bytes": block.nbytes,
         "encoded_bytes": len(blob),
@@ -76,6 +79,7 @@ def encode_str_block(block: StrBlock, gdict: GlobalDict) -> tuple[bytes, dict[st
 
 def decode_str_block(blob, meta: dict[str, Any], gdec: GlobalDictDecoder) -> StrBlock:
     validity_sec, payload = unpack_sections(blob)
+    payload = unpost(payload, meta.get("post"))
     validity = unpack_validity(validity_sec, meta["n_values"])
     codec = meta["codec"]
 
@@ -111,6 +115,7 @@ def replay_str_block(blob, meta: dict[str, Any], gdec: GlobalDictDecoder) -> Non
     codec = meta["codec"]
     if codec == "dict_global" or (codec == "dict_local" and meta.get("gdict_seed")):
         _, payload = unpack_sections(blob)
+        payload = unpost(payload, meta.get("post"))
         dict_sec = unpack_sections(payload)[0]
         gdec.append(sc._deserialize_values(dict_sec))
 
@@ -119,9 +124,11 @@ def encode_int_block(block: IntBlock) -> tuple[bytes, dict[str, Any]]:
     stats = profile_int_block(block)
     decision = choose_int_codec(stats)
     payload, cmeta = INT_ENCODERS[decision.codec](block.values)
+    payload, post = maybe_post(payload, decision.codec)
     blob = pack_sections(pack_validity(block.validity), payload)
     meta: dict[str, Any] = {
         "codec": decision.codec,
+        "post": post,
         "n_values": block.n,
         "raw_bytes": block.nbytes,
         "encoded_bytes": len(blob),
@@ -148,6 +155,7 @@ def encode_int_block(block: IntBlock) -> tuple[bytes, dict[str, Any]]:
 
 def decode_int_block(blob, meta: dict[str, Any]) -> IntBlock:
     validity_sec, payload = unpack_sections(blob)
+    payload = unpost(payload, meta.get("post"))
     validity = unpack_validity(validity_sec, meta["n_values"])
     values = INT_DECODERS[meta["codec"]](payload, meta)
     return IntBlock(values=np.asarray(values, dtype=np.int64), validity=validity)

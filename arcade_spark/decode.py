@@ -98,6 +98,7 @@ def make_decode_kernel(columns: list[tuple[str, str]], emit_meta: bool = False):
                     continue
                 meta = {
                     "codec": row.codec,
+                    "post": row.post,
                     "n_values": int(row.n_values),
                     "code_width": int(row.code_width),
                     "global_start": int(row.global_start),

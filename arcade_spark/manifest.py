@@ -35,6 +35,7 @@ BLOCKS_ARROW_SCHEMA = pa.schema(
         pa.field("column", pa.string()),
         pa.field("vtype", pa.string()),
         pa.field("codec", pa.string()),
+        pa.field("post", pa.string()),
         pa.field("n_values", pa.int32()),
         pa.field("row_start", pa.int64()),
         pa.field("raw_bytes", pa.int64()),

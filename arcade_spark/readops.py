@@ -33,6 +33,7 @@ from arcade_spark.codecs import strcodecs as sc
 from arcade_spark.codecs.intcodecs import decode_for_int
 from arcade_spark.convert import block_to_series
 from arcade_spark.core import decode_int_block, decode_str_block
+from arcade_spark.postpass import unpost
 from arcade_spark.decode import read_blocks, table_columns
 from arcade_spark.gdict import GlobalDictDecoder
 from arcade_spark.schema import spark_type_for
@@ -41,6 +42,7 @@ from arcade_spark.schema import spark_type_for
 def _meta_from_row(row) -> dict:
     return {
         "codec": row.codec,
+        "post": row.post,
         "n_values": int(row.n_values),
         "code_width": int(row.code_width),
         "global_start": int(row.global_start),
@@ -78,6 +80,7 @@ class _StrFilterState:
         """Positions of rows equal to the target value in this block;
         advances replay state either way."""
         validity_sec, payload = unpack_sections(blob)
+        payload = unpost(payload, meta.get("post"))
         codec = meta["codec"]
         if meta.get("gdict_reset"):
             self.gdec.reset()
@@ -133,6 +136,7 @@ class _StrFilterState:
         codec = meta["codec"]
         if codec == "dict_global" or (codec == "dict_local" and meta.get("gdict_seed")):
             _, payload = unpack_sections(blob)
+            payload = unpost(payload, meta.get("post"))
             dict_sec = unpack_sections(payload)[0]
             self._absorb_segment(sc._deserialize_values(dict_sec))
 

@@ -17,6 +17,7 @@ BLOCKS_SPARK_SCHEMA = T.StructType(
         T.StructField("column", T.StringType(), False),
         T.StructField("vtype", T.StringType(), False),  # str|binary|int|ts|double
         T.StructField("codec", T.StringType(), False),
+        T.StructField("post", T.StringType(), True),
         T.StructField("n_values", T.IntegerType(), False),
         T.StructField("row_start", T.LongType(), False),  # first row id within part
         T.StructField("raw_bytes", T.LongType(), False),

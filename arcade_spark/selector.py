@@ -35,6 +35,7 @@ from arcade_spark import DICT_MEMORY_CAP, NOVELTY_RATIO, PLAIN_DISTINCT_RATIO
 from arcade_spark.bits import bit_width
 from arcade_spark.blocks import IntBlock, StrBlock
 from arcade_spark.codecs.strcodecs import estimate_fsst_bytes
+from arcade_spark.postpass import zstd_sample_ratio
 from arcade_spark.gdict import GlobalDict
 from arcade_spark.stats import IntStats, StrStats
 
@@ -61,6 +62,12 @@ def choose_str_codec(stats: StrStats, gdict: GlobalDict, block: StrBlock) -> Str
     uniq_bytes = sum(len(v) for v in stats.fact.uniques)
     est: dict[str, int] = {}
     est["plain"] = _values_payload_estimate(stats.payload_bytes, n)
+    zr = zstd_sample_ratio(block.payload)
+    if zr < 1.0:
+        est["plain"] = min(
+            est["plain"],
+            int(stats.payload_bytes * zr) + 2 * n + _SECTION_OVERHEAD,
+        )
 
     fsst_est = estimate_fsst_bytes(block)
     est["fsst"] = fsst_est + _SECTION_OVERHEAD

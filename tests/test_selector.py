@@ -60,11 +60,22 @@ def test_ratio_below_080_allows_dict():
     assert d.codec in ("dict_local", "dict_global", "rle_str", "fsst")
 
 
-def test_unique_urls_pick_fsst():
+def test_unique_urls_pick_compressive_codec():
+    # large unique-url block: plain(+zstd post) or fsst, whichever the
+    # size estimates favor — never a dictionary codec (ratio > 0.80)
     vals = [f"https://docs.example.com/articles/topic/{i}/view?session=abc".encode()
             for i in range(4096)]
     d, *_ = decide(vals)
-    assert d.codec == "fsst"
+    assert d.codec in ("fsst", "plain")
+    assert d.estimates[d.codec] == min(d.estimates["fsst"], d.estimates["plain"])
+
+
+def test_small_unique_urls_pick_fsst():
+    # below the post-pass sample threshold the FSST estimate wins on
+    # redundant-but-unique strings
+    vals = [f"https://ex.com/a/{i}".encode() for i in range(150)]
+    d, *_ = decide(vals)
+    assert d.codec == "fsst", d.estimates
 
 
 def test_sorted_low_card_picks_rle():
@@ -96,7 +107,7 @@ def test_novelty_ratio_forces_local():
     gdict.append([b"old-1", b"old-2"])
     vals = [f"new-{i % 500}".encode() for i in range(4096)]  # 100% novel
     d, *_ = decide(vals, gdict)
-    assert d.codec in ("dict_local", "rle_str", "fsst")
+    assert d.codec != "dict_global"  # novelty rule bans growing the global dict
     if d.codec == "dict_local":
         assert d.reset_before and d.seed_gdict
 
@@ -124,13 +135,15 @@ def test_selected_codec_is_smallest_actual():
         "runs": sorted(f"l{i % 6}".encode() for i in range(4096)),
         "urls": [f"https://example.com/p/{i}".encode() for i in range(4096)],
     }
+    from arcade_spark.postpass import maybe_post
+
     for name, vals in cases.items():
         d, gdict, blk, stats = decide(vals)
         actual = {}
-        actual["plain"] = len(sc.encode_plain(blk)[0])
+        actual["plain"] = len(maybe_post(sc.encode_plain(blk)[0], "plain")[0])
         actual["dict_local"] = len(sc.encode_dict_local(blk, stats.fact)[0])
         actual["rle_str"] = len(sc.encode_rle_str(blk, stats.fact)[0])
-        actual["fsst"] = len(sc.encode_fsst(blk)[0])
+        actual["fsst"] = len(maybe_post(sc.encode_fsst(blk)[0], "fsst")[0])
         best = min(actual.values())
         chosen = actual.get(d.codec)
         assert chosen is not None, f"{name}: chose {d.codec}"
