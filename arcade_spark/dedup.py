@@ -101,14 +101,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = hashes.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(MINHASH_N)]
-    )
+    ).cache()  # reused by every band path below — without this the
+    # 128-column aggregation recomputes once per downstream branch
     band_cols = [
         F.xxhash64(F.lit(band), *[F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias(
             f"b{band}"
         )
         for band in range(LSH_BANDS)
     ]
-    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_hash"))
+    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_hash")).cache()
     bucket_sizes = banded.groupBy("band_hash").agg(F.count("*").alias("bsz"))
     banded = banded.join(
         F.broadcast(bucket_sizes.filter(F.col("bsz").between(2, MAX_BUCKET))), "band_hash"
@@ -120,6 +121,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
+        .cache()
     )
     # exact verification of the candidate set
     counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -1,0 +1,116 @@
+"""Benchmark harness (driver contract): runs the headline operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "encode_gbps": ..., "compression_ratio": ...}
+
+The headline is the corpus encode: a deterministic Common-Crawl-style
+corpus sized to the scale factor is synthesized (cached), encoded with
+the adaptive engine, and the manifest's byte totals give GB/s +
+compression ratio. Scaling-efficiency evidence (local[8] vs local[32])
+is produced by tools/bench_scaling.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+
+def run_bench(sf_dir: str, cpus: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from arcade_spark.corpus import write_corpus
+    from arcade_spark.decode import scan
+    from arcade_spark.encode import encode_job
+    from arcade_spark.readops import equi_filter, filter_count, random_access
+    from arcade_spark.session import get_spark
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    corpus_rows = max(int(2_000_000 * sf_num), 5000)
+
+    spark = get_spark(app="arcade-bench", cores=cpus)
+    n_cores = int(cpus) if str(cpus).isdigit() else os.cpu_count() or 8
+
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"arcade_bench_corpus_{corpus_rows}.parquet"
+    )
+    write_corpus(corpus_path, corpus_rows)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    enc_dir = os.path.join(tempfile.gettempdir(), f"arcade_bench_enc_{uuid.uuid4().hex[:8]}")
+    try:
+        src = spark.read.parquet(corpus_path)
+        with timed("encode_corpus"):
+            m = encode_job(spark, src, enc_dir, num_parts=2 * n_cores, resume=False)
+        extras["encode_gbps"] = round(m["raw_bytes"] / timings["encode_corpus"] / 1e9, 4)
+        extras["compression_ratio"] = round(m["ratio"], 4)
+        extras["corpus_raw_mb"] = round(m["raw_bytes"] / 1e6, 1)
+
+        with timed("scan_decode"):
+            scan(spark, enc_dir).count()
+        with timed("filter_lang"):
+            equi_filter(spark, enc_dir, "lang", "el", project=["url"]).count()
+        with timed("filter_count_zoneskip"):
+            filter_count(spark, enc_dir, "url", "zzz-none").collect()
+        with timed("random_access"):
+            random_access(spark, enc_dir, list(range(0, corpus_rows, corpus_rows // 500))).count()
+    finally:
+        shutil.rmtree(enc_dir, ignore_errors=True)
+
+    from arcade_spark.dedup import dedup_minhash_lsh
+    from arcade_spark.simsearch import ann_cosine_topk
+    from arcade_spark.textops import token_stats
+
+    with timed("dedup_minhash_lsh"):
+        dedup_minhash_lsh(spark, sf_dir).count()
+    with timed("ann_cosine_topk"):
+        ann_cosine_topk(spark, sf_dir).count()
+    with timed("token_stats"):
+        token_stats(spark, sf_dir).count()
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "arcade_spark encode+read bench (corpus encode GB/s headline)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "cpus": n_cores,
+        **extras,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,112 @@
+"""Two-parallelism scaling bench (the north rule's N vs 4N executors,
+proxied in-sandbox by local[8] vs local[32] per BASELINE.md): encode the
+same deterministic corpus at both levels, report GB/s each and the
+scaling efficiency throughput(4N) / (4 × throughput(N)), and write
+BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [corpus_rows] [n_small] [n_large]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def encode_once(cores: int, corpus_path: str, num_parts: int) -> dict:
+    from arcade_spark.encode import encode_job
+    from arcade_spark.session import get_spark
+
+    spark = get_spark(app=f"scaling-{cores}", cores=cores)
+    out = os.path.join(tempfile.gettempdir(), f"arcade_scaling_{uuid.uuid4().hex[:8]}")
+    try:
+        src = spark.read.parquet(corpus_path)
+        # warm the JVM + python workers with a tiny job first so the
+        # measured run is steady-state
+        src.limit(1000).count()
+        t0 = time.time()
+        m = encode_job(spark, src, out, num_parts=num_parts, resume=False)
+        wall = time.time() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+    return {
+        "cores": cores,
+        "wall_seconds": round(wall, 2),
+        "raw_bytes": m["raw_bytes"],
+        "encoded_bytes": m["encoded_bytes"],
+        "ratio": round(m["ratio"], 4),
+        "gbps": round(m["raw_bytes"] / wall / 1e9, 4),
+        "kernel_seconds": round(m["kernel_seconds"], 2),
+    }
+
+
+def main() -> None:
+    from arcade_spark.corpus import write_corpus
+
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    num_parts = 2 * n_large
+
+    corpus_path = os.path.join(tempfile.gettempdir(), f"arcade_bench_corpus_{rows}.parquet")
+    print(f"synthesizing corpus rows={rows} ...", flush=True)
+    write_corpus(corpus_path, rows)
+
+    small = encode_once(n_small, corpus_path, num_parts)
+    print("small:", json.dumps(small), flush=True)
+    large = encode_once(n_large, corpus_path, num_parts)
+    print("large:", json.dumps(large), flush=True)
+
+    factor = n_large / n_small
+    eff = large["gbps"] / (factor * small["gbps"])
+    result = {
+        "corpus_rows": rows,
+        "num_parts": num_parts,
+        "small": small,
+        "large": large,
+        "parallelism_factor": factor,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result), flush=True)
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH baseline — measured results
+
+## Encode throughput & scaling efficiency (north rule)
+
+Same job, same input ({rows:,} corpus rows, {small['raw_bytes']/1e6:.0f} MB raw,
+{num_parts} encode partitions), two parallelism levels — the sandbox
+proxy for N vs 4N executors per BASELINE.md.
+
+| parallelism | wall (s) | encode GB/s | compression ratio |
+|---|---|---|---|
+| local[{n_small}] (N) | {small['wall_seconds']} | {small['gbps']} | {small['ratio']} |
+| local[{n_large}] (4N) | {large['wall_seconds']} | {large['gbps']} | {large['ratio']} |
+
+**Scaling efficiency** = throughput(4N) / (4 × throughput(N)) =
+**{eff:.3f}** (target ≥ 0.8).
+
+Compression: encoded/raw = {large['ratio']} on the mixed corpus
+(url/warc_ts/html/text/lang). Per-column codec selection is recorded in
+the manifest (`codec_counts`).
+
+Reference comparison: the reference publishes no numbers (BASELINE.md);
+its format-math size model bound is checked in
+tests/test_size_bound.py. Raw JSON: BENCH/scaling.json.
+""")
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
