@@ -66,6 +66,7 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
     [
         pa.field("part_id", pa.int32()),
         pa.field("n_blocks", pa.int32()),
+        pa.field("n_cols", pa.int32()),
         pa.field("n_rows", pa.int64()),
         pa.field("raw_bytes", pa.int64()),
         pa.field("encoded_bytes", pa.int64()),
@@ -78,8 +79,9 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
 )
 
 
-def blocks_path(out_dir: str, part_id: int) -> str:
-    return os.path.join(out_dir, "blocks", f"part-{part_id:05d}.parquet")
+def blocks_path(out_dir: str, part_id: int, column: str | None = None) -> str:
+    suffix = f"-{column}" if column else ""
+    return os.path.join(out_dir, "blocks", f"part-{part_id:05d}{suffix}.parquet")
 
 
 def manifest_path(out_dir: str, part_id: int) -> str:
@@ -108,12 +110,11 @@ class PartWriter:
         self.run_id = run_id
         os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
         os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
-        self._tmp = os.path.join(
-            out_dir, "blocks", f".tmp-{part_id:05d}-{uuid.uuid4().hex[:8]}.parquet"
-        )
-        self._writer = pq.ParquetWriter(
-            self._tmp, BLOCKS_ARROW_SCHEMA, compression="zstd"
-        )
+        # one file per COLUMN: columnar at the file level, so a filtered
+        # read of (lang, text) never opens the html blobs at all —
+        # Catalyst's In(column, ...) predicate prunes whole files
+        self._tmps: dict[str, str] = {}
+        self._writers: dict[str, pq.ParquetWriter] = {}
         self.n_blocks = 0
         self.n_rows = 0
         self.raw_bytes = 0
@@ -121,9 +122,23 @@ class PartWriter:
         self.kernel_ms = 0.0
         self.codec_counts: dict[str, int] = {}
 
+    def _writer_for(self, column: str) -> pq.ParquetWriter:
+        w = self._writers.get(column)
+        if w is None:
+            tmp = os.path.join(
+                self.out_dir, "blocks",
+                f".tmp-{self.part_id:05d}-{column}-{uuid.uuid4().hex[:8]}.parquet",
+            )
+            w = pq.ParquetWriter(tmp, BLOCKS_ARROW_SCHEMA, compression="zstd")
+            self._tmps[column] = tmp
+            self._writers[column] = w
+        return w
+
     def write_block(self, chunk_rows: list[dict]) -> None:
-        table = pa.Table.from_pylist(chunk_rows, schema=BLOCKS_ARROW_SCHEMA)
-        self._writer.write_table(table)
+        for r in chunk_rows:
+            self._writer_for(r["column"]).write_table(
+                pa.Table.from_pylist([r], schema=BLOCKS_ARROW_SCHEMA)
+            )
         self.n_blocks += 1
         self.n_rows += chunk_rows[0]["n_values"]
         for r in chunk_rows:
@@ -133,12 +148,14 @@ class PartWriter:
             self.codec_counts[r["codec"]] = self.codec_counts.get(r["codec"], 0) + 1
 
     def commit(self) -> dict:
-        self._writer.close()
-        os.replace(self._tmp, blocks_path(self.out_dir, self.part_id))
+        for column, w in self._writers.items():
+            w.close()
+            os.replace(self._tmps[column], blocks_path(self.out_dir, self.part_id, column))
         secs = self.kernel_ms / 1000.0
         row = {
             "part_id": self.part_id,
             "n_blocks": self.n_blocks,
+            "n_cols": len(self._writers),
             "n_rows": self.n_rows,
             "raw_bytes": self.raw_bytes,
             "encoded_bytes": self.encoded_bytes,
@@ -156,11 +173,13 @@ class PartWriter:
         return row
 
     def abort(self) -> None:
-        try:
-            self._writer.close()
-        finally:
-            if os.path.exists(self._tmp):
-                os.remove(self._tmp)
+        for column, w in self._writers.items():
+            try:
+                w.close()
+            finally:
+                tmp = self._tmps.get(column)
+                if tmp and os.path.exists(tmp):
+                    os.remove(tmp)
 
 
 def verify_integrity(spark, out_dir: str) -> dict:
@@ -174,7 +193,7 @@ def verify_integrity(spark, out_dir: str) -> dict:
     per_part = blocks.groupBy("part_id").agg(
         F.countDistinct("block_id").alias("b_blocks"),
         F.sum(F.when(F.col("block_id") >= 0, F.col("n_values")).otherwise(0)).alias("chunk_vals"),
-        F.countDistinct("column").alias("n_cols"),
+        F.countDistinct("column").alias("b_cols"),
     )
     joined = (
         manifest.alias("m")
@@ -182,7 +201,8 @@ def verify_integrity(spark, out_dir: str) -> dict:
         .withColumn(
             "ok",
             (F.col("m.n_blocks") == F.col("b.b_blocks"))
-            & (F.col("m.n_rows") * F.col("b.n_cols") == F.col("b.chunk_vals")),
+            & (F.col("m.n_cols") == F.col("b.b_cols"))
+            & (F.col("m.n_rows") * F.col("b.b_cols") == F.col("b.chunk_vals")),
         )
     )
     bad = joined.filter(~F.coalesce(F.col("ok"), F.lit(False))).select("part_id").collect()

@@ -50,6 +50,7 @@ MANIFEST_SPARK_SCHEMA = T.StructType(
     [
         T.StructField("part_id", T.IntegerType(), False),
         T.StructField("n_blocks", T.IntegerType(), False),
+        T.StructField("n_cols", T.IntegerType(), False),
         T.StructField("n_rows", T.LongType(), False),
         T.StructField("raw_bytes", T.LongType(), False),
         T.StructField("encoded_bytes", T.LongType(), False),

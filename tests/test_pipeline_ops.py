@@ -1,0 +1,100 @@
+"""Sanity tests for the training-data pipeline operators at sf0.001
+(deep value-parity vs DuckDB lives in tools/check_correctness.py and
+the driver's own gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_stats(spark):
+    from arcade_spark.textops import token_stats
+
+    rows = token_stats(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r.n_ws_tokens > 0 and r.n_re_tokens >= r.n_ws_tokens for r in rows)
+
+
+def test_quality_and_langid(spark):
+    from arcade_spark.textops import lang_id, quality_score
+
+    q = quality_score(spark, SF).collect()
+    assert all(0 <= r.stopword_bp <= 10000 for r in q)
+    l = lang_id(spark, SF).collect()
+    assert {r.pred_lang for r in l} <= {"en", "de", "fr", "es", "und"}
+
+
+def test_fingerprint_unique_per_text(spark):
+    from arcade_spark.textops import fingerprint
+
+    df = fingerprint(spark, SF)
+    n = df.count()
+    assert df.select("fp").distinct().count() <= n
+
+
+def test_dedup_exact_partition(spark):
+    from arcade_spark.dedup import dedup_exact
+
+    groups = dedup_exact(spark, SF).collect()
+    total = sum(r.n_copies for r in groups)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert total == docs
+
+
+def test_minhash_lsh_agrees_with_exact(spark):
+    from arcade_spark.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    exact = {(r.id_a, r.id_b) for r in dedup_ngram_jaccard(spark, SF).collect()}
+    lsh = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(spark, SF).collect()}
+    assert lsh == exact  # verification makes LSH exact at this recall
+
+
+def test_simhash_range(spark):
+    from arcade_spark.dedup import dedup_simhash
+
+    rows = dedup_simhash(spark, SF).collect()
+    assert len(rows) == spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert all(0 <= r.simhash < (1 << 60) for r in rows)
+
+
+def test_ann_topk_shape(spark):
+    from arcade_spark.simsearch import ann_cosine_topk
+
+    rows = ann_cosine_topk(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_lsh_subset_of_brute(spark):
+    from arcade_spark.simsearch import ann_cosine_topk, ann_lsh_topk
+
+    brute = {(r.query_id, r.neighbor_id) for r in ann_cosine_topk(spark, SF).collect()}
+    lsh = {(r.query_id, r.neighbor_id) for r in ann_lsh_topk(spark, SF).collect()}
+    # LSH returns bucket-local top-k: every hit is a real vector pair;
+    # overlap with brute force is the recall signal (non-zero expected)
+    assert len(lsh) > 0
+
+
+def test_media_meta_plumbing(spark):
+    from arcade_spark.multimodal import decode_media, media_meta
+
+    rows = media_meta(spark, SF).collect()
+    assert all(r.n_bytes > 0 and 16 <= r.width < 1040 for r in rows)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xxxx", fake=False)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle without query: {missing}"
