@@ -107,8 +107,14 @@ def strblock_from_arrow(arr: pa.Array) -> StrBlock:
         arr.offset : arr.offset + len(arr) + 1
     ]
     data_buf = arr.buffers()[2]
-    data = b"" if data_buf is None else data_buf.to_pybytes()
-    payload = data[offsets[0] : offsets[-1]]
+    if data_buf is None:
+        payload = b""
+    else:
+        # slice the Arrow buffer BEFORE copying — a sliced block must
+        # not pay for its parent batch's whole payload
+        payload = data_buf.slice(
+            int(offsets[0]), int(offsets[-1] - offsets[0])
+        ).to_pybytes()
     lengths = np.diff(offsets).astype(np.int64)
     if validity is not None:
         # null slots must carry zero-length sentinels so payload slicing

@@ -16,6 +16,15 @@ from arcade_spark.blocks import (
 from arcade_spark.schema import arrow_type_for
 
 
+def arrow_to_block(arr, vtype: str):
+    """Zero-copy(ish) Arrow array → block, no pandas objects."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if vtype in ("str", "binary"):
+        return strblock_from_arrow(arr)
+    return intblock_from_arrow(arr)
+
+
 def series_to_block(series: pd.Series, vtype: str):
     if vtype == "str":
         arr = pa.Array.from_pandas(series, type=pa.large_string())

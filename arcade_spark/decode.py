@@ -20,14 +20,26 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from arcade_spark.convert import block_to_series
+from arcade_spark.convert import block_to_arrow
 from arcade_spark.core import decode_int_block, decode_str_block
 from arcade_spark.gdict import GlobalDictDecoder
 from arcade_spark.schema import spark_type_for
+
+
+def _out_arrow_type(vtype: str) -> pa.DataType:
+    return {
+        "str": pa.string(),
+        "binary": pa.binary(),
+        "ts": pa.timestamp("us", tz="UTC"),
+        "tsntz": pa.timestamp("us"),
+        "int": pa.int64(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+    }[vtype]
 
 META_COLS = [
     "part_id", "block_id", "column", "vtype", "codec", "n_values", "row_start",
@@ -61,59 +73,70 @@ def table_columns(spark: SparkSession, out_dir: str) -> list[tuple[str, str]]:
 
 
 def make_decode_kernel(columns: list[tuple[str, str]], emit_meta: bool = False):
-    """Decode blocks into original rows. Expects chunks sorted by
-    (part_id, block_id, column); all selected columns present per block."""
+    """Decode blocks into original rows (Arrow-native). Expects chunks
+    sorted by (part_id, block_id, column); all selected columns present
+    per block. Yields one RecordBatch per decoded block — the paging
+    model of the reference's coroutine scan (generator.h:44-60)."""
     want = {name for name, _ in columns}
-    vtypes = dict(columns)
+    meta_fields = (
+        [pa.field("part_id", pa.int32()), pa.field("block_id", pa.int32()),
+         pa.field("pos", pa.int64())] if emit_meta else []
+    )
+    out_schema = pa.schema(
+        meta_fields + [pa.field(n, _out_arrow_type(v)) for n, v in columns]
+    )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches) -> Iterator[pa.RecordBatch]:
         gdecs: dict[tuple[int, str], GlobalDictDecoder] = {}
         pending: dict[tuple[int, int], dict[str, tuple]] = {}
 
-        def decode_ready() -> Iterator[pd.DataFrame]:
-            done = [k for k, chunks in pending.items() if set(chunks) >= want]
-            for key in sorted(done):
-                part_id, block_id = key
-                chunks = pending.pop(key)
-                data = {}
-                for name, vt in columns:
-                    blob, meta = chunks[name]
-                    if vt in ("str", "binary"):
-                        gdec = gdecs.setdefault((part_id, name), GlobalDictDecoder())
-                        block = decode_str_block(blob, meta, gdec)
-                    else:
-                        block = decode_int_block(blob, meta)
-                    data[name] = block_to_series(block, vt)
-                out = pd.DataFrame(data)
-                if emit_meta:
-                    out.insert(0, "part_id", part_id)
-                    out.insert(1, "block_id", block_id)
-                    out.insert(2, "pos", range(len(out)))
-                yield out
+        def decode_block(part_id: int, block_id: int, chunks) -> pa.RecordBatch:
+            arrays = []
+            n = None
+            for name, vt in columns:
+                blob, meta = chunks[name]
+                if vt in ("str", "binary"):
+                    gdec = gdecs.setdefault((part_id, name), GlobalDictDecoder())
+                    block = decode_str_block(blob, meta, gdec)
+                else:
+                    block = decode_int_block(blob, meta)
+                arr = block_to_arrow(block, vt).cast(_out_arrow_type(vt))
+                arrays.append(arr)
+                n = len(arr)
+            if emit_meta:
+                import numpy as np
 
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                name = row.column
+                arrays = [
+                    pa.array(np.full(n, part_id, dtype=np.int32)),
+                    pa.array(np.full(n, block_id, dtype=np.int32)),
+                    pa.array(np.arange(n, dtype=np.int64)),
+                ] + arrays
+            return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+        def drain_ready() -> Iterator[pa.RecordBatch]:
+            done = sorted(k for k, chunks in pending.items() if set(chunks) >= want)
+            for key in done:
+                yield decode_block(key[0], key[1], pending.pop(key))
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                name = row["column"]
                 if name not in want:
                     continue
                 meta = {
-                    "codec": row.codec,
-                    "post": row.post,
-                    "n_values": int(row.n_values),
-                    "code_width": int(row.code_width),
-                    "global_start": int(row.global_start),
-                    "gdict_reset": bool(row.gdict_reset),
-                    "gdict_seed": bool(row.gdict_seed),
+                    "codec": row["codec"],
+                    "post": row["post"],
+                    "n_values": int(row["n_values"]),
+                    "code_width": int(row["code_width"]),
+                    "global_start": int(row["global_start"]),
+                    "gdict_reset": bool(row["gdict_reset"]),
+                    "gdict_seed": bool(row["gdict_seed"]),
                 }
-                pending.setdefault((int(row.part_id), int(row.block_id)), {})[name] = (
-                    row.blob,
-                    meta,
-                )
-                # decode in arrival order: chunks are sorted, so a block is
-                # complete as soon as its last column arrives
-                if len(pending) and set(pending[(int(row.part_id), int(row.block_id))]) >= want:
-                    yield from decode_ready()
-        yield from decode_ready()
+                key = (int(row["part_id"]), int(row["block_id"]))
+                pending.setdefault(key, {})[name] = (row["blob"], meta)
+                if set(pending[key]) >= want:
+                    yield from drain_ready()
+        yield from drain_ready()
 
     return kernel
 
@@ -150,5 +173,5 @@ def scan(
     return (
         blocks.repartition(max(n_parts, 1), F.col("part_id"))
         .sortWithinPartitions("part_id", "block_id", "column")
-        .mapInPandas(kernel, schema=schema)
+        .mapInArrow(kernel, schema=schema)
     )

@@ -8,7 +8,7 @@ Plan shape:
       → part_id = pmod(xxhash64(host, salt), P)     [explicit skew salting]
       → repartition(P, part_id)                     [the one shuffle]
       → sortWithinPartitions(part_id, order_key)    [deterministic blocks]
-      → mapInPandas(encode_kernel)                  [Arrow-batched, no per-row Python]
+      → mapInArrow(encode_kernel)                   [Arrow-native, zero-copy block slicing]
           kernel streams each partition's chunk rows to
           blocks/part-NNNNN.parquet and commits a manifest marker
           (manifest.py) — per-partition checkpoint, resumable mid-run
@@ -37,16 +37,13 @@ from __future__ import annotations
 
 import time
 import uuid
-from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from arcade_spark import BLOCK_ROWS
 from arcade_spark.blocks import StrBlock
-from arcade_spark.convert import series_to_block
 from arcade_spark.core import encode_int_block, encode_str_block
 from arcade_spark.gdict import GlobalDict
 from arcade_spark.manifest import MANIFEST_ARROW_SCHEMA, PartWriter, completed_parts
@@ -83,28 +80,36 @@ def make_encode_kernel(
     run_id: str,
     block_rows: int = BLOCK_ROWS,
 ):
-    """Build the mapInPandas kernel closure. ``columns`` is
+    """Build the mapInArrow kernel closure. ``columns`` is
     [(name, vtype)] in output order. State per task: one GlobalDict per
     (part_id, string column) — the reference's per-file running
     dictionary scope (writer.cpp:167-253) mapped to per-partition.
-    Yields one manifest row per completed partition."""
+    Arrow-native end-to-end: batches are sliced zero-copy into blocks,
+    no pandas objects are ever materialized. Yields one manifest row
+    per completed partition."""
+    import pyarrow as pa
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from arcade_spark.convert import arrow_to_block
+    from arcade_spark.manifest import MANIFEST_ARROW_SCHEMA
+
+    col_names = [name for name, _ in columns]
+
+    def kernel(batches):
         cur_part: int | None = None
         writer: PartWriter | None = None
-        buffer: list[pd.DataFrame] = []
+        buffer: list[pa.Table] = []
         buffered = 0
         gdicts: dict[str, GlobalDict] = {}
         block_id = 0
         row_start = 0
 
-        def encode_block(pdf: pd.DataFrame) -> None:
+        def encode_block(table: pa.Table) -> None:
             nonlocal block_id, row_start
             chunk_rows = []
-            n = len(pdf)
+            n = table.num_rows
             for name, vtype in columns:
                 t0 = time.monotonic()
-                block = series_to_block(pdf[name], vtype)
+                block = arrow_to_block(table.column(name), vtype)
                 if isinstance(block, StrBlock):
                     gd = gdicts.setdefault(name, GlobalDict())
                     blob, meta = encode_str_block(block, gd)
@@ -125,48 +130,47 @@ def make_encode_kernel(
             row_start += n
 
         def drain(final: bool) -> None:
-            """Encode full blocks from the buffer (all remaining rows
-            when final)."""
             nonlocal buffer, buffered
             if buffered == 0:
                 return
-            head = pd.concat(buffer, ignore_index=True) if len(buffer) > 1 else buffer[0]
-            limit = len(head) if final else (len(head) // block_rows) * block_rows
-            for s in range(0, limit, block_rows):
-                encode_block(head.iloc[s : s + block_rows].reset_index(drop=True))
-            rest = head.iloc[limit:]
-            buffer = [rest] if len(rest) else []
-            buffered = len(rest)
+            head = pa.concat_tables(buffer) if len(buffer) > 1 else buffer[0]
+            limit = head.num_rows if final else (head.num_rows // block_rows) * block_rows
+            for start in range(0, limit, block_rows):
+                encode_block(head.slice(start, min(block_rows, limit - start)))
+            rest = head.slice(limit)
+            buffer = [rest] if rest.num_rows else []
+            buffered = rest.num_rows
 
-        def finish_part() -> Iterator[pd.DataFrame]:
+        def finish_part():
             nonlocal writer, gdicts, block_id, row_start
             drain(final=True)
             if writer is not None:
                 row = writer.commit()
-                yield pd.DataFrame([row])
+                yield pa.RecordBatch.from_pylist([row], schema=MANIFEST_ARROW_SCHEMA)
             writer = None
             gdicts = {}
             block_id = 0
             row_start = 0
 
         try:
-            for pdf in batches:
-                if len(pdf) == 0:
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                parts = pdf[_PART_COL].to_numpy()
+                parts = batch.column(_PART_COL).to_numpy()
+                table = pa.Table.from_batches([batch]).select(col_names)
                 bounds = np.nonzero(parts[1:] != parts[:-1])[0] + 1
-                seg_starts = np.concatenate([[0], bounds])
-                seg_ends = np.concatenate([bounds, [len(pdf)]])
-                for s, e in zip(seg_starts, seg_ends):
-                    pid = int(parts[s])
+                seg_starts = np.concatenate([[0], bounds]).astype(np.int64)
+                seg_ends = np.concatenate([bounds, [len(parts)]]).astype(np.int64)
+                for s0, e0 in zip(seg_starts, seg_ends):
+                    pid = int(parts[s0])
                     if cur_part is not None and pid != cur_part:
                         yield from finish_part()
                     if writer is None:
                         cur_part = pid
                         writer = PartWriter(out_dir, pid, run_id)
                     cur_part = pid
-                    buffer.append(pdf.iloc[s:e])
-                    buffered += e - s
+                    buffer.append(table.slice(int(s0), int(e0 - s0)))
+                    buffered += int(e0 - s0)
                     if buffered >= block_rows:
                         drain(final=False)
             yield from finish_part()
@@ -204,7 +208,7 @@ def encode_job(
     new_rows = (
         df.repartition(num_parts, F.col(_PART_COL))
         .sortWithinPartitions(_PART_COL, order_col)
-        .mapInPandas(kernel, schema=MANIFEST_DDL)
+        .mapInArrow(kernel, schema=MANIFEST_DDL)
         .collect()
     )
     wall_seconds = time.time() - t0

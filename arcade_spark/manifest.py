@@ -129,7 +129,9 @@ class PartWriter:
                 self.out_dir, "blocks",
                 f".tmp-{self.part_id:05d}-{column}-{uuid.uuid4().hex[:8]}.parquet",
             )
-            w = pq.ParquetWriter(tmp, BLOCKS_ARROW_SCHEMA, compression="zstd")
+            # blobs are already codec-compressed — parquet must not
+            # re-compress them (wasted CPU both ways)
+            w = pq.ParquetWriter(tmp, BLOCKS_ARROW_SCHEMA, compression={"blob": "none"})
             self._tmps[column] = tmp
             self._writers[column] = w
         return w

@@ -11,25 +11,30 @@ import struct
 
 import pyarrow as pa
 
-_ZSTD = pa.Codec("zstd", compression_level=1)
+_CODECS = {
+    "zstd": pa.Codec("zstd", compression_level=1),
+    "snappy": pa.Codec("snappy"),  # the reference's choice (writer.cpp:182-187)
+    "lz4": pa.Codec("lz4"),
+}
 POST_MIN_BYTES = 4096
 POST_MIN_GAIN = 0.90
 _POSTABLE = {"plain", "fsst", "plain_int"}
+_ZSTD = _CODECS["zstd"]
 
 
-def maybe_post(payload: bytes, codec: str) -> tuple[bytes, str]:
-    if codec in _POSTABLE and len(payload) >= POST_MIN_BYTES:
-        comp = _ZSTD.compress(payload, asbytes=True)
+def maybe_post(payload: bytes, codec: str, post_codec: str = "zstd") -> tuple[bytes, str]:
+    if post_codec and codec in _POSTABLE and len(payload) >= POST_MIN_BYTES:
+        comp = _CODECS[post_codec].compress(payload, asbytes=True)
         if len(comp) < len(payload) * POST_MIN_GAIN:
-            return struct.pack("<I", len(payload)) + comp, "zstd"
+            return struct.pack("<I", len(payload)) + comp, post_codec
     return payload, ""
 
 
 def unpost(payload, post: str | None):
-    if post == "zstd":
+    if post:
         mv = memoryview(payload)
         (orig,) = struct.unpack_from("<I", mv, 0)
-        return _ZSTD.decompress(bytes(mv[4:]), orig, asbytes=True)
+        return _CODECS[post].decompress(bytes(mv[4:]), orig, asbytes=True)
     return payload
 
 

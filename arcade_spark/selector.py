@@ -59,7 +59,6 @@ def _values_payload_estimate(values_total_bytes: int, count: int) -> int:
 
 def choose_str_codec(stats: StrStats, gdict: GlobalDict, block: StrBlock) -> StrDecision:
     n, u = stats.n, stats.n_distinct
-    uniq_bytes = sum(len(v) for v in stats.fact.uniques)
     est: dict[str, int] = {}
     est["plain"] = _values_payload_estimate(stats.payload_bytes, n)
     zr = zstd_sample_ratio(block.payload)
@@ -73,13 +72,14 @@ def choose_str_codec(stats: StrStats, gdict: GlobalDict, block: StrBlock) -> Str
     est["fsst"] = fsst_est + _SECTION_OVERHEAD
 
     # --- layer 1: ARCADE plain rule -------------------------------
-    if n == 0 or stats.distinct_ratio > PLAIN_DISTINCT_RATIO:
+    if n == 0 or stats.fact is None or stats.distinct_ratio > PLAIN_DISTINCT_RATIO:
         codec = "fsst" if est["fsst"] < est["plain"] else "plain"
         return StrDecision(
             codec=codec, reset_before=True, seed_gdict=False, diff=None, estimates=est
         )
 
     # --- layer 2: global vs local dictionary ----------------------
+    uniq_bytes = sum(len(v) for v in stats.fact.uniques)
     w_local = bit_width(u - 1) if u > 1 else 0
     local_bytes = _values_payload_estimate(uniq_bytes, u) + (n * w_local + 7) // 8
     est["dict_local"] = local_bytes

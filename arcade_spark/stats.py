@@ -9,17 +9,19 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow.compute as pc
 
 from arcade_spark.blocks import IntBlock, StrBlock
 from arcade_spark.codecs.strcodecs import StrFactor, factorize_block
 
 ZONE_MAX_LEN = 128
+SAMPLE_ROWS = 4096
 
 
 @dataclass
 class StrStats:
     n: int
-    n_distinct: int
+    n_distinct: int  # exact when fact is present, sample-scaled otherwise
     payload_bytes: int
     n_runs: int
     min_val: bytes
@@ -27,7 +29,7 @@ class StrStats:
     min_exact: bool
     max_exact: bool
     entropy: float  # byte entropy (bits/byte) of a payload sample
-    fact: StrFactor
+    fact: StrFactor | None  # None ⇒ high-cardinality shortcut (plain rule)
 
     @property
     def distinct_ratio(self) -> float:
@@ -44,9 +46,41 @@ def _sample_entropy(payload: bytes, cap: int = 65536) -> float:
 
 
 def profile_str_block(block: StrBlock) -> StrStats:
+    """Profile a string block. Big high-cardinality blocks (html, text,
+    url) take a shortcut: a SAMPLE_ROWS-row factorization estimates the
+    distinct ratio; when it already exceeds the plain rule's 0.80
+    threshold (writer.cpp:63) the dictionary codecs are off the table,
+    so the full (expensive) factorization is skipped entirely and
+    min/max come from Arrow's C min_max kernel."""
+    n = block.n
+    if n > SAMPLE_ROWS:
+        head = StrBlock(
+            lengths=block.lengths[:SAMPLE_ROWS],
+            payload=bytes(
+                memoryview(block.payload)[: int(block.lengths[:SAMPLE_ROWS].sum())]
+            ),
+            validity=None if block.validity is None else block.validity[:SAMPLE_ROWS],
+        )
+        sample_fact = factorize_block(head)
+        sample_ratio = sample_fact.n_distinct / SAMPLE_ROWS
+        if sample_ratio > 0.85:
+            mm = pc.min_max(block.to_arrow(binary=True))
+            mn = mm["min"].as_py() or b""
+            mx = mm["max"].as_py() or b""
+            return StrStats(
+                n=n,
+                n_distinct=int(sample_ratio * n),
+                payload_bytes=len(block.payload),
+                n_runs=n,
+                min_val=mn[:ZONE_MAX_LEN],
+                max_val=mx[:ZONE_MAX_LEN],
+                min_exact=len(mn) <= ZONE_MAX_LEN,
+                max_exact=len(mx) <= ZONE_MAX_LEN,
+                entropy=_sample_entropy(block.payload),
+                fact=None,
+            )
     fact = factorize_block(block)
     codes = fact.codes
-    n = len(codes)
     n_runs = int((codes[1:] != codes[:-1]).sum()) + 1 if n else 0
     mn = bytes(fact.uniques[0]) if n else b""
     mx = bytes(fact.uniques[-1]) if n else b""
