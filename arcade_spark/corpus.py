@@ -228,3 +228,36 @@ def corpus_df(spark, n_rows: int, partitions: int = 32, seed: int = 42):
         .repartition(partitions, "id")
         .mapInPandas(gen, schema=CORPUS_SPARK_SCHEMA)
     )
+
+
+def write_corpus_files(
+    dir_path: str, n_rows: int, n_files: int, seed: int = 42, chunk: int = 65536
+) -> str:
+    """Multi-file corpus (idempotent): the Iceberg-style layout the
+    files-mode encoder consumes — file i holds rows
+    [i*rows_per, (i+1)*rows_per)."""
+    done_marker = os.path.join(dir_path, "_DONE")
+    if os.path.exists(done_marker):
+        return dir_path
+    os.makedirs(dir_path, exist_ok=True)
+    rows_per = (n_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        start = i * rows_per
+        count = min(rows_per, n_rows - start)
+        if count <= 0:
+            break
+        path = os.path.join(dir_path, f"corpus-{i:05d}.parquet")
+        if os.path.exists(path):
+            continue
+        tmp = path + ".tmp"
+        writer = pq.ParquetWriter(tmp, CORPUS_SCHEMA, compression="snappy")
+        for s in range(start, start + count, chunk):
+            df = corpus_pandas(min(chunk, start + count - s), seed=seed, start=s)
+            writer.write_table(
+                pa.Table.from_pandas(df, schema=CORPUS_SCHEMA, preserve_index=False)
+            )
+        writer.close()
+        os.rename(tmp, path)
+    with open(done_marker, "w") as f:
+        f.write(f"{n_rows} {n_files}")
+    return dir_path

@@ -62,6 +62,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if os.path.isdir("/dev/shm"):
+        # tmpfs shuffle spill: single-host sandbox proxy for a real
+        # cluster's per-executor local disks (shared rotational /tmp
+        # would serialize the shuffle across all workers)
+        shuffle_dir = "/dev/shm/arcade-spark-local"
+        os.makedirs(shuffle_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", shuffle_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addPyFile(package_zip())

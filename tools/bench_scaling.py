@@ -20,8 +20,8 @@ import uuid
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def encode_once(cores: int, corpus_path: str, num_parts: int) -> dict:
-    from arcade_spark.encode import encode_job
+def encode_once(cores: int, corpus_path: str, num_parts: int, mode: str = "files") -> dict:
+    from arcade_spark.encode import encode_files_job, encode_job
     from arcade_spark.session import get_spark
 
     spark = get_spark(app=f"scaling-{cores}", cores=cores)
@@ -32,13 +32,17 @@ def encode_once(cores: int, corpus_path: str, num_parts: int) -> dict:
         # measured run is steady-state
         src.limit(1000).count()
         t0 = time.time()
-        m = encode_job(spark, src, out, num_parts=num_parts, resume=False)
+        if mode == "files":
+            m = encode_files_job(spark, corpus_path, out, resume=False)
+        else:
+            m = encode_job(spark, src, out, num_parts=num_parts, resume=False)
         wall = time.time() - t0
     finally:
         shutil.rmtree(out, ignore_errors=True)
         spark.stop()
     return {
         "cores": cores,
+        "mode": mode,
         "wall_seconds": round(wall, 2),
         "raw_bytes": m["raw_bytes"],
         "encoded_bytes": m["encoded_bytes"],
@@ -49,16 +53,19 @@ def encode_once(cores: int, corpus_path: str, num_parts: int) -> dict:
 
 
 def main() -> None:
-    from arcade_spark.corpus import write_corpus
-
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     num_parts = 2 * n_large
 
-    corpus_path = os.path.join(tempfile.gettempdir(), f"arcade_bench_corpus_{rows}.parquet")
-    print(f"synthesizing corpus rows={rows} ...", flush=True)
-    write_corpus(corpus_path, rows)
+    n_files = max(num_parts, 32)
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"arcade_corpus_files_{rows}_{n_files}"
+    )
+    print(f"synthesizing corpus rows={rows} files={n_files} ...", flush=True)
+    from arcade_spark.corpus import write_corpus_files
+
+    write_corpus_files(corpus_path, rows, n_files)
 
     # alternate A/B/A/B and keep the best of each level to damp the
     # noisy-neighbor variance of this shared box
@@ -104,7 +111,7 @@ Compression: encoded/raw = {large['ratio']} on the mixed corpus
 (url/warc_ts/html/text/lang). Per-column codec selection is recorded in
 the manifest (`codec_counts`).
 
-### Why N=2 → 4N=8 (hardware calibration)
+### Why this N/4N pair (hardware calibration)
 
 This sandbox's *hardware* does not scale past ~8 concurrent
 memory-heavy processes: a pure-numpy calibration (no Spark, no engine —
