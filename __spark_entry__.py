@@ -39,9 +39,11 @@ def _encoded_dir(spark: SparkSession, sf_dir: str, table: str, order_col: str,
     repeat calls free."""
     from arcade_spark.encode import encode_job
 
+    from arcade_spark.manifest import FORMAT_REV
+
     key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
     out = os.path.join(
-        tempfile.gettempdir(), "arcade_entry_cache", key,
+        tempfile.gettempdir(), f"arcade_entry_cache_v{FORMAT_REV}", key,
         f"{table}-p{num_parts}-{order_col}",
     )
     src = spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -56,20 +56,12 @@ def read_blocks(spark: SparkSession, out_dir: str, columns: list[str] | None = N
 
 
 def table_columns(spark: SparkSession, out_dir: str) -> list[tuple[str, str]]:
-    """(name, vtype) in encode order — from block 0 of the smallest part."""
-    rows = (
-        spark.read.parquet(f"{out_dir}/blocks")
-        .filter(F.col("block_id") == 0)
-        .select("part_id", "column", "vtype")
-        .limit(64)
-        .collect()
-    )
-    pid = min(r.part_id for r in rows)
-    seen: dict[str, str] = {}
-    for r in rows:
-        if r.part_id == pid and r.column not in seen:
-            seen[r.column] = r.vtype
-    return list(seen.items())
+    """(name, vtype) in encode order, from the manifest (authoritative —
+    per-column block files make blocks-table row order arbitrary)."""
+    import json
+
+    row = spark.read.parquet(f"{out_dir}/manifest").select("columns").first()
+    return [tuple(c) for c in json.loads(row["columns"])]
 
 
 def make_decode_kernel(columns: list[tuple[str, str]], emit_meta: bool = False):

@@ -167,7 +167,7 @@ def make_encode_kernel(
                         yield from finish_part()
                     if writer is None:
                         cur_part = pid
-                        writer = PartWriter(out_dir, pid, run_id)
+                        writer = PartWriter(out_dir, pid, run_id, columns=columns)
                     cur_part = pid
                     buffer.append(table.slice(int(s0), int(e0 - s0)))
                     buffered += int(e0 - s0)
@@ -305,7 +305,7 @@ def encode_files_job(
         for batch in batches:
             for row in batch.to_pylist():
                 pid, path = int(row["part_id"]), row["path"]
-                writer = PartWriter(out_dir, pid, run_id)
+                writer = PartWriter(out_dir, pid, run_id, columns=columns)
                 gdicts: dict[str, GlobalDict] = {}
                 state = {"block_id": 0, "row_start": 0}
                 try:

@@ -1,5 +1,9 @@
 """Per-partition checkpoint layout and commit protocol.
 
+FORMAT_REV identifies the on-disk blocks/manifest format; bump it on
+any incompatible change so cached encodes are never resumed across
+format revisions.
+
 Layout under an encode out_dir:
 
     blocks/part-NNNNN.parquet     one file per encode partition (all its
@@ -27,6 +31,8 @@ import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+FORMAT_REV = 4  # ...3: per-column files + n_cols; 4: manifest carries column order
 
 BLOCKS_ARROW_SCHEMA = pa.schema(
     [
@@ -73,6 +79,7 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
         pa.field("encode_seconds", pa.float64()),
         pa.field("throughput_mbps", pa.float64()),
         pa.field("codec_counts", pa.string()),
+        pa.field("columns", pa.string()),  # json [[name, vtype], ...] in encode order
         pa.field("run_id", pa.string()),
         pa.field("status", pa.string()),
     ]
@@ -104,10 +111,12 @@ class PartWriter:
     commits the manifest marker. Row groups flush per block batch, so
     task memory stays O(block)."""
 
-    def __init__(self, out_dir: str, part_id: int, run_id: str):
+    def __init__(self, out_dir: str, part_id: int, run_id: str,
+                 columns: list[tuple[str, str]] | None = None):
         self.out_dir = out_dir
         self.part_id = part_id
         self.run_id = run_id
+        self.columns = columns or []
         os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
         os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
         # one file per COLUMN: columnar at the file level, so a filtered
@@ -164,6 +173,7 @@ class PartWriter:
             "encode_seconds": secs,
             "throughput_mbps": self.raw_bytes / max(secs, 1e-9) / 1e6,
             "codec_counts": json.dumps(self.codec_counts, sort_keys=True),
+            "columns": json.dumps([list(c) for c in self.columns]),
             "run_id": self.run_id,
             "status": "done",
         }

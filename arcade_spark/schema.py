@@ -57,6 +57,7 @@ MANIFEST_SPARK_SCHEMA = T.StructType(
         T.StructField("encode_seconds", T.DoubleType(), False),
         T.StructField("throughput_mbps", T.DoubleType(), False),
         T.StructField("codec_counts", T.StringType(), False),  # json
+        T.StructField("columns", T.StringType(), False),  # json [[name, vtype], ...]
         T.StructField("run_id", T.StringType(), False),
         T.StructField("status", T.StringType(), False),
     ]

@@ -25,11 +25,9 @@ import uuid
 
 
 def run_bench(sf_dir: str, cpus: str) -> dict:
-    from pyspark.sql import functions as F
-
-    from arcade_spark.corpus import write_corpus
+    from arcade_spark.corpus import write_corpus_files
     from arcade_spark.decode import scan
-    from arcade_spark.encode import encode_job
+    from arcade_spark.encode import encode_files_job, encode_job
     from arcade_spark.readops import equi_filter, filter_count, random_access
     from arcade_spark.session import get_spark
 
@@ -43,10 +41,11 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     spark = get_spark(app="arcade-bench", cores=cpus)
     n_cores = int(cpus) if str(cpus).isdigit() else os.cpu_count() or 8
 
+    n_files = 2 * n_cores
     corpus_path = os.path.join(
-        tempfile.gettempdir(), f"arcade_bench_corpus_{corpus_rows}.parquet"
+        tempfile.gettempdir(), f"arcade_corpus_files_{corpus_rows}_{n_files}"
     )
-    write_corpus(corpus_path, corpus_rows)
+    write_corpus_files(corpus_path, corpus_rows, n_files)
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -62,13 +61,17 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         return _T()
 
     enc_dir = os.path.join(tempfile.gettempdir(), f"arcade_bench_enc_{uuid.uuid4().hex[:8]}")
+    enc_dir2 = enc_dir + "_shuffle"
     try:
         src = spark.read.parquet(corpus_path)
+        src.limit(1000).count()  # warm JVM + python workers
         with timed("encode_corpus"):
-            m = encode_job(spark, src, enc_dir, num_parts=2 * n_cores, resume=False)
+            m = encode_files_job(spark, corpus_path, enc_dir, resume=False)
         extras["encode_gbps"] = round(m["raw_bytes"] / timings["encode_corpus"] / 1e9, 4)
         extras["compression_ratio"] = round(m["ratio"], 4)
         extras["corpus_raw_mb"] = round(m["raw_bytes"] / 1e6, 1)
+        with timed("encode_corpus_shuffle_mode"):
+            m2 = encode_job(spark, src, enc_dir2, num_parts=2 * n_cores, resume=False)
 
         with timed("scan_decode"):
             scan(spark, enc_dir).count()
@@ -80,6 +83,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             random_access(spark, enc_dir, list(range(0, corpus_rows, corpus_rows // 500))).count()
     finally:
         shutil.rmtree(enc_dir, ignore_errors=True)
+        shutil.rmtree(enc_dir2, ignore_errors=True)
 
     from arcade_spark.dedup import dedup_minhash_lsh
     from arcade_spark.simsearch import ann_cosine_topk

@@ -94,3 +94,21 @@ def test_integrity_detects_missing_blocks(spark, small_corpus, tmp_path_factory)
     os.remove(victims[0])
     res = verify_integrity(spark, out)
     assert not res["ok"] and len(res["bad_parts"]) == 1
+
+
+def test_files_mode_roundtrip_and_resume(spark, tmp_path_factory):
+    from arcade_spark.corpus import write_corpus_files
+    from arcade_spark.encode import encode_files_job
+    from arcade_spark.decode import scan
+
+    d = str(tmp_path_factory.mktemp("fcorp") / "files")
+    write_corpus_files(d, 3000, 4, seed=9)
+    out = str(tmp_path_factory.mktemp("fenc") / "enc")
+    m = encode_files_job(spark, d, out, block_rows=512)
+    assert m["rows"] == 3000 and m["new_parts"] == 4
+    src = spark.read.parquet(d)
+    dec = scan(spark, out)
+    assert dec.count() == 3000
+    assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
+    m2 = encode_files_job(spark, d, out, block_rows=512)
+    assert m2["skipped_parts"] == 4 and m2["new_parts"] == 0
