@@ -55,6 +55,12 @@ def read_blocks(spark: SparkSession, out_dir: str, columns: list[str] | None = N
     return df
 
 
+def num_parts(spark: SparkSession, out_dir: str) -> int:
+    """Partition count from the (tiny) manifest — avoids a full
+    blocks-table job just to size the decode repartition."""
+    return spark.read.parquet(f"{out_dir}/manifest").count()
+
+
 def table_columns(spark: SparkSession, out_dir: str) -> list[tuple[str, str]]:
     """(name, vtype) in encode order, from the manifest (authoritative —
     per-column block files make blocks-table row order arbitrary)."""
@@ -152,7 +158,7 @@ def scan(
     else:
         sel = all_cols
     blocks = read_blocks(spark, out_dir, [n for n, _ in sel])
-    n_parts = blocks.select("part_id").distinct().count()
+    n_parts = num_parts(spark, out_dir)
     kernel = make_decode_kernel(sel, emit_meta=emit_meta)
     schema = ", ".join(
         (["part_id int", "block_id int", "pos long"] if emit_meta else [])

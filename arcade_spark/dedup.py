@@ -38,8 +38,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct word-3-gram shingles; docs with fewer
-    than 3 words are excluded (same rule in the oracle SQL)."""
-    d = _documents(spark, sf_dir)
+    than 3 words are excluded (same rule in the oracle SQL). The source
+    is one small parquet file → one input split; repartition so the
+    shingle explosion parallelizes."""
+    d = _documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     words = F.split(norm, " ")
     sh = F.transform(

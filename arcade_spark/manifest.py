@@ -124,6 +124,7 @@ class PartWriter:
         # Catalyst's In(column, ...) predicate prunes whole files
         self._tmps: dict[str, str] = {}
         self._writers: dict[str, pq.ParquetWriter] = {}
+        self._rowbuf: dict[str, list[dict]] = {}
         self.n_blocks = 0
         self.n_rows = 0
         self.raw_bytes = 0
@@ -145,11 +146,22 @@ class PartWriter:
             self._writers[column] = w
         return w
 
+    _FLUSH_ROWS = 16  # chunk rows per parquet row group (per column)
+
+    def _flush(self, column: str) -> None:
+        rows = self._rowbuf.get(column)
+        if rows:
+            self._writer_for(column).write_table(
+                pa.Table.from_pylist(rows, schema=BLOCKS_ARROW_SCHEMA)
+            )
+            self._rowbuf[column] = []
+
     def write_block(self, chunk_rows: list[dict]) -> None:
         for r in chunk_rows:
-            self._writer_for(r["column"]).write_table(
-                pa.Table.from_pylist([r], schema=BLOCKS_ARROW_SCHEMA)
-            )
+            buf = self._rowbuf.setdefault(r["column"], [])
+            buf.append(r)
+            if len(buf) >= self._FLUSH_ROWS:
+                self._flush(r["column"])
         self.n_blocks += 1
         self.n_rows += chunk_rows[0]["n_values"]
         for r in chunk_rows:
@@ -159,6 +171,8 @@ class PartWriter:
             self.codec_counts[r["codec"]] = self.codec_counts.get(r["codec"], 0) + 1
 
     def commit(self) -> dict:
+        for column in list(self._rowbuf):
+            self._flush(column)
         for column, w in self._writers.items():
             w.close()
             os.replace(self._tmps[column], blocks_path(self.out_dir, self.part_id, column))

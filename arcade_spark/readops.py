@@ -34,6 +34,7 @@ from arcade_spark.codecs.intcodecs import decode_for_int
 from arcade_spark.convert import block_to_series
 from arcade_spark.core import decode_int_block, decode_str_block
 from arcade_spark.postpass import unpost
+from arcade_spark.decode import num_parts as _num_parts
 from arcade_spark.decode import read_blocks, table_columns
 from arcade_spark.gdict import GlobalDictDecoder
 from arcade_spark.schema import spark_type_for
@@ -182,7 +183,7 @@ def equi_filter(
         ),
     )
 
-    n_parts = blocks.select("part_id").distinct().count()
+    n_parts = _num_parts(spark, out_dir)
     proj_items = [(c, vtypes[c]) for c in project]
     want = set(sel_cols)
 
