@@ -13,7 +13,8 @@ import struct
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from arcade_spark.bits import (
     bit_width,
@@ -32,29 +33,48 @@ from arcade_spark.gdict import GlobalDict, GlobalDictDecoder
 @dataclass
 class StrFactor:
     """One factorization shared by stats + dict codecs: ``codes`` index
-    ``uniques`` which are sorted ascending (the reference keeps
-    dictionaries sorted to power zone maps — writer.cpp:57-61)."""
+    ``uniques_arrow`` which is sorted ascending (the reference keeps
+    dictionaries sorted to power zone maps — writer.cpp:57-61). All
+    Arrow C kernels — per-row Python only materializes lazily via
+    ``uniques`` (needed by the global-dict hash map, cardinality-bounded)."""
 
     codes: np.ndarray  # int64[n] into uniques
-    uniques: np.ndarray  # object[u] of bytes, sorted
+    uniques_arrow: pa.Array  # large_binary[u], sorted
+    _uniques_obj: np.ndarray | None = None
 
     @property
     def n_distinct(self) -> int:
-        return len(self.uniques)
+        return len(self.uniques_arrow)
+
+    @property
+    def uniques(self) -> np.ndarray:
+        if self._uniques_obj is None:
+            self._uniques_obj = np.asarray(
+                self.uniques_arrow.to_pandas(), dtype=object
+            )
+        return self._uniques_obj
+
+    @property
+    def uniques_nbytes(self) -> int:
+        return int(pc.sum(pc.binary_length(self.uniques_arrow)).as_py() or 0)
 
 
 def factorize_block(block: StrBlock) -> StrFactor:
-    obj = block.to_object_array()
+    arr = block.to_arrow(binary=True)
     if block.validity is not None:
         # codecs never see nulls: sentinel b'' under null slots
-        obj = obj.copy()
-        obj[~block.validity] = b""
-    codes, uniques = pd.factorize(obj, use_na_sentinel=False)
-    uniques = np.asarray(uniques, dtype=object)
-    order = np.argsort(uniques)
-    rank = np.empty(len(uniques), dtype=np.int64)
-    rank[order] = np.arange(len(uniques))
-    return StrFactor(codes=rank[codes.astype(np.int64)], uniques=uniques[order])
+        arr = pc.fill_null(arr, pa.scalar(b"", type=pa.large_binary()))
+    d = pc.dictionary_encode(arr)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = d.dictionary
+    order = pc.array_sort_indices(uniq)
+    o = order.to_numpy(zero_copy_only=False)
+    rank = np.empty(len(o), dtype=np.int64)
+    rank[o] = np.arange(len(o))
+    sorted_uniq = pc.take(uniq, order)
+    if sorted_uniq.type != pa.large_binary():
+        sorted_uniq = sorted_uniq.cast(pa.large_binary())
+    return StrFactor(codes=rank[codes], uniques_arrow=sorted_uniq)
 
 
 # ------------------------------------------------------------- plain
@@ -76,11 +96,19 @@ def decode_plain(payload, meta) -> StrBlock:
     return StrBlock(lengths=lengths, payload=bytes(data_sec))
 
 
-def _serialize_values(values: np.ndarray) -> bytes:
-    """Serialize a (small) sorted value list — dict payloads."""
-    blk = object_array_to_strblock(values)
+def _serialize_values(values) -> bytes:
+    """Serialize a (small) sorted value list — dict payloads. Accepts a
+    pyarrow binary array or a numpy object array of bytes."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        from arcade_spark.blocks import strblock_from_arrow
+
+        blk = strblock_from_arrow(
+            values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+        )
+    else:
+        blk = object_array_to_strblock(values)
     payload, _ = encode_plain(blk)
-    return struct.pack("<I", len(values)) + payload
+    return struct.pack("<I", blk.n) + payload
 
 
 def _deserialize_values(buf) -> np.ndarray:
@@ -88,6 +116,22 @@ def _deserialize_values(buf) -> np.ndarray:
     (n,) = struct.unpack_from("<I", mv, 0)
     blk = decode_plain(mv[4:], {"n_values": n})
     return blk.to_object_array()
+
+
+def _deserialize_values_arrow(buf) -> pa.Array:
+    mv = memoryview(buf)
+    (n,) = struct.unpack_from("<I", mv, 0)
+    blk = decode_plain(mv[4:], {"n_values": n})
+    return blk.to_arrow(binary=True)
+
+
+def _take_to_block(values: pa.Array | pa.ChunkedArray, codes: np.ndarray) -> StrBlock:
+    from arcade_spark.blocks import strblock_from_arrow
+
+    taken = pc.take(values, pa.array(codes, type=pa.int64()))
+    if isinstance(taken, pa.ChunkedArray):
+        taken = taken.combine_chunks()
+    return strblock_from_arrow(taken)
 
 
 # --------------------------------------------------------- dict_local
@@ -100,7 +144,7 @@ def encode_dict_local(block: StrBlock, fact: StrFactor) -> tuple[bytes, dict]:
     u = fact.n_distinct
     w = bit_width(u - 1) if u > 1 else 0
     payload = pack_sections(
-        _serialize_values(fact.uniques),
+        _serialize_values(fact.uniques_arrow),
         pack_uints(fact.codes.view(np.uint64), w),
     )
     return payload, {
@@ -113,10 +157,10 @@ def encode_dict_local(block: StrBlock, fact: StrFactor) -> tuple[bytes, dict]:
 
 def decode_dict_local(payload, meta) -> StrBlock:
     dict_sec, codes_sec = unpack_sections(payload)
-    uniques = _deserialize_values(dict_sec)
+    uniques = _deserialize_values_arrow(dict_sec)
     n = meta["n_values"]
     codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
-    return object_array_to_strblock(uniques[codes])
+    return _take_to_block(uniques, codes)
 
 
 # -------------------------------------------------------- dict_global
@@ -151,7 +195,7 @@ def encode_dict_global(
 
 def decode_dict_global(payload, meta, gdec: GlobalDictDecoder) -> StrBlock:
     dict_sec, codes_sec = unpack_sections(payload)
-    segment = _deserialize_values(dict_sec)
+    segment = _deserialize_values_arrow(dict_sec)
     if meta.get("global_start", len(gdec)) != len(gdec):
         raise ValueError(
             f"global dict replay out of sync: expected start {len(gdec)}, "
@@ -160,7 +204,7 @@ def decode_dict_global(payload, meta, gdec: GlobalDictDecoder) -> StrBlock:
     gdec.append(segment)
     n = meta["n_values"]
     codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
-    return object_array_to_strblock(gdec.take(codes))
+    return gdec.take_block(codes)
 
 
 def append_segment_only(payload, gdec: GlobalDictDecoder) -> None:
@@ -168,7 +212,7 @@ def append_segment_only(payload, gdec: GlobalDictDecoder) -> None:
     running dictionary (the reference fetches skipped blocks' segments
     via the previndex walk — process.cpp:88-123; we just replay)."""
     dict_sec, _ = unpack_sections(payload)
-    gdec.append(_deserialize_values(dict_sec))
+    gdec.append(_deserialize_values_arrow(dict_sec))
 
 
 # ------------------------------------------------------------- rle_str
@@ -192,7 +236,7 @@ def encode_rle_str(block: StrBlock, fact: StrFactor) -> tuple[bytes, dict]:
     w = bit_width(u - 1) if u > 1 else 0
     lens_payload, _ = encode_for_int(run_lens)
     payload = pack_sections(
-        _serialize_values(fact.uniques),
+        _serialize_values(fact.uniques_arrow),
         struct.pack("<I", len(run_codes)) + pack_uints(run_codes.view(np.uint64), w),
         lens_payload,
     )
@@ -207,12 +251,12 @@ def encode_rle_str(block: StrBlock, fact: StrFactor) -> tuple[bytes, dict]:
 
 def decode_rle_str(payload, meta) -> StrBlock:
     dict_sec, codes_sec, lens_sec = unpack_sections(payload)
-    uniques = _deserialize_values(dict_sec)
+    uniques = _deserialize_values_arrow(dict_sec)
     (nruns,) = struct.unpack_from("<I", codes_sec, 0)
     run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
     run_lens = decode_for_int(lens_sec, {"n_values": nruns})
     codes = np.repeat(run_codes, run_lens)
-    return object_array_to_strblock(uniques[codes])
+    return _take_to_block(uniques, codes)
 
 
 # ---------------------------------------------------------------- fsst

@@ -96,7 +96,7 @@ def decode_str_block(blob, meta: dict[str, Any], gdec: GlobalDictDecoder) -> Str
         out = sc.decode_dict_local(payload, meta)
         if meta.get("gdict_seed"):
             dict_sec, _ = unpack_sections(payload)
-            gdec.append(sc._deserialize_values(dict_sec))
+            gdec.append(sc._deserialize_values_arrow(dict_sec))
     elif codec == "dict_global":
         out = sc.decode_dict_global(payload, meta, gdec)
     else:  # pragma: no cover
@@ -117,7 +117,7 @@ def replay_str_block(blob, meta: dict[str, Any], gdec: GlobalDictDecoder) -> Non
         _, payload = unpack_sections(blob)
         payload = unpost(payload, meta.get("post"))
         dict_sec = unpack_sections(payload)[0]
-        gdec.append(sc._deserialize_values(dict_sec))
+        gdec.append(sc._deserialize_values_arrow(dict_sec))
 
 
 def encode_int_block(block: IntBlock) -> tuple[bytes, dict[str, Any]]:

@@ -64,24 +64,49 @@ class GlobalDict:
 class GlobalDictDecoder:
     """Decode-side replay: append each block's diff segment in block
     order (the reader rebuilds the running dict incrementally as it
-    pages — reader.cpp:146-195, process.cpp:466-471)."""
+    pages — reader.cpp:146-195, process.cpp:466-471). Segments are kept
+    as Arrow chunks; materialization is a C-speed chunked ``take``."""
 
-    __slots__ = ("values", "epoch")
+    __slots__ = ("chunks", "_n", "epoch")
 
     def __init__(self) -> None:
-        self.values = np.empty(0, dtype=object)
+        self.chunks: list = []
+        self._n = 0
         self.epoch = 0
 
     def __len__(self) -> int:
-        return len(self.values)
+        return self._n
 
     def reset(self) -> None:
-        self.values = np.empty(0, dtype=object)
+        self.chunks = []
+        self._n = 0
         self.epoch += 1
 
-    def append(self, segment: np.ndarray) -> None:
-        if len(segment):
-            self.values = np.concatenate([self.values, segment])
+    def append(self, segment) -> None:
+        import pyarrow as pa
 
-    def take(self, codes: np.ndarray) -> np.ndarray:
-        return self.values[codes]
+        if isinstance(segment, np.ndarray):
+            segment = pa.array(list(segment), type=pa.large_binary())
+        if len(segment):
+            self.chunks.append(segment)
+            self._n += len(segment)
+
+    def take_block(self, codes: np.ndarray):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from arcade_spark.blocks import strblock_from_arrow
+
+        taken = pc.take(pa.chunked_array(self.chunks), pa.array(codes, type=pa.int64()))
+        return strblock_from_arrow(taken.combine_chunks())
+
+    def index_of(self, value: bytes) -> int:
+        """First global code of ``value`` across appended segments, or
+        -1 (used by the filter path's memoized-code search)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not self.chunks:
+            return -1
+        idx = pc.index(pa.chunked_array(self.chunks), pa.scalar(value, type=pa.large_binary()))
+        return int(idx.as_py())

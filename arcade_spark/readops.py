@@ -70,9 +70,14 @@ class _StrFilterState:
         self.gdec = GlobalDictDecoder()
         self.target_gid = -1
 
-    def _absorb_segment(self, segment: np.ndarray) -> None:
+    def _absorb_segment(self, segment) -> None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         if self.target_gid < 0 and len(segment):
-            idx = _searchsorted_bytes(segment, self.value)
+            idx = int(
+                pc.index(segment, pa.scalar(self.value, type=pa.large_binary())).as_py()
+            )
             if idx >= 0:
                 self.target_gid = len(self.gdec) + idx
         self.gdec.append(segment)
@@ -90,17 +95,22 @@ class _StrFilterState:
 
         if codec == "dict_global":
             dict_sec, codes_sec = unpack_sections(payload)
-            self._absorb_segment(sc._deserialize_values(dict_sec))
+            self._absorb_segment(sc._deserialize_values_arrow(dict_sec))
             if self.target_gid < 0:
                 return np.empty(0, dtype=np.int64)
             codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
             pos = np.nonzero(codes == self.target_gid)[0]
         elif codec == "dict_local":
             dict_sec, codes_sec = unpack_sections(payload)
-            uniques = sc._deserialize_values(dict_sec)
+            uniques = sc._deserialize_values_arrow(dict_sec)
             if meta.get("gdict_seed"):
                 self._absorb_segment(uniques)
-            code = _searchsorted_bytes(uniques, self.value)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            code = int(
+                pc.index(uniques, pa.scalar(self.value, type=pa.large_binary())).as_py()
+            )
             if code < 0:
                 return np.empty(0, dtype=np.int64)
             codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
@@ -139,7 +149,7 @@ class _StrFilterState:
             _, payload = unpack_sections(blob)
             payload = unpost(payload, meta.get("post"))
             dict_sec = unpack_sections(payload)[0]
-            self._absorb_segment(sc._deserialize_values(dict_sec))
+            self._absorb_segment(sc._deserialize_values_arrow(dict_sec))
 
 
 def equi_filter(
