@@ -346,6 +346,7 @@ def fsst_compress(data: np.ndarray, dig_code: np.ndarray, sing_code: np.ndarray)
         return data
     is_single = sing_code[data] >= 0
     cand = np.zeros(n, dtype=bool)
+    dig = np.empty(0, dtype=np.int32)
     if n >= 2:
         dig = (data[:-1].astype(np.int32) << 8) | data[1:]
         np.greater_equal(dig_code[dig], 0, out=cand[:-1])
