@@ -55,19 +55,32 @@ def read_blocks(spark: SparkSession, out_dir: str, columns: list[str] | None = N
     return df
 
 
+_manifest_meta_cache: dict[str, tuple[list[tuple[str, str]], int]] = {}
+
+
+def _manifest_meta(spark: SparkSession, out_dir: str) -> tuple[list[tuple[str, str]], int]:
+    """(columns, n_parts) in ONE tiny manifest job, cached per out_dir
+    for the session (the manifest is immutable once written)."""
+    import json
+
+    cached = _manifest_meta_cache.get(out_dir)
+    if cached is not None:
+        return cached
+    rows = spark.read.parquet(f"{out_dir}/manifest").select("columns").collect()
+    cols = [tuple(c) for c in json.loads(rows[0]["columns"])]
+    meta = (cols, len(rows))
+    _manifest_meta_cache[out_dir] = meta
+    return meta
+
+
 def num_parts(spark: SparkSession, out_dir: str) -> int:
-    """Partition count from the (tiny) manifest — avoids a full
-    blocks-table job just to size the decode repartition."""
-    return spark.read.parquet(f"{out_dir}/manifest").count()
+    return _manifest_meta(spark, out_dir)[1]
 
 
 def table_columns(spark: SparkSession, out_dir: str) -> list[tuple[str, str]]:
     """(name, vtype) in encode order, from the manifest (authoritative —
     per-column block files make blocks-table row order arbitrary)."""
-    import json
-
-    row = spark.read.parquet(f"{out_dir}/manifest").select("columns").first()
-    return [tuple(c) for c in json.loads(row["columns"])]
+    return _manifest_meta(spark, out_dir)[0]
 
 
 def make_decode_kernel(columns: list[tuple[str, str]], emit_meta: bool = False):

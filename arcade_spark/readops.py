@@ -172,7 +172,12 @@ def equi_filter(
     if column not in all_cols:
         raise KeyError(f"no such column: {column}")
     fvt = all_cols[column]
-    project = [c for c in (project or [c for c in all_cols if c != column])]
+    if count_only:
+        # count-only fast path (runner.cpp:11): no projection chunks
+        # are read at all — only the filter column's files ship
+        project = []
+    else:
+        project = [c for c in (project or [c for c in all_cols if c != column])]
     sel_cols = [column] + [c for c in project if c != column]
     vtypes = {c: all_cols[c] for c in sel_cols}
 
