@@ -197,6 +197,21 @@ def equi_filter(
             F.lit(True)
         ),
     )
+    if not count_only:
+        # true I/O skip: pruned filter-column chunks whose codec carries
+        # no cross-block dictionary state are DROPPED in the plan — the
+        # predicate is on raw stats columns, so parquet row-group
+        # pruning elides their blob bytes entirely. Stateful chunks
+        # (differential dict segments, local-dict seeds) are retained
+        # for replay (the previndex walk analogue, process.cpp:88-123).
+        # count_only keeps every row so the zone_skipped metric is
+        # observable (FIXTURES.md §3).
+        blocks = blocks.filter(
+            (F.col("column") != column)
+            | F.col("zone_keep")
+            | (F.col("codec") == "dict_global")
+            | F.col("gdict_seed")
+        )
 
     n_parts = _num_parts(spark, out_dir)
     proj_items = [(c, vtypes[c]) for c in project]
@@ -205,25 +220,32 @@ def equi_filter(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fstates: dict[int, _StrFilterState] = {}
         gdecs: dict[tuple[int, str], GlobalDictDecoder] = {}
-        pending: dict[tuple[int, int], dict[str, tuple]] = {}
 
         def handle_block(part_id: int, block_id: int, chunks) -> pd.DataFrame | None:
-            fblob, fmeta, fkeep = chunks[column]
-            if is_str:
-                st = fstates.setdefault(part_id, _StrFilterState(vb))
-                if fkeep:
-                    pos = st.match_positions(fblob, fmeta)
-                else:
-                    st.replay(fblob, fmeta)
-                    pos = np.empty(0, dtype=np.int64)
+            fchunk = chunks.get(column)
+            if fchunk is None:
+                # filter chunk pruned out of the plan entirely (stateless
+                # codec outside the zone map) → zero matches by
+                # construction
+                pos = np.empty(0, dtype=np.int64)
+                fkeep = False
             else:
-                if fkeep:
-                    iblock = decode_int_block(fblob, fmeta)
-                    pos = np.nonzero(iblock.values == int(vb))[0]
-                    if iblock.validity is not None and len(pos):
-                        pos = pos[iblock.validity[pos]]
+                fblob, fmeta, fkeep = fchunk
+                if is_str:
+                    st = fstates.setdefault(part_id, _StrFilterState(vb))
+                    if fkeep:
+                        pos = st.match_positions(fblob, fmeta)
+                    else:
+                        st.replay(fblob, fmeta)
+                        pos = np.empty(0, dtype=np.int64)
                 else:
-                    pos = np.empty(0, dtype=np.int64)
+                    if fkeep:
+                        iblock = decode_int_block(fblob, fmeta)
+                        pos = np.nonzero(iblock.values == int(vb))[0]
+                        if iblock.validity is not None and len(pos):
+                            pos = pos[iblock.validity[pos]]
+                    else:
+                        pos = np.empty(0, dtype=np.int64)
 
             if count_only:
                 return pd.DataFrame(
@@ -233,7 +255,13 @@ def equi_filter(
 
             data = {}
             for name, vt in proj_items:
-                blob, meta, _ = chunks[name]
+                chunk = chunks.get(name)
+                if chunk is None:
+                    # only the filter column can be absent (pruned,
+                    # stateless) — and then pos is empty: nothing to
+                    # materialize or replay
+                    continue
+                blob, meta, _ = chunk
                 if vt in ("str", "binary"):
                     gdec = gdecs.setdefault((part_id, name), GlobalDictDecoder())
                     if len(pos) == 0:
@@ -257,30 +285,31 @@ def equi_filter(
                     data[name] = s.iloc[pos].reset_index(drop=True)
             if len(pos) == 0:
                 return None
-            out = pd.DataFrame(data)
-            if column in (project or []):
-                pass
-            return out
+            return pd.DataFrame(data)
 
+        # chunks arrive sorted by (part_id, block_id, column): flush each
+        # block as soon as the key advances (a pruned-out filter chunk
+        # never arrives, so completion can't key on column count)
+        cur_key: tuple[int, int] | None = None
+        cur_chunks: dict[str, tuple] = {}
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 key = (int(row.part_id), int(row.block_id))
-                pending.setdefault(key, {})[row.column] = (
+                if cur_key is not None and key != cur_key:
+                    out = handle_block(cur_key[0], cur_key[1], cur_chunks)
+                    if out is not None and len(out):
+                        yield out
+                    cur_chunks = {}
+                cur_key = key
+                cur_chunks[row.column] = (
                     row.blob,
                     _meta_from_row(row),
                     bool(row.zone_keep),
                 )
-                if set(pending[key]) >= want:
-                    chunks = pending.pop(key)
-                    out = handle_block(key[0], key[1], chunks)
-                    if out is not None and len(out):
-                        yield out
-        for key in sorted(pending):
-            chunks = pending[key]
-            if set(chunks) >= want:
-                out = handle_block(key[0], key[1], chunks)
-                if out is not None and len(out):
-                    yield out
+        if cur_key is not None and cur_chunks:
+            out = handle_block(cur_key[0], cur_key[1], cur_chunks)
+            if out is not None and len(out):
+                yield out
 
     if count_only:
         schema = "part_id int, block_id int, matches long, zone_skipped int"
