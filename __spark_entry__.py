@@ -141,7 +141,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_lsh_topk,
         embedding_cosine_pairs,
     )
-    from arcade_spark.textops import fingerprint, lang_id, quality_score, token_stats
+    from arcade_spark.textops import (
+        fingerprint,
+        fingerprint_winnow,
+        lang_id,
+        quality_score,
+        token_stats,
+    )
 
     return {
         # ---- engine operators (SURVEY.md §2 W1-W11 / R1-R9) ----
@@ -155,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _wrap(token_stats),
         "quality_score": _wrap(quality_score),
         "fingerprint": _wrap(fingerprint),
+        "fingerprint_winnow": _wrap(fingerprint_winnow),
         "lang_id": _wrap(lang_id),
         "dedup_exact": _wrap(dedup_exact),
         "dedup_ngram_jaccard": _wrap(dedup_ngram_jaccard),
@@ -254,6 +261,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "fingerprint_winnow": f"""
+            WITH norm AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+            ), sh AS (
+              SELECT doc_id, i - 1 AS pos,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+              FROM norm, unnest(range(1, greatest(len(w) - 3, 0) + 1)) AS t(i)
+              WHERE len(w) >= 4
+            ), hashed AS (
+              SELECT doc_id, pos,
+                     CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+              FROM sh
+            )
+            SELECT DISTINCT doc_id,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM hashed
+        """,
         "lang_id": f"""
             WITH s AS (SELECT doc_id, {lang_scores} FROM documents)
             SELECT doc_id, s_en, s_de, s_fr, s_es,

@@ -105,3 +105,46 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"s_{l}").cast("long").alias(f"s_{l}") for l in langs],
         pred.alias("pred_lang"),
     )
+
+
+WINNOW_K = 4  # words per rolling shingle
+WINNOW_W = 4  # window (shingles) per fingerprint selection
+
+
+def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (rolling-hash family): hash every
+    rolling 4-word shingle (portable md5-prefix hash, as in SimHash),
+    slide a 4-shingle window and keep each window's minimum — the
+    classic winnowing selection (Schleimer et al., SIGMOD 2003 idea,
+    standard public algorithm). Output: distinct (doc_id, fp) pairs.
+    Docs with fewer than 4 words are excluded (same rule in the
+    oracle)."""
+    from pyspark.sql import Window
+
+    d = _documents(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    words = F.split(norm, " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - WINNOW_K),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, WINNOW_K)),
+    )
+    shingled = (
+        d.select("doc_id", words.alias("w"), sh.alias("sh"))
+        .filter(F.size("w") >= WINNOW_K)
+        .select("doc_id", F.posexplode("sh").alias("pos", "shingle"))
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    return (
+        shingled.withColumn("fp", F.min("h").over(win))
+        .select("doc_id", "fp")
+        .distinct()
+    )
