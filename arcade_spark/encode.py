@@ -58,6 +58,7 @@ def with_part_id(
     salt_col: str = "url",
     host_col: str | None = "url",
     salt_buckets: int = 8,
+    part_id_offset: int = 0,
 ) -> DataFrame:
     """Assign the deterministic encode partition id.
 
@@ -70,7 +71,7 @@ def with_part_id(
     else:
         host = F.lit("")
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
-    part = F.pmod(F.xxhash64(host, salt), F.lit(num_parts)).cast("int")
+    part = (F.pmod(F.xxhash64(host, salt), F.lit(num_parts)) + F.lit(part_id_offset)).cast("int")
     return df.withColumn(_PART_COL, part)
 
 
@@ -200,11 +201,13 @@ def encode_job(
     salt_buckets: int = 8,
     block_rows: int = BLOCK_ROWS,
     resume: bool = True,
+    part_id_offset: int = 0,
 ) -> dict:
     """Run the full encode pipeline; returns job metrics."""
     columns = [(f.name, spark_vtype(f.dataType)) for f in source.schema.fields]
     df = with_part_id(
-        source, num_parts, salt_col=order_col, host_col=order_col, salt_buckets=salt_buckets
+        source, num_parts, salt_col=order_col, host_col=order_col,
+        salt_buckets=salt_buckets, part_id_offset=part_id_offset,
     )
 
     done = completed_parts(out_dir) if resume else set()

@@ -1,0 +1,69 @@
+"""Structured Streaming ingestion: continuously encode arriving corpus
+files into the same encoded-blocks + manifest layout.
+
+The reference is batch-only (distributed/streaming features are
+unchecked roadmap items — README.md:132-138); this is our Spark-native
+extension: a file-source ``readStream`` feeding ``foreachBatch``, where
+each micro-batch runs the same deterministic encode used in batch mode.
+Partition ids are allocated per (stream, micro-batch) from a reserved
+range so streamed partitions never collide with batch ones, and the
+manifest commit protocol (manifest.py) makes every micro-batch
+checkpointable and idempotent — a replayed batch re-encodes the same
+rows into the same partition ids and byte-identical blocks, then
+overwrites the same files via tmp+rename.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from arcade_spark import BLOCK_ROWS
+
+STREAM_PART_BASE = 1_000_000  # streamed part ids: BASE + batch_id * stride
+
+
+def encode_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    parts_per_batch: int = 8,
+    block_rows: int = BLOCK_ROWS,
+    trigger_available_now: bool = True,
+):
+    """Start (and return) a streaming query that encodes every file
+    arriving under ``input_dir``. With ``trigger_available_now`` the
+    query drains the currently-available input and stops — the pattern
+    for incremental backfills; without it, it runs continuously."""
+    from arcade_spark.encode import encode_job
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        base = STREAM_PART_BASE + int(batch_id) * parts_per_batch
+        # deterministic per-batch partition range: replays re-encode the
+        # same ids (manifest markers make the second write a no-op skip)
+        encode_job(
+            spark,
+            batch_df,
+            out_dir,
+            num_parts=parts_per_batch,
+            block_rows=block_rows,
+            resume=True,
+            part_id_offset=base,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
