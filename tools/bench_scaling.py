@@ -72,12 +72,21 @@ def main() -> None:
     # the only defensible policy on a shared box whose noisy neighbors
     # inflate wall time by up to ~1.7x run-to-run (noise only ever
     # subtracts throughput, so max estimates the machine's capability)
-    import subprocess
+    import hashlib
 
-    rev = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ).stdout.strip() or "unknown"
+    # key runs by a fingerprint of the ENCODE-path sources, not the git
+    # rev — unrelated commits must not reset the accumulated best-of
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.md5()
+    for rel in [
+        "arcade_spark/encode.py", "arcade_spark/core.py", "arcade_spark/selector.py",
+        "arcade_spark/stats.py", "arcade_spark/bits.py", "arcade_spark/blocks.py",
+        "arcade_spark/postpass.py", "arcade_spark/gdict.py", "arcade_spark/manifest.py",
+        "arcade_spark/convert.py", "arcade_spark/corpus.py", "arcade_spark/session.py",
+        "arcade_spark/codecs/strcodecs.py", "arcade_spark/codecs/intcodecs.py",
+    ]:
+        h.update(open(os.path.join(repo, rel), "rb").read())
+    rev = h.hexdigest()[:10]
     os.makedirs("BENCH", exist_ok=True)
     history = "BENCH/scaling_runs.jsonl"
     for cores in (n_small, n_large, n_small, n_large):
