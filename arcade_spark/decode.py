@@ -41,13 +41,6 @@ def _out_arrow_type(vtype: str) -> pa.DataType:
         "float": pa.float32(),
     }[vtype]
 
-META_COLS = [
-    "part_id", "block_id", "column", "vtype", "codec", "n_values", "row_start",
-    "code_width", "dict_len", "global_start", "global_size", "gdict_epoch",
-    "gdict_reset", "gdict_seed", "n_nulls",
-]
-
-
 def read_blocks(spark: SparkSession, out_dir: str, columns: list[str] | None = None) -> DataFrame:
     df = spark.read.parquet(f"{out_dir}/blocks")
     if columns is not None:
