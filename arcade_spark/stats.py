@@ -64,18 +64,30 @@ def profile_str_block(block: StrBlock) -> StrStats:
         sample_fact = factorize_block(head)
         sample_ratio = sample_fact.n_distinct / SAMPLE_ROWS
         if sample_ratio > 0.85:
-            mm = pc.min_max(block.to_arrow(binary=True))
-            mn = mm["min"].as_py() or b""
-            mx = mm["max"].as_py() or b""
+            # zone maps on long high-cardinality values (html/text) never
+            # prune (min/max of near-unique blobs brackets everything) —
+            # skip the full min/max pass; a None zone map disables
+            # pruning for the block, which is correctness-neutral
+            avg_len = len(block.payload) / max(n, 1)
+            if avg_len > 192:
+                mn = mx = None
+                min_exact = max_exact = False
+            else:
+                mm = pc.min_max(block.to_arrow(binary=True))
+                mn = (mm["min"].as_py() or b"")[:ZONE_MAX_LEN]
+                mx_full = mm["max"].as_py() or b""
+                mx = mx_full[:ZONE_MAX_LEN]
+                min_exact = True  # a prefix lower bound is always safe
+                max_exact = len(mx_full) <= ZONE_MAX_LEN
             return StrStats(
                 n=n,
                 n_distinct=int(sample_ratio * n),
                 payload_bytes=len(block.payload),
                 n_runs=n,
-                min_val=mn[:ZONE_MAX_LEN],
-                max_val=mx[:ZONE_MAX_LEN],
-                min_exact=len(mn) <= ZONE_MAX_LEN,
-                max_exact=len(mx) <= ZONE_MAX_LEN,
+                min_val=mn,
+                max_val=mx,
+                min_exact=min_exact,
+                max_exact=max_exact,
                 entropy=_sample_entropy(block.payload),
                 fact=None,
             )

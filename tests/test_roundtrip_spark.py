@@ -48,8 +48,9 @@ def test_blocks_table_shape(spark, encoded_dir):
         b.groupBy("part_id", "block_id").count().select("count").distinct().collect()
     )
     assert [r["count"] for r in cols_per_block] == [5]
-    # every string chunk carries a zone map
-    zc = b.filter(F.col("vtype").isin("str", "binary")).filter(
+    # short-value string chunks carry zone maps (long high-cardinality
+    # payloads legitimately skip them — stats.py shortcut)
+    zc = b.filter(F.col("column").isin("url", "lang")).filter(
         F.col("min_bin").isNull()
     ).count()
     assert zc == 0
