@@ -159,3 +159,77 @@ def decode_int_block(blob, meta: dict[str, Any]) -> IntBlock:
     validity = unpack_validity(validity_sec, meta["n_values"])
     values = INT_DECODERS[meta["codec"]](payload, meta)
     return IntBlock(values=np.asarray(values, dtype=np.int64), validity=validity)
+
+
+def decode_str_positions(blob, meta: dict[str, Any], positions, gdec: GlobalDictDecoder):
+    """Late materialization (ARCADE R6, process.cpp:4-180): decode only
+    the requested positions of a string chunk, advancing running-dict
+    state exactly as a full decode would. For dictionary codecs this
+    touches codes[positions] + a dictionary take — never the whole
+    block's payload. Returns a StrBlock of len(positions) (validity
+    applied); ``positions`` must be sorted ascending."""
+    import numpy as np
+    import pyarrow as pa
+
+    from arcade_spark.bits import unpack_uints
+    from arcade_spark.blocks import StrBlock, strblock_from_arrow
+    from arcade_spark.codecs import strcodecs as sc
+
+    validity_sec, payload = unpack_sections(blob)
+    payload = unpost(payload, meta.get("post"))
+    validity = unpack_validity(validity_sec, meta["n_values"])
+    codec = meta["codec"]
+    n = meta["n_values"]
+    pos = np.asarray(positions, dtype=np.int64)
+
+    if meta.get("gdict_reset"):
+        gdec.reset()
+
+    if codec == "dict_global":
+        dict_sec, codes_sec = unpack_sections(payload)
+        gdec.append(sc._deserialize_values_arrow(dict_sec))
+        codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+        out = gdec.take_block(codes[pos])
+    elif codec == "dict_local":
+        dict_sec, codes_sec = unpack_sections(payload)
+        uniques = sc._deserialize_values_arrow(dict_sec)
+        if meta.get("gdict_seed"):
+            gdec.append(uniques)
+        codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+        out = sc._take_to_block(uniques, codes[pos])
+    elif codec == "rle_str":
+        import struct as _struct
+
+        dict_sec, codes_sec, lens_sec = unpack_sections(payload)
+        uniques = sc._deserialize_values_arrow(dict_sec)
+        (nruns,) = _struct.unpack_from("<I", codes_sec, 0)
+        run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
+        from arcade_spark.codecs.intcodecs import decode_for_int
+
+        run_lens = decode_for_int(lens_sec, {"n_values": nruns})
+        ends = np.cumsum(run_lens)
+        run_of = np.searchsorted(ends, pos, side="right")
+        out = sc._take_to_block(uniques, run_codes[run_of])
+    elif codec == "plain":
+        lens_sec, data_sec = unpack_sections(payload)
+        from arcade_spark.codecs.intcodecs import decode_for_int
+
+        lengths = decode_for_int(lens_sec, {"n_values": n})
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        data = np.frombuffer(data_sec, dtype=np.uint8)
+        keep = np.zeros(len(data), dtype=bool)
+        for p in pos:  # len(pos) is small by construction (matches only)
+            keep[offs[p] : offs[p + 1]] = True
+        out = StrBlock(lengths=lengths[pos], payload=data[keep].tobytes())
+    else:  # fsst: payload must be expanded anyway
+        full = sc.decode_fsst(payload, meta)
+        offs = full.offsets()
+        data = np.frombuffer(full.payload, dtype=np.uint8)
+        keep = np.zeros(len(data), dtype=bool)
+        for p in pos:
+            keep[offs[p] : offs[p + 1]] = True
+        out = StrBlock(lengths=full.lengths[pos], payload=data[keep].tobytes())
+
+    out.validity = validity[pos] if validity is not None else None
+    return out

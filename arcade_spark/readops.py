@@ -269,14 +269,10 @@ def equi_filter(
 
                         replay_str_block(blob, meta, gdec)
                         continue
-                    block = decode_str_block(blob, meta, gdec)
-                    obj = block.to_object_array()[pos]
-                    if vt == "str":
-                        data[name] = pd.Series(
-                            [None if v is None else v.decode() for v in obj], dtype=object
-                        )
-                    else:
-                        data[name] = pd.Series(obj, dtype=object)
+                    from arcade_spark.core import decode_str_positions
+
+                    block = decode_str_positions(blob, meta, pos, gdec)
+                    data[name] = block_to_series(block, vt)
                 else:
                     if len(pos) == 0:
                         continue
@@ -397,12 +393,14 @@ def random_access(
 
                         replay_str_block(blob, meta, gdec)
                         continue
-                    block = decode_str_block(blob, meta, gdec)
-                    obj = block.to_object_array()[pos]
-                    data[name] = pd.Series(
-                        [None if v is None else (v.decode() if vt == "str" else v) for v in obj],
-                        dtype=object,
-                    )
+                    from arcade_spark.core import decode_str_positions
+
+                    order = np.argsort(pos)
+                    inv = np.empty(len(order), dtype=np.int64)
+                    inv[order] = np.arange(len(order))
+                    block = decode_str_positions(blob, meta, pos[order], gdec)
+                    s = block_to_series(block, vt)
+                    data[name] = s.iloc[inv].reset_index(drop=True)
                 else:
                     if not need:
                         continue
