@@ -106,7 +106,11 @@ def main() -> None:
     large = max(runs[n_large], key=lambda r: r["gbps"])
 
     factor = n_large / n_small
-    eff = large["gbps"] / (factor * small["gbps"])
+    eff_raw = large["gbps"] / (factor * small["gbps"])
+    # >1.0 means the small-N level has not yet seen a quiet window on
+    # this noisy shared box (noise is asymmetric across levels); report
+    # the conservative cap and keep the raw value in scaling.json
+    eff = min(eff_raw, 1.0)
     result = {
         "corpus_rows": rows,
         "num_parts": num_parts,
@@ -114,6 +118,9 @@ def main() -> None:
         "large": large,
         "parallelism_factor": factor,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_raw": round(eff_raw, 3),
+        "n_runs_small": len(runs[n_small]),
+        "n_runs_large": len(runs[n_large]),
     }
     print(json.dumps(result), flush=True)
 
@@ -133,7 +140,11 @@ proxy for N vs 4N executors per BASELINE.md.
 | local[{n_large}] (4N) | {large['wall_seconds']} | {large['gbps']} | {large['ratio']} |
 
 **Scaling efficiency** = throughput(4N) / (4 × throughput(N)) =
-**{eff:.3f}** (target ≥ 0.8).
+**{eff:.3f}** (target ≥ 0.8; raw value {eff_raw:.3f} over
+{result['n_runs_small']}+{result['n_runs_large']} interleaved runs —
+best-of per level on a noisy shared box is capped at 1.0, since a raw
+value above 1.0 only means the two levels caught quiet windows of
+different depth, not super-linear engine scaling).
 
 Compression: encoded/raw = {large['ratio']} on the mixed corpus
 (url/warc_ts/html/text/lang). Per-column codec selection is recorded in
