@@ -35,7 +35,7 @@ def series_to_block(series: pd.Series, vtype: str):
     if vtype in ("ts", "tsntz"):
         arr = pa.Array.from_pandas(series, type=pa.timestamp("us"))
         return intblock_from_arrow(arr)
-    if vtype == "int":
+    if vtype in ("int", "i32", "i16", "i8"):
         arr = pa.Array.from_pandas(series, type=pa.int64())
         return intblock_from_arrow(arr)
     if vtype in ("double", "float"):
@@ -57,8 +57,9 @@ def block_to_arrow(block, vtype: str) -> pa.Array:
         return pa.Array.from_pandas(block.values, mask=validity_mask, type=pa.int64()).cast(
             pa.timestamp("us")
         )
-    if vtype == "int":
-        return pa.Array.from_pandas(block.values, mask=validity_mask, type=pa.int64())
+    if vtype in ("int", "i32", "i16", "i8"):
+        arr = pa.Array.from_pandas(block.values, mask=validity_mask, type=pa.int64())
+        return arr.cast(arrow_type_for(vtype)) if vtype != "int" else arr
     if vtype in ("double", "float"):
         floats = block.values.view(np.float64)
         arr = pa.Array.from_pandas(floats, mask=validity_mask, type=pa.float64())

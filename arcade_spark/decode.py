@@ -37,6 +37,9 @@ def _out_arrow_type(vtype: str) -> pa.DataType:
         "ts": pa.timestamp("us", tz="UTC"),
         "tsntz": pa.timestamp("us"),
         "int": pa.int64(),
+        "i32": pa.int32(),
+        "i16": pa.int16(),
+        "i8": pa.int8(),
         "double": pa.float64(),
         "float": pa.float32(),
     }[vtype]

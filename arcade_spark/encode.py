@@ -299,8 +299,8 @@ def encode_files_job(
     schema = pq.read_schema(files[0])
     arrow_to_vtype = {
         "string": "str", "large_string": "str", "binary": "binary",
-        "large_binary": "binary", "int64": "int", "int32": "int",
-        "double": "double", "float": "float",
+        "large_binary": "binary", "int64": "int", "int32": "i32",
+        "int16": "i16", "int8": "i8", "double": "double", "float": "float",
     }
 
     def vtype_of(field: pa.Field) -> str:

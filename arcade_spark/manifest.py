@@ -32,7 +32,7 @@ import uuid
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FORMAT_REV = 4  # ...3: per-column files + n_cols; 4: manifest carries column order
+FORMAT_REV = 5  # ...4: manifest column order; 5: narrow int vtypes (i32/i16/i8)
 
 BLOCKS_ARROW_SCHEMA = pa.schema(
     [

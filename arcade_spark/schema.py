@@ -77,8 +77,14 @@ def spark_vtype(dt: T.DataType) -> str:
         return "ts"
     if isinstance(dt, T.TimestampNTZType):
         return "tsntz"
-    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+    if isinstance(dt, T.LongType):
         return "int"
+    if isinstance(dt, T.IntegerType):
+        return "i32"
+    if isinstance(dt, T.ShortType):
+        return "i16"
+    if isinstance(dt, T.ByteType):
+        return "i8"
     if isinstance(dt, T.DoubleType):
         return "double"
     if isinstance(dt, T.FloatType):
@@ -93,6 +99,9 @@ def arrow_type_for(vtype: str) -> pa.DataType:
         "ts": pa.timestamp("us", tz="UTC"),
         "tsntz": pa.timestamp("us"),
         "int": pa.int64(),
+        "i32": pa.int32(),
+        "i16": pa.int16(),
+        "i8": pa.int8(),
         "double": pa.float64(),
         "float": pa.float32(),
     }[vtype]
@@ -105,6 +114,9 @@ def spark_type_for(vtype: str) -> str:
         "ts": "timestamp",
         "tsntz": "timestamp_ntz",
         "int": "bigint",
+        "i32": "int",
+        "i16": "smallint",
+        "i8": "tinyint",
         "double": "double",
         "float": "float",
     }[vtype]
