@@ -122,6 +122,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, out, "event_type", "click", project=["event_id", "user_id", "value"]
         )
 
+    def arcade_codec_report(spark, sf_dir):
+        """Metadata queryability (the reference's struct D is opaque
+        bytes; our chunk headers are rows): per-column codec histogram +
+        byte totals over the encoded documents table. Rows-only check
+        (the report describes our own encoding, not source data)."""
+        _ship_package(spark)
+        from pyspark.sql import functions as F2
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        blocks = spark.read.parquet(f"{out}/blocks")
+        return (
+            blocks.groupBy("column", "codec")
+            .agg(
+                F2.count("*").cast("long").alias("n_chunks"),
+                F2.sum("raw_bytes").alias("raw_bytes"),
+                F2.sum("encoded_bytes").alias("encoded_bytes"),
+            )
+        )
+
     def _wrap(fn):
         def inner(spark, sf_dir):
             _ship_package(spark)
@@ -157,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_random_access": arcade_random_access,
         "arcade_scan_lineitem": arcade_scan_lineitem,
         "arcade_filter_events": arcade_filter_events,
+        "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
         "quality_score": _wrap(quality_score),
