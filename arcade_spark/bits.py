@@ -21,21 +21,18 @@ def bit_width(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
-def pack_uints(a: np.ndarray, width: int) -> bytes:
-    """Pack non-negative integers < 2**width into a little-endian bit
-    stream of `width` bits each. width == 0 packs to b'' (all zeros)."""
+def _pack_uints_bitmatrix(a: np.ndarray, width: int) -> bytes:
+    """Reference implementation (n×width uint8 bit matrix + packbits).
+    Kept for property-testing the word-packed fast path against."""
     if width == 0:
         return b""
-    if width > 64:
-        raise ValueError(f"width {width} > 64")
     a = np.ascontiguousarray(a, dtype=np.uint64)
     shifts = np.arange(width, dtype=np.uint64)
     bits = ((a[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 
-def unpack_uints(buf: bytes | memoryview, width: int, n: int) -> np.ndarray:
-    """Inverse of pack_uints → uint64[n]."""
+def _unpack_uints_bitmatrix(buf: bytes | memoryview, width: int, n: int) -> np.ndarray:
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
@@ -43,6 +40,98 @@ def unpack_uints(buf: bytes | memoryview, width: int, n: int) -> np.ndarray:
     bits = flat.reshape(n, width).astype(np.uint64)
     shifts = np.arange(width, dtype=np.uint64)
     return (bits << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def _lcm(x: int, y: int) -> int:
+    import math
+
+    return x * y // math.gcd(x, y)
+
+
+def pack_uints(a: np.ndarray, width: int) -> bytes:
+    """Pack non-negative integers < 2**width into a little-endian bit
+    stream of `width` bits each. width == 0 packs to b'' (all zeros).
+
+    Word-packed: values are OR-shifted into uint64 words in groups of
+    lcm(64, width)/width values (≤64 full-vector ops total, each over
+    n/group elements), touching ~n*8 output bytes instead of the n*width
+    intermediate bytes of a per-bit matrix — ~8× less memory traffic on
+    typical widths, which is what parallel encode workers contend on.
+    Output is byte-identical to the bit-matrix reference (little-endian
+    uint64 words ARE the LSB-first bitstream)."""
+    if width == 0:
+        return b""
+    if width > 64:
+        raise ValueError(f"width {width} > 64")
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    n = len(a)
+    if n == 0:
+        return b""
+    nbytes = (n * width + 7) // 8
+    if width in (8, 16, 32, 64):
+        return a.astype(f"<u{width // 8}").tobytes()[:nbytes]
+    g = _lcm(64, width) // width  # values per word-aligned group
+    nw = _lcm(64, width) // 64  # words per group
+    ngroups = (n + g - 1) // g
+    if ngroups * g != n:
+        a = np.concatenate([a, np.zeros(ngroups * g - n, dtype=np.uint64)])
+    A = a.reshape(ngroups, g)
+    out = np.zeros((ngroups, nw), dtype=np.uint64)
+    for j in range(g):
+        bit = j * width
+        wi, off = bit >> 6, bit & 63
+        v = A[:, j]
+        out[:, wi] |= v << np.uint64(off)
+        if off + width > 64:
+            out[:, wi + 1] |= v >> np.uint64(64 - off)
+    return out.astype("<u8").tobytes()[:nbytes]
+
+
+def unpack_uints(buf: bytes | memoryview, width: int, n: int) -> np.ndarray:
+    """Inverse of pack_uints → uint64[n] (word-gather fast path)."""
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if width in (8, 16, 32, 64):
+        w8 = width // 8
+        raw = np.frombuffer(buf, dtype=np.uint8, count=n * w8)
+        return raw.view(f"<u{w8}").astype(np.uint64)
+    g = _lcm(64, width) // width
+    nw = _lcm(64, width) // 64
+    ngroups = (n + g - 1) // g
+    need = ngroups * nw * 8
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if len(raw) < need:
+        raw = np.concatenate([raw, np.zeros(need - len(raw), dtype=np.uint8)])
+    words = raw[:need].view("<u8").reshape(ngroups, nw).astype(np.uint64, copy=False)
+    out = np.empty((ngroups, g), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    for j in range(g):
+        bit = j * width
+        wi, off = bit >> 6, bit & 63
+        v = words[:, wi] >> np.uint64(off)
+        if off + width > 64:
+            v = v | (words[:, wi + 1] << np.uint64(64 - off))
+        out[:, j] = v & mask
+    return out.reshape(-1)[:n]
+
+
+def float_order_keys(bits_i64: np.ndarray) -> np.ndarray:
+    """Map IEEE-754 float64 bit patterns (int64 view) into a signed-int64
+    domain whose ``<`` order matches float ``<`` order: positive patterns
+    are already increasing; negative patterns flip their 63 magnitude
+    bits so more-negative floats map lower. Used for zone maps on
+    double/float columns — raw bitcast min/max is NOT order-preserving
+    for negatives, so pruning on it would silently drop matches."""
+    b = np.ascontiguousarray(bits_i64, dtype=np.int64)
+    return np.where(b >= 0, b, b ^ np.int64(0x7FFFFFFFFFFFFFFF))
+
+
+def float_order_key(value: float) -> int:
+    """Scalar form of ``float_order_keys`` for query-side literals."""
+    b = int(np.float64(value).view(np.int64))
+    return b if b >= 0 else b ^ 0x7FFFFFFFFFFFFFFF
 
 
 def zigzag_encode(a: np.ndarray) -> np.ndarray:

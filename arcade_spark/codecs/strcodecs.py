@@ -141,25 +141,25 @@ def _take_to_block(values: pa.Array | pa.ChunkedArray, codes: np.ndarray) -> Str
 
 
 def encode_dict_local(block: StrBlock, fact: StrFactor) -> tuple[bytes, dict]:
+    """Payload = bit-packed codes only; the serialized dictionary goes
+    to the chunk's ``seg`` column (FORMAT_REV 6 split: zone-pruned
+    blocks ship only their segment for replay, never the code array)."""
     u = fact.n_distinct
     w = bit_width(u - 1) if u > 1 else 0
-    payload = pack_sections(
-        _serialize_values(fact.uniques_arrow),
-        pack_uints(fact.codes.view(np.uint64), w),
-    )
+    payload = pack_uints(fact.codes.view(np.uint64), w)
     return payload, {
         "codec": "dict_local",
         "n_values": block.n,
         "dict_len": u,
         "code_width": w,
+        "seg": _serialize_values(fact.uniques_arrow),
     }
 
 
 def decode_dict_local(payload, meta) -> StrBlock:
-    dict_sec, codes_sec = unpack_sections(payload)
-    uniques = _deserialize_values_arrow(dict_sec)
+    uniques = _deserialize_values_arrow(meta["seg"])
     n = meta["n_values"]
-    codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+    codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
     return _take_to_block(uniques, codes)
 
 
@@ -178,10 +178,11 @@ def encode_dict_global(
     gcodes = gdict.codes_for(fact.uniques, fact.codes)
     gsize = len(gdict)
     w = bit_width(gsize - 1) if gsize > 1 else 0
-    payload = pack_sections(
-        _serialize_values(np.asarray(diff, dtype=object)),
-        pack_uints(gcodes.view(np.uint64), w),
-    )
+    dict_sec = _serialize_values(np.asarray(diff, dtype=object))
+    # diff-dump history feeds the forward-projection cost model
+    # (sizediff.push_back — writer.cpp:180)
+    gdict.record_diff_dump(len(dict_sec))
+    payload = pack_uints(gcodes.view(np.uint64), w)
     return payload, {
         "codec": "dict_global",
         "n_values": block.n,
@@ -190,12 +191,12 @@ def encode_dict_global(
         "global_start": global_start,
         "global_size": gsize,
         "gdict_epoch": gdict.epoch,
+        "seg": dict_sec,
     }
 
 
 def decode_dict_global(payload, meta, gdec: GlobalDictDecoder) -> StrBlock:
-    dict_sec, codes_sec = unpack_sections(payload)
-    segment = _deserialize_values_arrow(dict_sec)
+    segment = _deserialize_values_arrow(meta["seg"])
     if meta.get("global_start", len(gdec)) != len(gdec):
         raise ValueError(
             f"global dict replay out of sync: expected start {len(gdec)}, "
@@ -203,16 +204,16 @@ def decode_dict_global(payload, meta, gdec: GlobalDictDecoder) -> StrBlock:
         )
     gdec.append(segment)
     n = meta["n_values"]
-    codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+    codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
     return gdec.take_block(codes)
 
 
-def append_segment_only(payload, gdec: GlobalDictDecoder) -> None:
+def append_segment_only(seg, gdec: GlobalDictDecoder) -> None:
     """Zone-map-skipped blocks still contribute their dict segment to the
     running dictionary (the reference fetches skipped blocks' segments
-    via the previndex walk — process.cpp:88-123; we just replay)."""
-    dict_sec, _ = unpack_sections(payload)
-    gdec.append(_deserialize_values_arrow(dict_sec))
+    via the previndex walk — process.cpp:88-123; we just replay the
+    ``seg`` column — the code array never ships)."""
+    gdec.append(_deserialize_values_arrow(seg))
 
 
 # ------------------------------------------------------------- rle_str

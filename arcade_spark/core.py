@@ -48,6 +48,7 @@ def encode_str_block(block: StrBlock, gdict: GlobalDict) -> tuple[bytes, dict[st
     else:  # pragma: no cover
         raise ValueError(codec)
 
+    seg = cmeta.pop("seg", b"")
     payload, post = maybe_post(payload, codec)
     blob = pack_sections(pack_validity(block.validity), payload)
     meta: dict[str, Any] = {
@@ -55,7 +56,8 @@ def encode_str_block(block: StrBlock, gdict: GlobalDict) -> tuple[bytes, dict[st
         "post": post,
         "n_values": block.n,
         "raw_bytes": block.nbytes,
-        "encoded_bytes": len(blob),
+        "encoded_bytes": len(blob) + len(seg),
+        "seg": seg,
         "n_distinct": stats.n_distinct,
         "n_runs": stats.n_runs,
         "n_nulls": int((~block.validity).sum()) if block.validity is not None else 0,
@@ -95,8 +97,7 @@ def decode_str_block(blob, meta: dict[str, Any], gdec: GlobalDictDecoder) -> Str
     elif codec == "dict_local":
         out = sc.decode_dict_local(payload, meta)
         if meta.get("gdict_seed"):
-            dict_sec, _ = unpack_sections(payload)
-            gdec.append(sc._deserialize_values_arrow(dict_sec))
+            gdec.append(sc._deserialize_values_arrow(meta["seg"]))
     elif codec == "dict_global":
         out = sc.decode_dict_global(payload, meta, gdec)
     else:  # pragma: no cover
@@ -106,23 +107,32 @@ def decode_str_block(blob, meta: dict[str, Any], gdec: GlobalDictDecoder) -> Str
     return out
 
 
-def replay_str_block(blob, meta: dict[str, Any], gdec: GlobalDictDecoder) -> None:
+def replay_str_block(meta: dict[str, Any], gdec: GlobalDictDecoder) -> None:
     """Advance the running-dictionary state without materializing values
     — used for zone-map-skipped blocks (SURVEY.md §4 O2; the reference
-    resolves skipped blocks' segments via previndex, process.cpp:88-123)."""
+    resolves skipped blocks' segments via previndex, process.cpp:88-123).
+    Needs only the chunk's ``seg`` (in meta) — the blob never ships for
+    replay-only chunks (FORMAT_REV 6)."""
     if meta.get("gdict_reset"):
         gdec.reset()
     codec = meta["codec"]
     if codec == "dict_global" or (codec == "dict_local" and meta.get("gdict_seed")):
-        _, payload = unpack_sections(blob)
-        payload = unpost(payload, meta.get("post"))
-        dict_sec = unpack_sections(payload)[0]
-        gdec.append(sc._deserialize_values_arrow(dict_sec))
+        gdec.append(sc._deserialize_values_arrow(meta["seg"]))
 
 
-def encode_int_block(block: IntBlock) -> tuple[bytes, dict[str, Any]]:
+def encode_int_block(block: IntBlock, vtype: str = "int") -> tuple[bytes, dict[str, Any]]:
     stats = profile_int_block(block)
     decision = choose_int_codec(stats)
+    if vtype in ("double", "float") and block.n:
+        # zone maps for float columns live in the order-preserving key
+        # domain (bits.float_order_keys) — raw bitcast min/max is not
+        # ordered for negative floats and would prune wrongly
+        from arcade_spark.bits import float_order_keys
+
+        keys = float_order_keys(block.values)
+        zone_min, zone_max = int(keys.min()), int(keys.max())
+    else:
+        zone_min, zone_max = stats.min_val, stats.max_val
     payload, cmeta = INT_ENCODERS[decision.codec](block.values)
     payload, post = maybe_post(payload, decision.codec)
     blob = pack_sections(pack_validity(block.validity), payload)
@@ -132,6 +142,7 @@ def encode_int_block(block: IntBlock) -> tuple[bytes, dict[str, Any]]:
         "n_values": block.n,
         "raw_bytes": block.nbytes,
         "encoded_bytes": len(blob),
+        "seg": b"",
         "n_distinct": stats.n_distinct,
         "n_runs": stats.n_runs,
         "n_nulls": int((~block.validity).sum()) if block.validity is not None else 0,
@@ -146,8 +157,8 @@ def encode_int_block(block: IntBlock) -> tuple[bytes, dict[str, Any]]:
         "max_bin": None,
         "min_exact": True,
         "max_exact": True,
-        "min_int": stats.min_val if block.n else None,
-        "max_int": stats.max_val if block.n else None,
+        "min_int": zone_min if block.n else None,
+        "max_int": zone_max if block.n else None,
         "entropy": 0.0,
     }
     return blob, meta
@@ -175,27 +186,36 @@ def decode_str_positions(blob, meta: dict[str, Any], positions, gdec: GlobalDict
     from arcade_spark.blocks import StrBlock, strblock_from_arrow
     from arcade_spark.codecs import strcodecs as sc
 
+    pos = np.asarray(positions, dtype=np.int64)
+    uniq = np.unique(pos)
+    if len(uniq) < len(pos):
+        # duplicate positions (e.g. random_access with repeated row
+        # ids): the plain/fsst keep-mask below would keep one payload
+        # copy while duplicating lengths — decode the unique set once
+        # (single state advance), then re-expand by take
+        inv = np.searchsorted(uniq, pos)
+        blk = decode_str_positions(blob, meta, uniq, gdec)
+        arr = blk.to_arrow(binary=True).take(pa.array(inv, type=pa.int64()))
+        return strblock_from_arrow(arr)
+
     validity_sec, payload = unpack_sections(blob)
     payload = unpost(payload, meta.get("post"))
     validity = unpack_validity(validity_sec, meta["n_values"])
     codec = meta["codec"]
     n = meta["n_values"]
-    pos = np.asarray(positions, dtype=np.int64)
 
     if meta.get("gdict_reset"):
         gdec.reset()
 
     if codec == "dict_global":
-        dict_sec, codes_sec = unpack_sections(payload)
-        gdec.append(sc._deserialize_values_arrow(dict_sec))
-        codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+        gdec.append(sc._deserialize_values_arrow(meta["seg"]))
+        codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
         out = gdec.take_block(codes[pos])
     elif codec == "dict_local":
-        dict_sec, codes_sec = unpack_sections(payload)
-        uniques = sc._deserialize_values_arrow(dict_sec)
+        uniques = sc._deserialize_values_arrow(meta["seg"])
         if meta.get("gdict_seed"):
             gdec.append(uniques)
-        codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+        codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
         out = sc._take_to_block(uniques, codes[pos])
     elif codec == "rle_str":
         import struct as _struct

@@ -44,6 +44,26 @@ def _out_arrow_type(vtype: str) -> pa.DataType:
         "float": pa.float32(),
     }[vtype]
 
+def _binary_views(arr: pa.Array):
+    """(offsets int64[n+1], data memoryview) for a binary/large_binary
+    Arrow array — zero-copy per-row slicing (`mv[off[i]:off[i+1]]`)."""
+    import numpy as np
+
+    t = arr.type
+    if pa.types.is_large_binary(t) or pa.types.is_large_string(t):
+        dt = np.int64
+    elif pa.types.is_binary(t) or pa.types.is_string(t):
+        dt = np.int32
+    else:
+        raise TypeError(f"not a binary array: {t}")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=dt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64, copy=False)
+    buf = arr.buffers()[2]
+    data = memoryview(buf) if buf is not None else memoryview(b"")
+    return offsets, data
+
+
 def read_blocks(spark: SparkSession, out_dir: str, columns: list[str] | None = None) -> DataFrame:
     df = spark.read.parquet(f"{out_dir}/blocks")
     if columns is not None:
@@ -62,7 +82,23 @@ def _manifest_meta(spark: SparkSession, out_dir: str) -> tuple[list[tuple[str, s
     cached = _manifest_meta_cache.get(out_dir)
     if cached is not None:
         return cached
-    rows = spark.read.parquet(f"{out_dir}/manifest").select("columns").collect()
+    mdf = spark.read.parquet(f"{out_dir}/manifest")
+    if "format_rev" not in mdf.columns:
+        from arcade_spark.manifest import FORMAT_REV
+
+        raise ValueError(
+            f"{out_dir}: no format_rev in manifest (written before rev 6); "
+            f"this reader is FORMAT_REV {FORMAT_REV} — re-encode the table"
+        )
+    rows = mdf.select("columns", "format_rev").collect()
+    from arcade_spark.manifest import FORMAT_REV
+
+    bad = {r["format_rev"] for r in rows} - {FORMAT_REV}
+    if bad:
+        raise ValueError(
+            f"{out_dir}: manifest format_rev {sorted(bad)} != reader "
+            f"FORMAT_REV {FORMAT_REV} — re-encode the table"
+        )
     cols = [tuple(c) for c in json.loads(rows[0]["columns"])]
     meta = (cols, len(rows))
     _manifest_meta_cache[out_dir] = meta
@@ -126,21 +162,41 @@ def make_decode_kernel(columns: list[tuple[str, str]], emit_meta: bool = False):
                 yield decode_block(key[0], key[1], pending.pop(key))
 
         for batch in batches:
-            for row in batch.to_pylist():
-                name = row["column"]
+            # Arrow-native row access: index the columns directly and
+            # slice blobs as zero-copy memoryviews into the batch's data
+            # buffer (the buffer stays alive as long as a view on it
+            # does, so pending blocks may span batches). No to_pylist —
+            # that copied every blob into per-row Python dicts.
+            col = {n: batch.column(j) for j, n in enumerate(batch.schema.names)}
+            names = col["column"].to_pylist()
+            codecs = col["codec"].to_pylist()
+            posts = col["post"].to_pylist()
+            part_ids = col["part_id"].to_numpy(zero_copy_only=False)
+            block_ids = col["block_id"].to_numpy(zero_copy_only=False)
+            n_vals = col["n_values"].to_numpy(zero_copy_only=False)
+            widths = col["code_width"].to_numpy(zero_copy_only=False)
+            gstarts = col["global_start"].to_numpy(zero_copy_only=False)
+            resets = col["gdict_reset"].to_numpy(zero_copy_only=False)
+            seeds = col["gdict_seed"].to_numpy(zero_copy_only=False)
+            blob_off, blob_mv = _binary_views(col["blob"])
+            seg_off, seg_mv = _binary_views(col["seg"])
+            for i in range(batch.num_rows):
+                name = names[i]
                 if name not in want:
                     continue
                 meta = {
-                    "codec": row["codec"],
-                    "post": row["post"],
-                    "n_values": int(row["n_values"]),
-                    "code_width": int(row["code_width"]),
-                    "global_start": int(row["global_start"]),
-                    "gdict_reset": bool(row["gdict_reset"]),
-                    "gdict_seed": bool(row["gdict_seed"]),
+                    "codec": codecs[i],
+                    "post": posts[i],
+                    "n_values": int(n_vals[i]),
+                    "code_width": int(widths[i]),
+                    "global_start": int(gstarts[i]),
+                    "gdict_reset": bool(resets[i]),
+                    "gdict_seed": bool(seeds[i]),
+                    "seg": seg_mv[seg_off[i] : seg_off[i + 1]],
                 }
-                key = (int(row["part_id"]), int(row["block_id"]))
-                pending.setdefault(key, {})[name] = (row["blob"], meta)
+                key = (int(part_ids[i]), int(block_ids[i]))
+                blob = blob_mv[blob_off[i] : blob_off[i + 1]]
+                pending.setdefault(key, {})[name] = (blob, meta)
                 if set(pending[key]) >= want:
                     yield from drain_ready()
         yield from drain_ready()

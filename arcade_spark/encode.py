@@ -46,7 +46,12 @@ from arcade_spark import BLOCK_ROWS
 from arcade_spark.blocks import StrBlock
 from arcade_spark.core import encode_int_block, encode_str_block
 from arcade_spark.gdict import GlobalDict
-from arcade_spark.manifest import MANIFEST_ARROW_SCHEMA, PartWriter, completed_parts
+from arcade_spark.manifest import (
+    MANIFEST_ARROW_SCHEMA,
+    PartWriter,
+    completed_parts,
+    validated_completed_parts,
+)
 from arcade_spark.schema import MANIFEST_DDL, spark_vtype
 
 _PART_COL = "__arcade_part"
@@ -80,6 +85,7 @@ def make_encode_kernel(
     out_dir: str,
     run_id: str,
     block_rows: int = BLOCK_ROWS,
+    job_info: dict | None = None,
 ):
     """Build the mapInArrow kernel closure. ``columns`` is
     [(name, vtype)] in output order. State per task: one GlobalDict per
@@ -115,7 +121,7 @@ def make_encode_kernel(
                     gd = gdicts.setdefault(name, GlobalDict())
                     blob, meta = encode_str_block(block, gd)
                 else:
-                    blob, meta = encode_int_block(block)
+                    blob, meta = encode_int_block(block, vtype)
                 meta["kernel_ms"] = (time.monotonic() - t0) * 1000.0
                 meta.update(
                     part_id=cur_part,
@@ -168,7 +174,8 @@ def make_encode_kernel(
                         yield from finish_part()
                     if writer is None:
                         cur_part = pid
-                        writer = PartWriter(out_dir, pid, run_id, columns=columns)
+                        writer = PartWriter(out_dir, pid, run_id, columns=columns,
+                                            job_info=job_info)
                     cur_part = pid
                     buffer.append(table.slice(int(s0), int(e0 - s0)))
                     buffered += int(e0 - s0)
@@ -210,13 +217,25 @@ def encode_job(
         salt_buckets=salt_buckets, part_id_offset=part_id_offset,
     )
 
-    done = completed_parts(out_dir) if resume else set()
+    job_info = {
+        "mode": "shuffle", "num_parts": num_parts,
+        "salt_buckets": salt_buckets, "order_col": order_col, "source": "",
+    }
+    done = (
+        validated_completed_parts(
+            out_dir, mode="shuffle", num_parts=num_parts,
+            salt_buckets=salt_buckets, order_col=order_col,
+            part_range=(part_id_offset, part_id_offset + num_parts),
+        )
+        if resume
+        else set()
+    )
     if done:
         df = df.filter(~F.col(_PART_COL).isin(*sorted(done)))
 
     run_id = uuid.uuid4().hex[:12]
     t0 = time.time()
-    kernel = make_encode_kernel(columns, out_dir, run_id, block_rows)
+    kernel = make_encode_kernel(columns, out_dir, run_id, block_rows, job_info=job_info)
     new_rows = (
         df.repartition(num_parts, F.col(_PART_COL))
         .sortWithinPartitions(_PART_COL, order_col)
@@ -310,7 +329,15 @@ def encode_files_job(
 
     columns = [(f.name, vtype_of(f)) for f in schema]
 
-    done = completed_parts(out_dir) if resume else set()
+    n_files = len(files)
+    done = (
+        validated_completed_parts(
+            out_dir, mode="files", num_parts=n_files,
+            sources={pid: path for pid, path in enumerate(files)},
+        )
+        if resume
+        else set()
+    )
     assignments = [(pid, path) for pid, path in enumerate(files) if pid not in done]
     run_id = uuid.uuid4().hex[:12]
 
@@ -318,7 +345,11 @@ def encode_files_job(
         for batch in batches:
             for row in batch.to_pylist():
                 pid, path = int(row["part_id"]), row["path"]
-                writer = PartWriter(out_dir, pid, run_id, columns=columns)
+                writer = PartWriter(
+                    out_dir, pid, run_id, columns=columns,
+                    job_info={"mode": "files", "num_parts": n_files,
+                              "salt_buckets": 0, "order_col": "", "source": path},
+                )
                 gdicts: dict[str, GlobalDict] = {}
                 state = {"block_id": 0, "row_start": 0}
                 try:
@@ -334,7 +365,7 @@ def encode_files_job(
                                 gd = gdicts.setdefault(name, GlobalDict())
                                 blob, meta = encode_str_block(block, gd)
                             else:
-                                blob, meta = encode_int_block(block)
+                                blob, meta = encode_int_block(block, vtype)
                             meta["kernel_ms"] = (time.monotonic() - t0) * 1000.0
                             meta.update(
                                 part_id=pid, block_id=state["block_id"],

@@ -17,13 +17,19 @@ import numpy as np
 
 
 class GlobalDict:
-    __slots__ = ("lookup", "values", "nbytes", "epoch")
+    __slots__ = ("lookup", "values", "nbytes", "epoch",
+                 "diff_dump_total", "diff_dump_count")
 
     def __init__(self) -> None:
         self.lookup: dict[bytes, int] = {}
         self.values: list[bytes] = []
         self.nbytes: int = 0
         self.epoch: int = 0
+        # serialized-diff-size history for the forward-projection cost
+        # model (ARCADE's ``sizediff`` vector, writer.cpp:126-131;
+        # cleared on reset like writer.cpp's local/plain paths)
+        self.diff_dump_total: int = 0
+        self.diff_dump_count: int = 0
 
     def __len__(self) -> int:
         return len(self.values)
@@ -33,6 +39,20 @@ class GlobalDict:
         self.values = []
         self.nbytes = 0
         self.epoch += 1
+        self.diff_dump_total = 0
+        self.diff_dump_count = 0
+
+    def record_diff_dump(self, nbytes: int) -> None:
+        """Record the serialized size of an emitted diff segment
+        (``sizediff.push_back``, writer.cpp:180)."""
+        self.diff_dump_total += int(nbytes)
+        self.diff_dump_count += 1
+
+    def diff_avg(self, default: int) -> int:
+        """Mean historical diff dump size (``diffavg``, writer.cpp:127-131)."""
+        if self.diff_dump_count == 0:
+            return default
+        return self.diff_dump_total // self.diff_dump_count
 
     def diff(self, sorted_uniques: np.ndarray) -> list[bytes]:
         """Values of this block not yet in the dictionary (input is the

@@ -32,7 +32,14 @@ import uuid
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FORMAT_REV = 5  # ...4: manifest column order; 5: narrow int vtypes (i32/i16/i8)
+# ...4: manifest column order; 5: narrow int vtypes (i32/i16/i8);
+# 6: job-config columns in manifest rows (resume validation),
+#    order-preserving float zone maps, and the seg/blob split — dict
+#    segments live in their own parquet column so zone-pruned blocks
+#    ship segments only (and get parquet-zstd page compression, the
+#    generalization of ARCADE's snappy-over-dictionaries,
+#    writer.cpp:182-187)
+FORMAT_REV = 6
 
 BLOCKS_ARROW_SCHEMA = pa.schema(
     [
@@ -65,6 +72,9 @@ BLOCKS_ARROW_SCHEMA = pa.schema(
         pa.field("entropy", pa.float64()),
         pa.field("kernel_ms", pa.float64()),
         pa.field("blob", pa.large_binary()),
+        # dict segment (differential diff / local seed), split from the
+        # blob so replay-only chunks ship segments without code arrays
+        pa.field("seg", pa.large_binary()),
     ]
 )
 
@@ -82,6 +92,14 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
         pa.field("columns", pa.string()),  # json [[name, vtype], ...] in encode order
         pa.field("run_id", pa.string()),
         pa.field("status", pa.string()),
+        # job config stamped into every marker: resume refuses to trust
+        # markers whose row→part mapping could differ from this run's
+        pa.field("format_rev", pa.int32()),
+        pa.field("mode", pa.string()),  # shuffle | files
+        pa.field("num_parts", pa.int32()),
+        pa.field("salt_buckets", pa.int32()),
+        pa.field("order_col", pa.string()),
+        pa.field("source", pa.string()),  # files-mode: the source file
     ]
 )
 
@@ -106,17 +124,89 @@ def completed_parts(out_dir: str) -> set[int]:
     return out
 
 
+def validated_completed_parts(
+    out_dir: str,
+    *,
+    mode: str,
+    num_parts: int = 0,
+    salt_buckets: int = 0,
+    order_col: str = "",
+    sources: dict[int, str] | None = None,
+    part_range: tuple[int, int] | None = None,
+) -> set[int]:
+    """``completed_parts`` with config validation: a marker is only
+    trusted if it was produced under the same row→part mapping as this
+    run. Resuming with a changed num_parts / salt_buckets / order_col
+    would silently drop or duplicate rows (the new part-id assignment
+    filtered against old markers); a changed source-file list in files
+    mode shifts pid→file assignments the same way. Raises ValueError on
+    any mismatch instead. ``part_range`` limits the config check to this
+    run's id range (streaming batches share an out_dir with disjoint
+    ranges); format_rev is checked on every marker unconditionally."""
+    mdir = os.path.join(out_dir, "manifest")
+    done = completed_parts(out_dir)
+    if not done or not os.path.isdir(mdir):
+        return done
+    t = pq.read_table(mdir)
+    if "format_rev" not in t.schema.names:
+        raise ValueError(
+            f"{out_dir} was written before FORMAT_REV was stamped into "
+            f"manifest rows (rev < 6); refusing to resume — use a fresh out_dir"
+        )
+    rows = t.select(
+        ["part_id", "format_rev", "mode", "num_parts", "salt_buckets",
+         "order_col", "source"]
+    ).to_pylist()
+    for r in rows:
+        pid = r["part_id"]
+        if r["format_rev"] != FORMAT_REV:
+            raise ValueError(
+                f"{out_dir} part {pid}: format_rev {r['format_rev']} != "
+                f"current {FORMAT_REV}; refusing to resume across format revisions"
+            )
+        if part_range is not None and not (part_range[0] <= pid < part_range[1]):
+            continue
+        if r["mode"] != mode:
+            raise ValueError(f"{out_dir} part {pid}: encoded in mode "
+                             f"{r['mode']!r}, resuming in {mode!r}")
+        if mode == "files":
+            want = (sources or {}).get(pid)
+            if r["source"] != want:
+                raise ValueError(
+                    f"{out_dir} part {pid}: marker was for source "
+                    f"{r['source']!r} but the current file list maps this "
+                    f"part to {want!r} — source files changed; use a fresh out_dir"
+                )
+        else:
+            if (r["num_parts"], r["salt_buckets"], r["order_col"]) != (
+                num_parts, salt_buckets, order_col
+            ):
+                raise ValueError(
+                    f"{out_dir} part {pid}: marker config (num_parts="
+                    f"{r['num_parts']}, salt_buckets={r['salt_buckets']}, "
+                    f"order_col={r['order_col']!r}) != this run's ("
+                    f"{num_parts}, {salt_buckets}, {order_col!r}) — the "
+                    f"row→part mapping differs; use a fresh out_dir"
+                )
+    return done
+
+
 class PartWriter:
     """Streams one partition's chunk rows to its blocks file, then
     commits the manifest marker. Row groups flush per block batch, so
     task memory stays O(block)."""
 
     def __init__(self, out_dir: str, part_id: int, run_id: str,
-                 columns: list[tuple[str, str]] | None = None):
+                 columns: list[tuple[str, str]] | None = None,
+                 job_info: dict | None = None):
         self.out_dir = out_dir
         self.part_id = part_id
         self.run_id = run_id
         self.columns = columns or []
+        self.job_info = {
+            "mode": "shuffle", "num_parts": 0, "salt_buckets": 0,
+            "order_col": "", "source": "", **(job_info or {}),
+        }
         os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
         os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
         # one file per COLUMN: columnar at the file level, so a filtered
@@ -140,8 +230,13 @@ class PartWriter:
                 f".tmp-{self.part_id:05d}-{column}-{uuid.uuid4().hex[:8]}.parquet",
             )
             # blobs are already codec-compressed — parquet must not
-            # re-compress them (wasted CPU both ways)
-            w = pq.ParquetWriter(tmp, BLOCKS_ARROW_SCHEMA, compression={"blob": "none"})
+            # re-compress them (wasted CPU both ways); segs are raw
+            # serialized dictionaries — zstd pages give them the
+            # snappy-over-dicts post-pass of the reference (W11)
+            w = pq.ParquetWriter(
+                tmp, BLOCKS_ARROW_SCHEMA,
+                compression={"blob": "none", "seg": "zstd"},
+            )
             self._tmps[column] = tmp
             self._writers[column] = w
         return w
@@ -190,6 +285,8 @@ class PartWriter:
             "columns": json.dumps([list(c) for c in self.columns]),
             "run_id": self.run_id,
             "status": "done",
+            "format_rev": FORMAT_REV,
+            **self.job_info,
         }
         mtmp = os.path.join(
             self.out_dir, "manifest", f".tmp-{self.part_id:05d}-{uuid.uuid4().hex[:8]}.parquet"

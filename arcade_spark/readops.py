@@ -49,6 +49,7 @@ def _meta_from_row(row) -> dict:
         "global_start": int(row.global_start),
         "gdict_reset": bool(row.gdict_reset),
         "gdict_seed": bool(row.gdict_seed),
+        "seg": row.seg if row.seg is not None else b"",
     }
 
 
@@ -94,15 +95,13 @@ class _StrFilterState:
         n = meta["n_values"]
 
         if codec == "dict_global":
-            dict_sec, codes_sec = unpack_sections(payload)
-            self._absorb_segment(sc._deserialize_values_arrow(dict_sec))
+            self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
             if self.target_gid < 0:
                 return np.empty(0, dtype=np.int64)
-            codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+            codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
             pos = np.nonzero(codes == self.target_gid)[0]
         elif codec == "dict_local":
-            dict_sec, codes_sec = unpack_sections(payload)
-            uniques = sc._deserialize_values_arrow(dict_sec)
+            uniques = sc._deserialize_values_arrow(meta["seg"])
             if meta.get("gdict_seed"):
                 self._absorb_segment(uniques)
             import pyarrow as pa
@@ -113,7 +112,7 @@ class _StrFilterState:
             )
             if code < 0:
                 return np.empty(0, dtype=np.int64)
-            codes = unpack_uints(codes_sec, meta["code_width"], n).view(np.int64)
+            codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
             pos = np.nonzero(codes == code)[0]
         elif codec == "rle_str":
             dict_sec, codes_sec, lens_sec = unpack_sections(payload)
@@ -140,16 +139,15 @@ class _StrFilterState:
             pos = pos[validity[pos]]
         return pos
 
-    def replay(self, blob, meta: dict) -> None:
+    def replay(self, meta: dict) -> None:
+        """Advance replay state from the segment alone — pruned chunks
+        ship ``seg`` but a NULL blob (FORMAT_REV 6 split)."""
         if meta.get("gdict_reset"):
             self.gdec.reset()
             self.target_gid = -1
         codec = meta["codec"]
         if codec == "dict_global" or (codec == "dict_local" and meta.get("gdict_seed")):
-            _, payload = unpack_sections(blob)
-            payload = unpost(payload, meta.get("post"))
-            dict_sec = unpack_sections(payload)[0]
-            self._absorb_segment(sc._deserialize_values_arrow(dict_sec))
+            self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
 
 
 def equi_filter(
@@ -183,35 +181,68 @@ def equi_filter(
 
     is_str = fvt in ("str", "binary")
     vb = value.encode() if isinstance(value, str) else value
+    target_int = 0
+    if not is_str:
+        if fvt in ("double", "float"):
+            # stored bitcast: equality compares bit patterns, the zone
+            # prune compares order-preserving keys (bits.float_order_key)
+            from arcade_spark.bits import float_order_key
+
+            target_int = int(np.float64(vb).view(np.int64))
+            zone_key = float_order_key(float(vb))
+        else:
+            target_int = int(vb)
+            zone_key = target_int
 
     blocks = read_blocks(spark, out_dir, sel_cols)
     if is_str:
         lit = F.lit(bytearray(vb))
         prune = (lit < F.col("min_bin")) | (F.col("max_exact") & (lit > F.col("max_bin")))
     else:
-        lit = F.lit(int(vb))
+        lit = F.lit(zone_key)
         prune = (lit < F.col("min_int")) | (lit > F.col("max_int"))
+    zk = ~F.coalesce(prune, F.lit(False))
     blocks = blocks.withColumn(
         "zone_keep",
-        F.when(F.col("column") == column, ~F.coalesce(prune, F.lit(False))).otherwise(
-            F.lit(True)
-        ),
+        F.when(F.col("column") == column, zk).otherwise(F.lit(True)),
     )
+    stateful = (F.col("codec") == "dict_global") | F.col("gdict_seed")
     if not count_only:
-        # true I/O skip: pruned filter-column chunks whose codec carries
-        # no cross-block dictionary state are DROPPED in the plan — the
-        # predicate is on raw stats columns, so parquet row-group
-        # pruning elides their blob bytes entirely. Stateful chunks
-        # (differential dict segments, local-dict seeds) are retained
-        # for replay (the previndex walk analogue, process.cpp:88-123).
-        # count_only keeps every row so the zone_skipped metric is
-        # observable (FIXTURES.md §3).
+        # true I/O skip (filter column): pruned chunks whose codec
+        # carries no cross-block dictionary state are DROPPED in the
+        # plan — the predicate is on raw stats columns, so parquet
+        # row-group pruning elides their blob bytes entirely. Stateful
+        # chunks (differential dict segments, local-dict seeds) are
+        # retained for replay (the previndex walk analogue,
+        # process.cpp:88-123). count_only keeps every row so the
+        # zone_skipped metric is observable (FIXTURES.md §3).
         blocks = blocks.filter(
-            (F.col("column") != column)
-            | F.col("zone_keep")
-            | (F.col("codec") == "dict_global")
-            | F.col("gdict_seed")
+            (F.col("column") != column) | F.col("zone_keep") | stateful
         )
+        # block-level propagation to PROJECTION columns: a block whose
+        # filter chunk is zone-pruned can produce no matches, so its
+        # projection chunks are replay-only too. The filter column's
+        # per-block verdict is a tiny metadata-only scan (no blob/seg
+        # bytes read — parquet column pruning), broadcast-joined onto
+        # every chunk row. At scale this is the difference between
+        # shipping all html blobs of all blocks vs only matched blocks'.
+        fmeta = (
+            read_blocks(spark, out_dir, [column])
+            .filter(F.col("column") == column)
+            .select("part_id", "block_id", zk.alias("blk_keep"))
+        )
+        blocks = blocks.join(F.broadcast(fmeta), ["part_id", "block_id"], "left")
+        blocks = blocks.withColumn("blk_keep", F.coalesce("blk_keep", F.lit(True)))
+        blocks = blocks.filter((F.col("zone_keep") & F.col("blk_keep")) | stateful)
+    else:
+        blocks = blocks.withColumn("blk_keep", F.col("zone_keep"))
+    # replay-only chunks ship their dict segment but never the code
+    # array: NULL out the blob in the plan so shuffle + Arrow IPC move
+    # segments only (the blob column bytes dominate at scale)
+    blocks = blocks.withColumn(
+        "blob",
+        F.when(F.col("zone_keep") & F.col("blk_keep"), F.col("blob")),
+    )
 
     n_parts = _num_parts(spark, out_dir)
     proj_items = [(c, vtypes[c]) for c in project]
@@ -233,15 +264,15 @@ def equi_filter(
                 fblob, fmeta, fkeep = fchunk
                 if is_str:
                     st = fstates.setdefault(part_id, _StrFilterState(vb))
-                    if fkeep:
+                    if fkeep and fblob is not None:
                         pos = st.match_positions(fblob, fmeta)
                     else:
-                        st.replay(fblob, fmeta)
+                        st.replay(fmeta)
                         pos = np.empty(0, dtype=np.int64)
                 else:
                     if fkeep:
                         iblock = decode_int_block(fblob, fmeta)
-                        pos = np.nonzero(iblock.values == int(vb))[0]
+                        pos = np.nonzero(iblock.values == target_int)[0]
                         if iblock.validity is not None and len(pos):
                             pos = pos[iblock.validity[pos]]
                     else:
@@ -264,10 +295,10 @@ def equi_filter(
                 blob, meta, _ = chunk
                 if vt in ("str", "binary"):
                     gdec = gdecs.setdefault((part_id, name), GlobalDictDecoder())
-                    if len(pos) == 0:
+                    if len(pos) == 0 or blob is None:
                         from arcade_spark.core import replay_str_block
 
-                        replay_str_block(blob, meta, gdec)
+                        replay_str_block(meta, gdec)
                         continue
                     from arcade_spark.core import decode_str_positions
 
@@ -300,7 +331,7 @@ def equi_filter(
                 cur_chunks[row.column] = (
                     row.blob,
                     _meta_from_row(row),
-                    bool(row.zone_keep),
+                    bool(row.zone_keep) and bool(row.blk_keep),
                 )
         if cur_key is not None and cur_chunks:
             out = handle_block(cur_key[0], cur_key[1], cur_chunks)
@@ -329,23 +360,13 @@ def filter_count(spark: SparkSession, out_dir: str, column: str, value) -> DataF
     )
 
 
-def random_access(
-    spark: SparkSession,
-    out_dir: str,
-    row_ids: list[int],
-    project: list[str] | None = None,
-) -> DataFrame:
-    """Multi-row lookup by global rowid (canonical order: part_id asc,
-    block order within part). Metadata math on the driver (manifest +
-    chunk headers are metadata, not data), positional decode on
-    executors for only the partitions touched."""
+def _random_access_targets(out_dir: str, row_ids: list[int]):
+    """Global rowid → per-partition local positions via the manifest
+    prefix sums (the ``blocksizes`` index analogue, reader.cpp:113-115).
+    Driver-side metadata math only."""
     import os
 
     import pyarrow.parquet as pq
-
-    all_cols = table_columns(spark, out_dir)
-    if project is not None:
-        all_cols = [(n, v) for n, v in all_cols if n in project]
 
     manifest = pq.read_table(os.path.join(out_dir, "manifest"),
                              columns=["part_id", "n_rows"])
@@ -360,66 +381,123 @@ def random_access(
         if pi < 0 or pi >= len(part_ids) or rid >= offsets[pi + 1]:
             raise IndexError(f"row id {rid} out of range")
         targets.setdefault(part_ids[pi], []).append((rid - int(offsets[pi]), rid))
+    return targets
 
+
+def _random_access_blocks(
+    spark: SparkSession, out_dir: str, col_names: list[str],
+    targets: dict[int, list[tuple[int, int]]],
+) -> DataFrame:
+    """Block-range pruning for point lookups: only chunks of TOUCHED
+    blocks ship their blob; stateful chunks (differential dict segments,
+    local-dict seeds) before the last touched position of each partition
+    ship seg-only (NULL blob) for dictionary replay; everything else is
+    dropped in the plan — the predicates are on raw stats columns
+    (row_start, n_values, codec), so parquet row-group pruning elides
+    the dropped chunks' bytes. A 6-row lookup reads ~6 blocks' blobs,
+    not whole partitions."""
     touched = sorted(targets)
-    blocks = read_blocks(spark, out_dir, [n for n, _ in all_cols]).filter(
-        F.col("part_id").isin(touched)
+    blocks = read_blocks(spark, out_dir, col_names).filter(
+        F.col("part_id").isin(touched) if touched else F.lit(False)
     )
-    want = {n for n, _ in all_cols}
-    vtypes = dict(all_cols)
+    tgt = F.lit(False)
+    state_before = F.lit(False)
+    for p, lps in targets.items():
+        per = None
+        for lp in sorted({lp for lp, _ in lps}):
+            c = (F.col("row_start") <= F.lit(int(lp))) & (
+                F.col("row_start") + F.col("n_values") > F.lit(int(lp))
+            )
+            per = c if per is None else per | c
+        tgt = tgt | ((F.col("part_id") == p) & per)
+        last = max(lp for lp, _ in lps)
+        state_before = state_before | (
+            (F.col("part_id") == p) & (F.col("row_start") <= F.lit(int(last)))
+        )
+    stateful = (F.col("codec") == "dict_global") | F.col("gdict_seed")
+    blocks = blocks.filter(tgt | (stateful & state_before))
+    blocks = blocks.withColumn("is_target", tgt)
+    return blocks.withColumn("blob", F.when(F.col("is_target"), F.col("blob")))
+
+
+def random_access(
+    spark: SparkSession,
+    out_dir: str,
+    row_ids: list[int],
+    project: list[str] | None = None,
+) -> DataFrame:
+    """Multi-row lookup by global rowid (canonical order: part_id asc,
+    block order within part). Metadata math on the driver (manifest +
+    chunk headers are metadata, not data), positional decode on
+    executors for only the touched BLOCKS (reader.cpp:69-143)."""
+    all_cols = table_columns(spark, out_dir)
+    if project is not None:
+        all_cols = [(n, v) for n, v in all_cols if n in project]
+
+    targets = _random_access_targets(out_dir, row_ids)
+    touched = sorted(targets)
+    blocks = _random_access_blocks(spark, out_dir, [n for n, _ in all_cols], targets)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gdecs: dict[tuple[int, str], GlobalDictDecoder] = {}
-        pending: dict[tuple[int, int], dict[str, tuple]] = {}
 
         def handle(part_id: int, block_id: int, chunks) -> pd.DataFrame | None:
+            from arcade_spark.core import decode_str_positions, replay_str_block
+
+            if not chunks["__is_target"]:
+                # replay-only block: stateful str chunks only (partial
+                # column set by construction)
+                for name, vt in all_cols:
+                    ch = chunks.get(name)
+                    if ch is not None and vt in ("str", "binary"):
+                        gdec = gdecs.setdefault((part_id, name), GlobalDictDecoder())
+                        replay_str_block(ch[1], gdec)
+                return None
             row_start = chunks["__row_start"]
-            n_vals = chunks[next(iter(want))][1]["n_values"]
+            n_vals = next(
+                ch[1]["n_values"] for k, ch in chunks.items() if not k.startswith("__")
+            )
             local = targets.get(part_id, [])
             pos_rid = [
                 (lp - row_start, rid)
                 for lp, rid in local
                 if row_start <= lp < row_start + n_vals
             ]
-            need = len(pos_rid) > 0
             pos = np.array([p for p, _ in pos_rid], dtype=np.int64)
             data = {"row_id": pd.Series([r for _, r in pos_rid], dtype="int64")}
             for name, vt in all_cols:
                 blob, meta = chunks[name][:2]
                 if vt in ("str", "binary"):
                     gdec = gdecs.setdefault((part_id, name), GlobalDictDecoder())
-                    if not need:
-                        from arcade_spark.core import replay_str_block
-
-                        replay_str_block(blob, meta, gdec)
-                        continue
-                    from arcade_spark.core import decode_str_positions
-
-                    order = np.argsort(pos)
+                    order = np.argsort(pos, kind="stable")
                     inv = np.empty(len(order), dtype=np.int64)
                     inv[order] = np.arange(len(order))
                     block = decode_str_positions(blob, meta, pos[order], gdec)
                     s = block_to_series(block, vt)
                     data[name] = s.iloc[inv].reset_index(drop=True)
                 else:
-                    if not need:
-                        continue
                     block = decode_int_block(blob, meta)
                     data[name] = block_to_series(block, vt).iloc[pos].reset_index(drop=True)
-            if not need:
-                return None
             return pd.DataFrame(data)
 
+        cur_key: tuple[int, int] | None = None
+        cur_chunks: dict[str, tuple] = {}
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 key = (int(row.part_id), int(row.block_id))
-                d = pending.setdefault(key, {})
-                d[row.column] = (row.blob, _meta_from_row(row))
-                d["__row_start"] = int(row.row_start)
-                if set(k for k in d if not k.startswith("__")) >= want:
-                    out = handle(key[0], key[1], pending.pop(key))
+                if cur_key is not None and key != cur_key:
+                    out = handle(cur_key[0], cur_key[1], cur_chunks)
                     if out is not None and len(out):
                         yield out
+                    cur_chunks = {}
+                cur_key = key
+                cur_chunks[row.column] = (row.blob, _meta_from_row(row))
+                cur_chunks["__row_start"] = int(row.row_start)
+                cur_chunks["__is_target"] = bool(row.is_target)
+        if cur_key is not None and cur_chunks:
+            out = handle(cur_key[0], cur_key[1], cur_chunks)
+            if out is not None and len(out):
+                yield out
 
     schema = "row_id long, " + ", ".join(f"{n} {spark_type_for(v)}" for n, v in all_cols)
     return (

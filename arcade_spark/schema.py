@@ -41,6 +41,7 @@ BLOCKS_SPARK_SCHEMA = T.StructType(
         T.StructField("entropy", T.DoubleType(), False),
         T.StructField("kernel_ms", T.DoubleType(), False),
         T.StructField("blob", T.BinaryType(), False),
+        T.StructField("seg", T.BinaryType(), True),
     ]
 )
 
@@ -60,6 +61,12 @@ MANIFEST_SPARK_SCHEMA = T.StructType(
         T.StructField("columns", T.StringType(), False),  # json [[name, vtype], ...]
         T.StructField("run_id", T.StringType(), False),
         T.StructField("status", T.StringType(), False),
+        T.StructField("format_rev", T.IntegerType(), False),
+        T.StructField("mode", T.StringType(), False),
+        T.StructField("num_parts", T.IntegerType(), False),
+        T.StructField("salt_buckets", T.IntegerType(), False),
+        T.StructField("order_col", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
     ]
 )
 

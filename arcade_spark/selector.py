@@ -101,6 +101,29 @@ def choose_str_codec(stats: StrStats, gdict: GlobalDict, block: StrBlock) -> Str
             est["dict_global"] = (
                 _values_payload_estimate(diff_bytes, len(diff)) + (n * w_g + 7) // 8
             )
+            if est["dict_global"] < local_bytes and w_g > w_local:
+                # ARCADE's forward projection at code-width boundaries
+                # (writer.cpp:119-161): the global dict's codes are wider
+                # than a fresh local dict's would be, so every FUTURE
+                # block of this partition pays (w_g - w_local) bits per
+                # row until the memory cap forces a reset. Project
+                # pblocks = remaining budget / this diff's dump size
+                # blocks ahead (writer.cpp:140) and charge: global path =
+                # pblocks wide-code blocks + this diff; local path =
+                # pblocks narrow-code blocks each paying the historical
+                # mean diff dump (diffavg, writer.cpp:127-131) + this
+                # local dump. Choose local when the projection says the
+                # greedy global choice locks in a net loss.
+                diffdictdump = _values_payload_estimate(diff_bytes, len(diff))
+                diffavg = gdict.diff_avg(default=diffdictdump)
+                remaining = max(DICT_MEMORY_CAP - gdict.nbytes, 0)
+                pblocks = remaining // max(diffdictdump, 1)
+                proj_global = pblocks * ((n * w_g + 7) // 8) + est["dict_global"]
+                proj_local = pblocks * ((n * w_local + 7) // 8 + diffavg) + local_bytes
+                if proj_global > proj_local:
+                    force_local = True
+                    est["proj_global"] = proj_global
+                    est["proj_local"] = proj_local
 
     if force_local or est.get("dict_global", 1 << 62) >= local_bytes:
         dict_codec, dict_bytes = "dict_local", local_bytes

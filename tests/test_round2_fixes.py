@@ -1,0 +1,212 @@
+"""Round-2 correctness fixes (ADVICE.md):
+
+1. equi_filter on double/float columns — values are stored bitcast to
+   int64; equality must compare bit patterns of the *float* query value
+   and the zone map must live in an order-preserving key domain
+   (bits.float_order_keys), or negative floats prune wrongly.
+2. Resume config validation — markers are only trusted when the
+   row→part mapping (num_parts / salt_buckets / order_col / source
+   file list) and FORMAT_REV match the run that wrote them.
+3. decode_str_positions with duplicate positions (random_access with
+   repeated row ids) must not corrupt plain/fsst payload slicing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcade_spark.bits import float_order_key, float_order_keys
+from arcade_spark.blocks import StrBlock
+from arcade_spark.core import decode_str_positions, encode_str_block
+from arcade_spark.encode import encode_job
+from arcade_spark.gdict import GlobalDict, GlobalDictDecoder
+from arcade_spark.readops import equi_filter, random_access
+
+
+def test_float_order_keys_are_order_preserving():
+    vals = np.array(
+        [-np.inf, -1e300, -2.0, -1.0, -0.5, -1e-300, 0.0, 1e-300, 0.5, 1.0, 2.0, 1e300, np.inf]
+    )
+    keys = float_order_keys(vals.view(np.int64))
+    assert (np.diff(keys) > 0).all()
+    for v in vals:
+        assert float_order_key(float(v)) == keys[list(vals).index(v)]
+
+
+@pytest.fixture(scope="module")
+def double_table(spark, tmp_path_factory):
+    """Table with a negative-heavy double column arranged so bitcast
+    zone maps would prune the matching block (the round-1 bug)."""
+    rng = np.random.default_rng(11)
+    n = 2000
+    vals = np.round(rng.normal(-5.0, 3.0, n), 3)  # mostly negative
+    vals[::97] = -3.25  # exact target value, spread across blocks
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://h{i % 7}.example/{i}" for i in range(n)],
+            "value": vals,
+            "k": np.arange(n, dtype=np.int64),
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("dbl") / "enc")
+    encode_job(spark, src, out, num_parts=3, block_rows=256)
+    return out, pdf
+
+
+def test_equi_filter_double_equality(spark, double_table):
+    out, pdf = double_table
+    got = equi_filter(spark, out, "value", -3.25, project=["k"]).toPandas()
+    want = sorted(pdf.loc[pdf["value"] == -3.25, "k"].tolist())
+    assert sorted(got["k"].tolist()) == want
+    assert len(want) > 0
+
+
+def test_equi_filter_double_no_match(spark, double_table):
+    out, _ = double_table
+    got = equi_filter(spark, out, "value", 123456.75, project=["k"]).toPandas()
+    assert len(got) == 0
+
+
+def test_resume_rejects_changed_config(spark, tmp_path_factory):
+    from arcade_spark.corpus import write_corpus
+
+    path = str(tmp_path_factory.mktemp("rc") / "c.parquet")
+    write_corpus(path, n_rows=800, seed=3)
+    src = spark.read.parquet(path)
+    out = str(tmp_path_factory.mktemp("rc") / "enc")
+    encode_job(spark, src, out, num_parts=4, block_rows=512)
+    with pytest.raises(ValueError, match="num_parts"):
+        encode_job(spark, src, out, num_parts=8, block_rows=512)
+    with pytest.raises(ValueError, match="order_col|mapping"):
+        encode_job(spark, src, out, num_parts=4, order_col="text", block_rows=512)
+    # identical config resumes fine (all parts skipped)
+    m = encode_job(spark, src, out, num_parts=4, block_rows=512)
+    assert m["new_parts"] == 0 and m["skipped_parts"] == 4
+
+
+def test_files_resume_rejects_changed_source_list(spark, tmp_path_factory):
+    from arcade_spark.corpus import write_corpus_files
+    from arcade_spark.encode import encode_files_job
+
+    d = str(tmp_path_factory.mktemp("fc") / "files")
+    write_corpus_files(d, 600, 3, seed=5)
+    out = str(tmp_path_factory.mktemp("fc") / "enc")
+    encode_files_job(spark, d, out, block_rows=512)
+    # a new file that sorts FIRST shifts every pid→file assignment
+    import shutil, os
+
+    victims = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(d, victims[0]), os.path.join(d, "aaa-new.parquet"))
+    with pytest.raises(ValueError, match="source"):
+        encode_files_job(spark, d, out, block_rows=512)
+
+
+def test_random_access_duplicate_row_ids(spark, tmp_path_factory):
+    from arcade_spark.corpus import write_corpus
+
+    path = str(tmp_path_factory.mktemp("dup") / "c.parquet")
+    write_corpus(path, n_rows=700, seed=8)
+    src = spark.read.parquet(path)
+    out = str(tmp_path_factory.mktemp("dup") / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=128)
+    got = random_access(spark, out, [5, 5, 130, 5, 130], project=["url", "text"]).toPandas()
+    assert len(got) == 5
+    assert got["row_id"].value_counts()[5] == 3
+    by_id = got.drop_duplicates("row_id").set_index("row_id")
+    # duplicates must be byte-identical to each other
+    for rid in (5, 130):
+        vals = got.loc[got["row_id"] == rid, "text"].unique()
+        assert len(vals) == 1
+    # and consistent with a singleton lookup
+    single = random_access(spark, out, [5, 130], project=["url", "text"]).toPandas()
+    s_by = single.set_index("row_id")
+    for rid in (5, 130):
+        assert s_by.loc[rid, "text"] == by_id.loc[rid, "text"]
+        assert s_by.loc[rid, "url"] == by_id.loc[rid, "url"]
+
+
+def test_decode_str_positions_duplicates_plain():
+    """Direct kernel check: plain/fsst path with duplicate positions
+    previously produced lengths/payload disagreement."""
+    values = [b"alpha", b"bravo-longer", b"c", b"delta", b"echo"]
+    lengths = np.array([len(v) for v in values], dtype=np.int64)
+    block = StrBlock(lengths=lengths, payload=b"".join(values))
+    gd = GlobalDict()
+    # force plain: high distinct ratio (5/5) triggers the plain rule
+    blob, meta = encode_str_block(block, gd)
+    assert meta["codec"] in ("plain", "fsst")
+    out = decode_str_positions(blob, meta, np.array([1, 1, 3, 3, 3]), GlobalDictDecoder())
+    got = [bytes(v) for v in out.to_object_array()]
+    assert got == [b"bravo-longer", b"bravo-longer", b"delta", b"delta", b"delta"]
+    assert int(out.lengths.sum()) == len(out.payload)
+
+
+def test_word_packed_bitpack_matches_reference():
+    """pack_uints/unpack_uints word-packed fast path is byte-identical
+    to the bit-matrix reference for every width (the on-disk format
+    depends on it — blocks must stay bit-identical across revisions)."""
+    from arcade_spark.bits import (
+        _pack_uints_bitmatrix,
+        _unpack_uints_bitmatrix,
+        pack_uints,
+        unpack_uints,
+    )
+
+    rng = np.random.default_rng(42)
+    for width in range(1, 65):
+        hi = 2**width if width < 64 else 2**63
+        for n in (0, 1, 5, 64, 193):
+            a = rng.integers(0, hi, n, dtype=np.uint64)
+            packed = pack_uints(a, width)
+            assert packed == _pack_uints_bitmatrix(a, width)
+            assert (unpack_uints(packed, width, n) == a).all()
+            assert (_unpack_uints_bitmatrix(packed, width, n) == a).all()
+
+
+def test_random_access_ships_only_touched_blocks(spark, tmp_path_factory):
+    """VERDICT #3: the plan must ship blob bytes only for blocks
+    containing requested rows; stateful dict chunks before them ship
+    seg-only (NULL blob); everything else is dropped at the scan."""
+    from pyspark.sql import functions as F
+
+    from arcade_spark.corpus import write_corpus
+    from arcade_spark.readops import _random_access_blocks, _random_access_targets
+
+    path = str(tmp_path_factory.mktemp("rap") / "c.parquet")
+    write_corpus(path, n_rows=4000, seed=13)
+    src = spark.read.parquet(path)
+    out = str(tmp_path_factory.mktemp("rap") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=128)
+
+    total_chunks = spark.read.parquet(f"{out}/blocks").count()
+    targets = _random_access_targets(out, [3, 1500])
+    shipped = _random_access_blocks(
+        spark, out, ["url", "text", "lang", "html", "warc_ts"], targets
+    )
+    n_shipped = shipped.count()
+    n_with_blob = shipped.filter(F.col("blob").isNotNull()).count()
+    n_targets = shipped.filter(F.col("is_target")).count()
+    # 2 rows touch ≤2 blocks × 5 columns = ≤10 blob-carrying chunks
+    assert n_with_blob <= 10
+    assert n_with_blob == n_targets
+    # replay-only rows ship seg-only
+    assert shipped.filter(~F.col("is_target") & F.col("blob").isNotNull()).count() == 0
+    assert n_shipped < total_chunks / 3, (n_shipped, total_chunks)
+
+    # and the result is still exact
+    got = random_access(spark, out, [3, 1500], project=["url", "text"]).toPandas()
+    assert len(got) == 2
+
+
+def test_equi_filter_prunes_projection_blobs(spark, double_table):
+    """Projection chunks of zone-pruned blocks must not ship blobs:
+    a selective filter's result is exact while non-matching blocks'
+    projection columns are replay-only."""
+    out, pdf = double_table
+    got = equi_filter(spark, out, "k", 42, project=["url", "value"]).toPandas()
+    assert len(got) == 1
+    assert got["url"][0] == pdf["url"][42]
+    assert got["value"][0] == pdf["value"][42]

@@ -185,3 +185,39 @@ def test_encode_decode_sequence_with_resets():
     for blob, meta, vals in encoded:
         out = decode_str_block(blob, meta, gdec)
         assert list(out.to_object_array()) == vals, meta["codec"]
+
+
+def test_forward_projection_at_width_boundary():
+    """ARCADE's forward-projection cost model (writer.cpp:119-161):
+    when the global dict's code width exceeds what a fresh local dict
+    would use, the selector projects pblocks = (CACHE - used)/diffdump
+    future blocks (writer.cpp:140) and compares
+        pblocks*(w_g-wide codes) + sizeofdiff        [keep global]
+    vs  pblocks*(w_local-wide codes + diffavg) + sizelocal  [reset local]
+    choosing local when the greedy this-block choice locks in wider
+    codes for the rest of the partition. Constructed so greedy says
+    global (tiny diff) but the projection says local (150 distinct fit
+    8-bit codes vs 10-bit global codes forever after)."""
+    gdict = GlobalDict()
+    # 600 resident values -> global codes are 10 bits wide
+    gdict.append([f"resident-{i:04d}".encode() for i in range(600)])
+    # block re-uses 150 resident values -> empty diff, 8-bit local codes
+    vals = [f"resident-{i % 150:04d}".encode() for i in rng.permutation(3000)]
+    d, g, _, stats = decide(vals, gdict)
+    assert "dict_global" in d.estimates  # greedy candidate was computed
+    assert d.estimates["dict_global"] < d.estimates["dict_local"]  # greedy says global
+    assert d.estimates["proj_global"] > d.estimates["proj_local"]  # projection flips it
+    assert d.codec == "dict_local"
+    assert d.reset_before and d.seed_gdict
+
+
+def test_no_projection_when_widths_equal():
+    """Same-width global vs local: projection must not fire; the cheap
+    tiny-diff global dictionary wins as before."""
+    gdict = GlobalDict()
+    gdict.append([f"w-{i:03d}".encode() for i in range(140)])
+    vals = [f"w-{i % 140:03d}".encode() for i in rng.permutation(3000)]
+    d, *_ = decide(vals, gdict)
+    # 140 resident, 140 distinct -> both widths are 8 bits
+    assert d.codec == "dict_global"
+    assert "proj_global" not in d.estimates
