@@ -122,6 +122,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, out, "event_type", "click", project=["event_id", "user_id", "value"]
         )
 
+    def arcade_filter_range(spark, sf_dir):
+        """BETWEEN on a dictionary-coded string column: zone-map prune +
+        sorted-dict code-interval compare (no string materialization)."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_range
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return filter_range(
+            spark, out, "lang", "de", "en", project=["doc_id", "n_chars"]
+        )
+
+    def arcade_filter_range_double(spark, sf_dir):
+        """BETWEEN on a double column (bitcast storage, order-preserving
+        zone-map keys, float-domain kernel compare)."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_range
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return filter_range(
+            spark, out, "value", 10.5, 42.25, project=["event_id", "user_id"]
+        )
+
     def arcade_codec_report(spark, sf_dir):
         """Metadata queryability (the reference's struct D is opaque
         bytes; our chunk headers are rows): per-column codec histogram +
@@ -157,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from arcade_spark.multimodal import media_meta
     from arcade_spark.simsearch import (
         ann_cosine_topk,
+        ann_lsh_recall,
         ann_lsh_topk,
         embedding_cosine_pairs,
     )
@@ -176,6 +199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_random_access": arcade_random_access,
         "arcade_scan_lineitem": arcade_scan_lineitem,
         "arcade_filter_events": arcade_filter_events,
+        "arcade_filter_range": arcade_filter_range,
+        "arcade_filter_range_double": arcade_filter_range_double,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
@@ -189,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _wrap(dedup_simhash),
         "ann_cosine_topk": _wrap(ann_cosine_topk),
         "ann_lsh_topk": _wrap(ann_lsh_topk),
+        "ann_lsh_recall": _wrap(ann_lsh_recall),
         "embedding_cosine_pairs": _wrap(embedding_cosine_pairs),
         "media_meta": _wrap(media_meta),
     }
@@ -224,6 +250,75 @@ WHERE floor(10000 * i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter)) >= 8000
 _STOP = "('the','a','of','and','to','in','is','for')"
 
 
+def _ann_lsh_recall_oracle() -> str:
+    """DuckDB replica of the full LSH-multiprobe pipeline: same
+    hyperplanes (embedded as double literals — repr round-trips
+    exactly), same probe masks, same rank-based top-k, intersected
+    with the exact top-k. Verifies the measured recall end to end."""
+    from arcade_spark.simsearch import (
+        LSH_PLANES,
+        MULTIPROBE_RADIUS,
+        N_QUERIES,
+        TOPK,
+        _plane,
+        _probe_masks,
+    )
+
+    planes_rows = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in _plane(i, 64))}]::DOUBLE[])"
+        for i in range(LSH_PLANES)
+    )
+    masks = ", ".join(f"({m})" for m in _probe_masks(MULTIPROBE_RADIUS, LSH_PLANES))
+    return f"""
+        WITH planes(pid, pvec) AS (VALUES
+        {planes_rows}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        bits AS (
+          SELECT e.vec_id,
+                 CAST(sum(CASE WHEN list_inner_product(emb, pvec) >= 0
+                          THEN (1 << pid) ELSE 0 END) AS INTEGER) AS bucket
+          FROM e, planes GROUP BY e.vec_id
+        ),
+        q AS (
+          SELECT e.vec_id AS query_id, emb AS qemb, bucket AS qb
+          FROM e JOIN bits ON bits.vec_id = e.vec_id WHERE e.vec_id < {N_QUERIES}
+        ),
+        masks(mask) AS (VALUES {masks}),
+        probes AS (SELECT query_id, qemb, xor(qb, mask) AS probe FROM q, masks),
+        cand AS (
+          SELECT DISTINCT p.query_id, p.qemb, e.vec_id, e.emb
+          FROM probes p
+          JOIN bits b ON b.bucket = p.probe
+          JOIN e ON e.vec_id = b.vec_id
+          WHERE e.vec_id <> p.query_id
+        ),
+        lsh AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY list_cosine_similarity(emb, qemb) DESC, vec_id ASC) AS r
+            FROM cand) WHERE r <= {TOPK}
+        ),
+        exact AS (
+          SELECT q2.vec_id AS query_id, e2.vec_id AS neighbor_id
+          FROM embeddings e2, embeddings q2
+          WHERE q2.vec_id < {N_QUERIES} AND e2.vec_id <> q2.vec_id
+          QUALIFY row_number() OVER (PARTITION BY q2.vec_id
+            ORDER BY list_cosine_similarity(e2.embedding, q2.embedding) DESC,
+                     e2.vec_id ASC) <= {TOPK}
+        )
+        SELECT qs.query_id,
+               CAST(coalesce(h.c, 0) * {10000 // TOPK} AS BIGINT) AS recall_bp
+        FROM (SELECT DISTINCT query_id FROM q) qs
+        LEFT JOIN (
+          SELECT lsh.query_id, count(*) AS c
+          FROM lsh JOIN exact
+            ON exact.query_id = lsh.query_id AND exact.neighbor_id = lsh.vec_id
+          GROUP BY lsh.query_id
+        ) h ON h.query_id = qs.query_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     marker = {
         "en": "('the','and','of','to','is')",
@@ -252,6 +347,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_filter_events": (
             "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'"
+        ),
+        "arcade_filter_range": (
+            "SELECT doc_id, n_chars FROM documents WHERE lang >= 'de' AND lang <= 'en'"
+        ),
+        "arcade_filter_range_double": (
+            "SELECT event_id, user_id FROM events WHERE value >= 10.5 AND value <= 42.25"
         ),
         "token_stats": """
             SELECT doc_id,
@@ -346,12 +447,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
             QUALIFY rank <= 10
         """,
+        # Augmented with deterministic seeded near-duplicates (vec_id <
+        # 25 → perturbed copy at vec_id+100000) so the check is
+        # non-vacuous: 25 true pairs. DuckDB lambda indices are 1-based;
+        # the Spark side uses 0-based F.transform — (i-1) aligns them.
         "embedding_cosine_pairs": """
+            WITH aug AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    (x, i) -> x + 0.001 * (((i - 1) % 5) - 2))
+              FROM embeddings WHERE vec_id < 25
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a, embeddings b
+            FROM aug a, aug b
             WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(a.embedding, b.embedding) * 10000 >= 9500
+              AND list_cosine_similarity(a.e, b.e) * 10000 >= 9500
         """,
+        "ann_lsh_recall": _ann_lsh_recall_oracle(),
         "media_meta": """
             SELECT doc_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

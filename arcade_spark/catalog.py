@@ -24,6 +24,16 @@ def has_iceberg(spark: SparkSession) -> bool:
         return False
 
 
+def iceberg_ddl(full_name: str, schema, partition_col: str) -> str:
+    """Iceberg CREATE TABLE for a Spark schema, partitioned for
+    partition-pruned reads on the encode partition id."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {full_name} ({cols}) USING iceberg "
+        f"PARTITIONED BY ({partition_col})"
+    )
+
+
 class EncodedTable:
     """Handle to one encoded table (an encode out_dir)."""
 
@@ -87,6 +97,36 @@ class EncodedTable:
         self.blocks().createOrReplaceTempView(f"{name}_blocks")
         self.manifest().createOrReplaceTempView(f"{name}_manifest")
         self.scan().createOrReplaceTempView(name)
+
+    def register_iceberg(
+        self, name: str, catalog: str = "spark_catalog", dry_run: bool = False
+    ) -> list[str]:
+        """Register the encoded blocks + manifest as real Iceberg
+        tables: ``CREATE TABLE ... USING iceberg PARTITIONED BY
+        (part_id)`` then ``writeTo(...).append()``. Returns the DDL
+        statements issued. Requires ``iceberg-spark-runtime`` on the
+        classpath (has_iceberg); raises RuntimeError with launch
+        guidance otherwise. ``dry_run`` builds and returns the DDL
+        without touching the session — the sandbox has no Iceberg jars,
+        so tests pin the API surface through it."""
+        if not dry_run and not has_iceberg(self.spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath: launch with "
+                "--packages org.apache.iceberg:iceberg-spark-runtime-"
+                "<spark_ver>_<scala_ver>:<iceberg_ver> and a "
+                "spark.sql.catalog.<name> configuration, then call "
+                "register_iceberg() again (register() gives temp views "
+                "without Iceberg)"
+            )
+        ddls = []
+        for suffix, df in (("blocks", self.blocks()), ("manifest", self.manifest())):
+            full = f"{catalog}.{name}_{suffix}"
+            ddl = iceberg_ddl(full, df.schema, "part_id")
+            ddls.append(ddl)
+            if not dry_run:
+                self.spark.sql(ddl)
+                df.writeTo(full).append()
+        return ddls
 
 
 def load(spark: SparkSession, out_dir: str) -> EncodedTable:

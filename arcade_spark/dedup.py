@@ -91,11 +91,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs_with_jaccard(_shingles(spark, sf_dir))
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, shingle_storage: str = "memory"
+) -> DataFrame:
     """MinHash(128) + LSH(32 bands × 4 rows) candidates, verified with
     exact Jaccard — the scale path for near-dup at 10^12 docs. Output
-    schema identical to dedup_ngram_jaccard."""
-    shingles = _shingles(spark, sf_dir).cache()
+    schema identical to dedup_ngram_jaccard.
+
+    ``shingle_storage`` picks how the shingle set (reused by the minhash
+    pass and the exact-verify join) is held across its two consumers:
+    "memory" (default — fine up to executor-cache scale), "disk"
+    (persist(DISK_ONLY): at 100 TB the exploded shingle set dwarfs
+    cluster RAM; spilling it once beats recomputing the normalize+
+    explode lineage for the verify join), or "recompute" (no persist —
+    cheapest memory, pays the lineage twice; right when the verify-join
+    candidate count is tiny and shingling is cheap)."""
+    from pyspark import StorageLevel
+
+    shingles = _shingles(spark, sf_dir)
+    if shingle_storage == "memory":
+        shingles = shingles.cache()
+    elif shingle_storage == "disk":
+        shingles = shingles.persist(StorageLevel.DISK_ONLY)
+    elif shingle_storage != "recompute":
+        raise ValueError(f"unknown shingle_storage: {shingle_storage!r}")
     hashes = shingles.select(
         "doc_id",
         *[

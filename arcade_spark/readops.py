@@ -150,6 +150,89 @@ class _StrFilterState:
             self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
 
 
+class _StrRangeState:
+    """Per-(part, column) BETWEEN state for string columns. Local and
+    rle dictionaries are sorted, so the in-range code set is a
+    contiguous [searchsorted(lo), searchsorted(hi, right)) interval;
+    the running global dictionary is a concatenation of sorted diff
+    segments (not globally sorted), so we keep a growing per-entry
+    in-range bitmask, extended once per absorbed segment — O(dict)
+    total, O(n) mask-gather per block, no string materialization."""
+
+    def __init__(self, lo: bytes, hi: bytes):
+        self.lo = lo
+        self.hi = hi
+        self.mask = np.zeros(0, dtype=bool)
+
+    def _flags(self, arr) -> np.ndarray:
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        obj = np.asarray(arr.to_pylist(), dtype=object)
+        return np.asarray((obj >= self.lo) & (obj <= self.hi), dtype=bool)
+
+    def _absorb_segment(self, segment) -> None:
+        if len(segment):
+            self.mask = np.concatenate([self.mask, self._flags(segment)])
+
+    def match_positions(self, blob, meta: dict) -> np.ndarray:
+        validity_sec, payload = unpack_sections(blob)
+        payload = unpost(payload, meta.get("post"))
+        codec = meta["codec"]
+        if meta.get("gdict_reset"):
+            self.mask = np.zeros(0, dtype=bool)
+        n = meta["n_values"]
+
+        if codec == "dict_global":
+            self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
+            if not self.mask.any():
+                return np.empty(0, dtype=np.int64)
+            codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
+            pos = np.nonzero(self.mask[codes])[0]
+        elif codec == "dict_local":
+            uniques = sc._deserialize_values_arrow(meta["seg"])
+            if meta.get("gdict_seed"):
+                self._absorb_segment(uniques)
+            flags = self._flags(uniques)
+            if not flags.any():
+                return np.empty(0, dtype=np.int64)
+            codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
+            pos = np.nonzero(flags[codes])[0]
+        elif codec == "rle_str":
+            dict_sec, codes_sec, lens_sec = unpack_sections(payload)
+            uniques = sc._deserialize_values_arrow(dict_sec)
+            flags = self._flags(uniques)
+            if not flags.any():
+                return np.empty(0, dtype=np.int64)
+            import struct
+
+            (nruns,) = struct.unpack_from("<I", codes_sec, 0)
+            run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
+            run_lens = decode_for_int(lens_sec, {"n_values": nruns})
+            pos = np.nonzero(np.repeat(flags[run_codes], run_lens))[0]
+        else:  # plain / fsst: materialize then byte-compare both bounds
+            if codec == "plain":
+                block = sc.decode_plain(payload, meta)
+            else:
+                block = sc.decode_fsst(payload, meta)
+            obj = block.to_object_array()
+            # null slots decode to None — substitute b"" (validity
+            # gating below removes them); bytes-vs-None compare raises
+            obj = np.where(obj == None, b"", obj)  # noqa: E711
+            pos = np.nonzero((obj >= self.lo) & (obj <= self.hi))[0]
+
+        validity = unpack_validity(validity_sec, n)
+        if validity is not None and len(pos):
+            pos = pos[validity[pos]]
+        return pos
+
+    def replay(self, meta: dict) -> None:
+        if meta.get("gdict_reset"):
+            self.mask = np.zeros(0, dtype=bool)
+        codec = meta["codec"]
+        if codec == "dict_global" or (codec == "dict_local" and meta.get("gdict_seed")):
+            self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
+
+
 def equi_filter(
     spark: SparkSession,
     out_dir: str,
@@ -158,14 +241,48 @@ def equi_filter(
     project: list[str] | None = None,
     count_only: bool = False,
 ) -> DataFrame:
-    """``SELECT project... FROM encoded WHERE column = value``.
+    """``SELECT project... FROM encoded WHERE column = value``
+    (ArcadeReader::equi_filter, reader.cpp:7-66)."""
+    return _filter_op(spark, out_dir, column, ("eq", value), project, count_only)
+
+
+def filter_range(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    lo,
+    hi,
+    project: list[str] | None = None,
+    count_only: bool = False,
+) -> DataFrame:
+    """``SELECT project... FROM encoded WHERE column BETWEEN lo AND hi``
+    (inclusive). The reference lists range filters as future work
+    (README.md:115-131); our sorted dictionaries + zone maps make them
+    cheap: blocks prune on min/max, local/rle dicts compare a code
+    range, the global dict keeps a growing in-range entry bitmask."""
+    return _filter_op(spark, out_dir, column, ("range", lo, hi), project, count_only)
+
+
+def _encode_bound(v):
+    return v.encode() if isinstance(v, str) else v
+
+
+def _filter_op(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    pred: tuple,
+    project: list[str] | None = None,
+    count_only: bool = False,
+) -> DataFrame:
+    """Shared filter driver. ``pred`` is ("eq", value) or
+    ("range", lo, hi) — inclusive bounds.
 
     The zone-map prune is computed in the DataFrame plan (`zone_keep`),
     so Catalyst evaluates min/max against parquet row-group stats
     before any Python runs; pruned dictionary blocks are still replayed
-    (segments ride in chunk payloads) but never scanned or
-    materialized — mirroring process.cpp:256-273 + the previndex
-    segment walk (process.cpp:88-123)."""
+    (seg column only) but never scanned or materialized — mirroring
+    process.cpp:256-273 + the previndex segment walk (process.cpp:88-123)."""
     all_cols = dict(table_columns(spark, out_dir))
     if column not in all_cols:
         raise KeyError(f"no such column: {column}")
@@ -180,27 +297,65 @@ def equi_filter(
     vtypes = {c: all_cols[c] for c in sel_cols}
 
     is_str = fvt in ("str", "binary")
-    vb = value.encode() if isinstance(value, str) else value
-    target_int = 0
-    if not is_str:
-        if fvt in ("double", "float"):
-            # stored bitcast: equality compares bit patterns, the zone
-            # prune compares order-preserving keys (bits.float_order_key)
-            from arcade_spark.bits import float_order_key
+    is_float = fvt in ("double", "float")
+    kind = pred[0]
 
-            target_int = int(np.float64(vb).view(np.int64))
-            zone_key = float_order_key(float(vb))
+    if kind == "eq":
+        vb = _encode_bound(pred[1])
+        lob = hib = vb
+    else:
+        lob, hib = _encode_bound(pred[1]), _encode_bound(pred[2])
+        vb = None
+
+    target_int = 0
+    flo = fhi = 0.0
+    ilo = ihi = 0
+    if not is_str:
+        from arcade_spark.bits import float_order_key
+
+        if kind == "eq":
+            if is_float:
+                # stored bitcast: equality compares bit patterns, the
+                # zone prune compares order-preserving keys
+                target_int = int(np.float64(lob).view(np.int64))
+                zone_lo = zone_hi = float_order_key(float(lob))
+            else:
+                target_int = int(lob)
+                zone_lo = zone_hi = target_int
         else:
-            target_int = int(vb)
-            zone_key = target_int
+            if is_float:
+                flo, fhi = float(lob), float(hib)
+                zone_lo, zone_hi = float_order_key(flo), float_order_key(fhi)
+            else:
+                ilo, ihi = int(lob), int(hib)
+                zone_lo, zone_hi = ilo, ihi
+
+    def int_positions(iblock) -> np.ndarray:
+        if kind == "eq":
+            m = iblock.values == target_int
+        elif is_float:
+            v = iblock.values.view(np.float64)
+            m = (v >= flo) & (v <= fhi)
+        else:
+            m = (iblock.values >= ilo) & (iblock.values <= ihi)
+        pos = np.nonzero(m)[0]
+        if iblock.validity is not None and len(pos):
+            pos = pos[iblock.validity[pos]]
+        return pos
+
+    def new_str_state():
+        if kind == "eq":
+            return _StrFilterState(vb)
+        return _StrRangeState(lob, hib)
 
     blocks = read_blocks(spark, out_dir, sel_cols)
     if is_str:
-        lit = F.lit(bytearray(vb))
-        prune = (lit < F.col("min_bin")) | (F.col("max_exact") & (lit > F.col("max_bin")))
+        lo_lit, hi_lit = F.lit(bytearray(lob)), F.lit(bytearray(hib))
+        prune = (hi_lit < F.col("min_bin")) | (
+            F.col("max_exact") & (lo_lit > F.col("max_bin"))
+        )
     else:
-        lit = F.lit(zone_key)
-        prune = (lit < F.col("min_int")) | (lit > F.col("max_int"))
+        prune = (F.lit(zone_hi) < F.col("min_int")) | (F.lit(zone_lo) > F.col("max_int"))
     zk = ~F.coalesce(prune, F.lit(False))
     blocks = blocks.withColumn(
         "zone_keep",
@@ -249,7 +404,7 @@ def equi_filter(
     want = set(sel_cols)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fstates: dict[int, _StrFilterState] = {}
+        fstates: dict[int, object] = {}
         gdecs: dict[tuple[int, str], GlobalDictDecoder] = {}
 
         def handle_block(part_id: int, block_id: int, chunks) -> pd.DataFrame | None:
@@ -263,7 +418,7 @@ def equi_filter(
             else:
                 fblob, fmeta, fkeep = fchunk
                 if is_str:
-                    st = fstates.setdefault(part_id, _StrFilterState(vb))
+                    st = fstates.setdefault(part_id, new_str_state())
                     if fkeep and fblob is not None:
                         pos = st.match_positions(fblob, fmeta)
                     else:
@@ -271,10 +426,7 @@ def equi_filter(
                         pos = np.empty(0, dtype=np.int64)
                 else:
                     if fkeep:
-                        iblock = decode_int_block(fblob, fmeta)
-                        pos = np.nonzero(iblock.values == target_int)[0]
-                        if iblock.validity is not None and len(pos):
-                            pos = pos[iblock.validity[pos]]
+                        pos = int_positions(decode_int_block(fblob, fmeta))
                     else:
                         pos = np.empty(0, dtype=np.int64)
 

@@ -6,12 +6,28 @@
   ``F.zip_with`` + ``F.aggregate`` (no Python), window top-k. Output is
   rank-based (no raw floats) so the DuckDB oracle hashes identically.
 - ``ann_lsh_topk`` — the scale path: random-hyperplane LSH bucketing
-  (deterministic planes from xxhash64), candidates restricted to the
-  query's bucket ring, then exact re-rank. At 10^12 rows the bucket
-  join replaces the full cross product; here it is rows-only checked
-  (approximate by construction).
-- ``embedding_cosine_pairs`` — near-duplicate embedding pairs ≥
-  threshold (embedding-cosine near-dup for the dedup suite).
+  (deterministic planes), query-side MULTIPROBE (all buckets within
+  Hamming distance ``MULTIPROBE_RADIUS`` of the query's bucket), then
+  exact re-rank of candidates only.
+- ``ann_lsh_recall`` — measured recall of the LSH path against the
+  exact top-k, per query, as integer basis points. The DuckDB oracle
+  reproduces the full LSH pipeline (planes embedded as literals), so
+  the number is verified, not asserted. On this synthetic corpus the
+  top-10 "neighbors" sit at cosine ≈0.35 (near-orthogonal), where LSH
+  recall is theoretically bounded by the probed bucket fraction —
+  radius 3 probes 42/64 buckets for recall ≈0.8-0.9; on genuinely
+  clustered data (e.g. the seeded near-duplicates below) the same
+  probe budget reaches recall 1.0 at a tiny probed fraction.
+- ``embedding_cosine_pairs`` — near-duplicate pairs ≥ PAIR_THRESHOLD:
+  banded hyperplane LSH (L tables × K sign bits) generates candidates
+  via equi-joins on (table, bucket); exact cosine verifies candidates.
+  No cartesian product anywhere in the plan. Because the synthetic
+  embeddings have no natural near-dup pairs (max off-diagonal cosine
+  ≈0.51), the operator seeds deterministic near-duplicates — vec_id <
+  SEED_DUPS gets a perturbed copy at vec_id+SEED_BASE — expressed
+  identically in the DuckDB oracle, making the check non-vacuous
+  (25 true pairs at sf0.01, all found: measured candidate recall 1.0,
+  miss probability per pair < 1e-9 at cosine ≥0.999).
 """
 
 from __future__ import annotations
@@ -23,8 +39,13 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 TOPK = 10
 N_QUERIES = 5
 PAIR_THRESHOLD_BP = 9500
-LSH_PLANES = 6  # 64 buckets — sized so buckets hold ~n/64 vectors; at
-# 10^12 rows you would raise this (bucket count ≈ n / desired_bucket)
+LSH_PLANES = 6  # ann: 64 buckets — sized so buckets hold ~n/64 vectors;
+# at 10^12 rows you would raise this (bucket count ≈ n / desired_bucket)
+MULTIPROBE_RADIUS = 3  # ann: probe all buckets within this Hamming ball
+PAIR_TABLES = 4  # near-dup pairs: L independent hash tables...
+PAIR_BITS = 16  # ...of K sign bits each (K controls bucket selectivity)
+SEED_DUPS = 25
+SEED_BASE = 100_000
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,6 +57,31 @@ def _cosine(a, b):
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     return dot / (na * nb)
+
+
+def _plane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (public splitmix-style
+    mix, same as corpus.py)."""
+    rng = np.random.default_rng(seed + 12345)
+    v = rng.standard_normal(dim)
+    return [float(x) for x in v]
+
+
+def _dot_lit(v, plane: list[float]):
+    return F.aggregate(
+        F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _bucket_expr(v, planes: list[list[float]]):
+    """Sign-bit bucket id of vector column ``v`` for the given planes."""
+    sig = None
+    for i, p in enumerate(planes):
+        bit = F.when(_dot_lit(v, p) >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** i)
+        sig = bit if sig is None else sig + bit
+    return sig
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,61 +106,141 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs (a<b) with cosine ≥ 0.95 — embedding near-dup
-    detection. Basis-point jaccard-style integer output."""
+def _perturb(v):
+    """Deterministic small perturbation for the seeded near-duplicates:
+    element i gets +0.001*((i % 5) - 2). Must match the DuckDB oracle's
+    ``list_transform(e, (x, i) -> x + 0.001*(((i-1) % 5) - 2))`` exactly
+    (DuckDB lambda indices are 1-based) — both are pure double adds, so
+    the augmented vectors are bitwise identical on both sides."""
+    return F.transform(v, lambda x, i: x + F.lit(0.001) * ((i % 5) - F.lit(2)))
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    dups = (
+        emb.filter(F.col("vec_id") < SEED_DUPS)
+        .select(
+            (F.col("vec_id") + F.lit(SEED_BASE)).alias("vec_id"),
+            _perturb(F.col("embedding").cast("array<double>")).alias("e"),
+        )
+    )
+    return base.unionAll(dups)
+
+
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """All pairs (a<b) with cosine ≥ 0.95 over the seeded-near-dup
+    augmented set — embedding near-dup detection, LSH-banded.
+
+    Plan: per hash table t, bucket on K sign bits → self-equi-join on
+    (t, bucket) → distinct candidate pairs → exact cosine verify. The
+    probability a true pair at cosine c collides in ≥1 of L tables is
+    1-(1-(1-arccos(c)/π)^K)^L — ≥ 1-1e-9 at c ≥ 0.999 (the seeded
+    dups), so candidates are a superset of the truth here; measured
+    recall vs the all-pairs oracle is 25/25 at sf0.001 and sf0.01.
+    At 10^12 rows the equi-join shuffles on bucket keys (linear-ish);
+    raise PAIR_BITS so buckets stay small."""
+    aug = _augmented(spark, sf_dir)
+    planes = [
+        [_plane(1000 + t * PAIR_BITS + j, dim) for j in range(PAIR_BITS)]
+        for t in range(PAIR_TABLES)
+    ]
+    buckets = aug.select(
+        "vec_id", "e",
+        F.array(*[_bucket_expr(F.col("e"), planes[t]) for t in range(PAIR_TABLES)]
+                ).alias("sigs"),
+    )
+    exploded = buckets.select(
+        "vec_id", "e", F.posexplode(F.col("sigs")).alias("table_id", "bucket")
+    )
+    a = exploded.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("va"), "table_id", "bucket"
+    )
+    b = exploded.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("vb"), "table_id", "bucket"
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", _cosine(F.col("va").cast("array<double>"),
-                                   F.col("vb").cast("array<double>")))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", _cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") * 10000 >= PAIR_THRESHOLD_BP)
         .select("id_a", "id_b")
     )
 
 
-def _plane(seed: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane (public splitmix-style
-    mix, same as corpus.py)."""
-    rng = np.random.default_rng(seed + 12345)
-    v = rng.standard_normal(dim)
-    return [float(x) for x in v]
+def _probe_masks(radius: int = MULTIPROBE_RADIUS, bits: int = LSH_PLANES) -> list[int]:
+    """All XOR masks with popcount ≤ radius over ``bits`` bits —
+    the multiprobe Hamming ball."""
+    return [m for m in range(2 ** bits) if bin(m).count("1") <= radius]
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
-    """LSH-bucketed ANN: sign bits of `LSH_PLANES` fixed hyperplanes
-    form the bucket key; queries search only their bucket (plus exact
-    re-rank). Approximate — verified rows-only by the driver."""
+def _lsh_candidates(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """(query_id, vec_id, cos) for every vector in the query's
+    multiprobe Hamming ball — shared by ann_lsh_topk / ann_lsh_recall."""
     emb = _embeddings(spark, sf_dir)
     planes = [_plane(i, dim) for i in range(LSH_PLANES)]
-    sig = None
-    v = F.col("embedding").cast("array<double>")
-    for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** i)
-        sig = bit if sig is None else sig + bit
-    bucketed = emb.withColumn("bucket", sig)
+    bucketed = emb.withColumn(
+        "bucket", _bucket_expr(F.col("embedding").cast("array<double>"), planes)
+    )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = (
-        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    masks = spark.createDataFrame(
+        [(m,) for m in _probe_masks()], "mask int"
+    )
+    probes = q.crossJoin(F.broadcast(masks)).select(
+        "query_id", "qv",
+        F.col("qbucket").bitwiseXOR(F.col("mask")).alias("probe"),
+    )
+    return (
+        bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos", _cosine(F.col("embedding").cast("array<double>"),
                                    F.col("qv").cast("array<double>")))
+        .select("query_id", "vec_id", "cos")
     )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """LSH-bucketed ANN with multiprobe: candidates are the query's
+    Hamming-≤MULTIPROBE_RADIUS bucket ring, exact re-rank on top.
+    Approximate — its recall is measured (and oracle-verified) by
+    ``ann_lsh_recall``."""
+    cand = _lsh_candidates(spark, sf_dir, dim)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """Measured LSH recall vs the exact top-k, per query, in basis
+    points: 1000 × |LSH top-10 ∩ exact top-10|. The DuckDB oracle
+    recomputes the LSH pipeline (same planes as literals, same probe
+    masks) from scratch, so this is a verified measurement."""
+    lsh = ann_lsh_topk(spark, sf_dir, dim).select("query_id", "neighbor_id")
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("exact_id")
+    )
+    hits = lsh.join(
+        exact,
+        (lsh["query_id"] == exact["query_id"]) & (lsh["neighbor_id"] == exact["exact_id"]),
+    ).groupBy(lsh["query_id"]).count()
+    qids = spark.createDataFrame([(q,) for q in range(N_QUERIES)], "query_id bigint")
+    return (
+        qids.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("count"), F.lit(0)) * F.lit(10000) / F.lit(TOPK))
+            .cast("long")
+            .alias("recall_bp"),
+        )
     )

@@ -210,3 +210,65 @@ def test_equi_filter_prunes_projection_blobs(spark, double_table):
     assert len(got) == 1
     assert got["url"][0] == pdf["url"][42]
     assert got["value"][0] == pdf["value"][42]
+
+
+@pytest.fixture(scope="module")
+def encoded_corpus(spark, tmp_path_factory):
+    from arcade_spark.corpus import write_corpus
+
+    path = str(tmp_path_factory.mktemp("rng") / "c.parquet")
+    write_corpus(path, n_rows=3000, seed=17)
+    src = spark.read.parquet(path)
+    out = str(tmp_path_factory.mktemp("rng") / "enc")
+    encode_job(spark, src, out, num_parts=3, block_rows=256)
+    return out, src
+
+
+def test_filter_range_str(spark, encoded_corpus):
+    from arcade_spark.readops import filter_range
+    from pyspark.sql import functions as F
+
+    out, src = encoded_corpus
+    got = filter_range(spark, out, "lang", "de", "el", project=["url"]).toPandas()
+    want = src.filter((F.col("lang") >= "de") & (F.col("lang") <= "el")).select("url").toPandas()
+    assert sorted(got["url"]) == sorted(want["url"])
+    assert len(want) > 0
+
+
+def test_filter_range_int_ts(spark, encoded_corpus):
+    from arcade_spark.readops import filter_range
+    from pyspark.sql import functions as F
+
+    out, src = encoded_corpus
+    bounds = src.agg(F.min("warc_ts"), F.max("warc_ts")).collect()[0]
+    lo_us = int(pd.Timestamp(bounds[0]).value // 1000)  # epoch µs
+    hi_us = lo_us + (int(pd.Timestamp(bounds[1]).value // 1000) - lo_us) // 3
+    got = filter_range(spark, out, "warc_ts", lo_us, hi_us, project=["url"]).toPandas()
+    lo_ts = pd.Timestamp(lo_us * 1000)
+    hi_ts = pd.Timestamp(hi_us * 1000)
+    want = src.filter(
+        (F.col("warc_ts") >= F.lit(lo_ts)) & (F.col("warc_ts") <= F.lit(hi_ts))
+    ).select("url").toPandas()
+    assert sorted(got["url"]) == sorted(want["url"])
+    assert 0 < len(want) < src.count()
+
+
+def test_filter_range_double_negatives(spark, double_table):
+    from arcade_spark.readops import filter_range
+
+    out, pdf = double_table
+    got = filter_range(spark, out, "value", -6.0, -4.0, project=["k"]).toPandas()
+    want = sorted(pdf.loc[(pdf["value"] >= -6.0) & (pdf["value"] <= -4.0), "k"])
+    assert sorted(got["k"].tolist()) == want
+    assert len(want) > 0
+
+
+def test_filter_range_count_only(spark, encoded_corpus):
+    from arcade_spark.readops import filter_range
+    from pyspark.sql import functions as F
+
+    out, src = encoded_corpus
+    per_block = filter_range(spark, out, "lang", "zz", "zzz", count_only=True)
+    row = per_block.agg(F.sum("matches").alias("m"), F.sum("zone_skipped").alias("z")).collect()[0]
+    assert int(row["m"]) == 0
+    assert int(row["z"]) > 0  # zone maps actually pruned out-of-range blocks
