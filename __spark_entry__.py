@@ -144,6 +144,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, out, "value", 10.5, 42.25, project=["event_id", "user_id"]
         )
 
+    def arcade_group_count(spark, sf_dir):
+        """Decode-free GROUP BY count on the encoded table: bincount of
+        dictionary codes + dict lookup of the few distinct values —
+        payloads never materialize on dict/rle blocks."""
+        _ship_package(spark)
+        from arcade_spark.readops import group_count
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return group_count(spark, out, "lang")
+
     def arcade_codec_report(spark, sf_dir):
         """Metadata queryability (the reference's struct D is opaque
         bytes; our chunk headers are rows): per-column codec histogram +
@@ -201,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_events": arcade_filter_events,
         "arcade_filter_range": arcade_filter_range,
         "arcade_filter_range_double": arcade_filter_range_double,
+        "arcade_group_count": arcade_group_count,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
@@ -353,6 +364,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_filter_range_double": (
             "SELECT event_id, user_id FROM events WHERE value >= 10.5 AND value <= 42.25"
+        ),
+        "arcade_group_count": (
+            "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
         ),
         "token_stats": """
             SELECT doc_id,

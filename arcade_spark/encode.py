@@ -236,8 +236,14 @@ def encode_job(
     run_id = uuid.uuid4().hex[:12]
     t0 = time.time()
     kernel = make_encode_kernel(columns, out_dir, run_id, block_rows, job_info=job_info)
+    # range partitioning, not hash: with num_parts distinct part ids
+    # hashed into num_parts partitions, collisions leave some tasks
+    # with several parts and others empty (balls-in-bins) — fine when
+    # parts >> slots, a 2-3x straggler at low parallelism. Range
+    # partitioning keeps each part id contiguous (all rows of one part
+    # in one task — the dictionary-state requirement) and near-1:1.
     new_rows = (
-        df.repartition(num_parts, F.col(_PART_COL))
+        df.repartitionByRange(num_parts, F.col(_PART_COL))
         .sortWithinPartitions(_PART_COL, order_col)
         .mapInArrow(kernel, schema=MANIFEST_DDL)
         .collect()
@@ -277,6 +283,7 @@ def encode_files_job(
     out_dir: str,
     block_rows: int = BLOCK_ROWS,
     resume: bool = True,
+    files_per_task: int = 1,
 ) -> dict:
     """Files-mode encode — the 100 TB fast path.
 
@@ -295,6 +302,14 @@ def encode_files_job(
     sources (e.g. Iceberg write.distribution-mode=hash on host), file
     boundaries already embody the salting; for raw unpartitioned
     sources use the shuffle-mode ``encode_job`` instead.
+
+    ``files_per_task`` batches several source files into one Spark task
+    (the small-files amortizer): per-task overhead (python worker
+    handshake, scheduling, result fetch) is constant, so a corpus of
+    many small files should be grouped until each task carries a few
+    hundred MB. Checkpoint granularity is unchanged — each file keeps
+    its own part_id, blocks file, and manifest marker, committed as the
+    task reaches it, so a killed task still resumes per file.
     """
     import os
 
@@ -341,53 +356,68 @@ def encode_files_job(
     assignments = [(pid, path) for pid, path in enumerate(files) if pid not in done]
     run_id = uuid.uuid4().hex[:12]
 
+    import json as _json
+
+    fpt = max(1, int(files_per_task))
+    groups = [
+        (gi, _json.dumps(assignments[gi * fpt : (gi + 1) * fpt]))
+        for gi in range((len(assignments) + fpt - 1) // fpt)
+    ]
+
     def kernel(batches):
         for batch in batches:
             for row in batch.to_pylist():
-                pid, path = int(row["part_id"]), row["path"]
-                writer = PartWriter(
-                    out_dir, pid, run_id, columns=columns,
-                    job_info={"mode": "files", "num_parts": n_files,
-                              "salt_buckets": 0, "order_col": "", "source": path},
-                )
-                gdicts: dict[str, GlobalDict] = {}
-                state = {"block_id": 0, "row_start": 0}
-                try:
-                    pf = pq.ParquetFile(path)
-                    for rb in pf.iter_batches(batch_size=block_rows):
-                        table = pa.Table.from_batches([rb])
-                        chunk_rows = []
-                        n = table.num_rows
-                        for name, vtype in columns:
-                            t0 = time.monotonic()
-                            block = arrow_to_block(table.column(name), vtype)
-                            if isinstance(block, StrBlock):
-                                gd = gdicts.setdefault(name, GlobalDict())
-                                blob, meta = encode_str_block(block, gd)
-                            else:
-                                blob, meta = encode_int_block(block, vtype)
-                            meta["kernel_ms"] = (time.monotonic() - t0) * 1000.0
-                            meta.update(
-                                part_id=pid, block_id=state["block_id"],
-                                column=name, vtype=vtype,
-                                row_start=state["row_start"], blob=blob,
-                            )
-                            chunk_rows.append(meta)
-                        writer.write_block(chunk_rows)
-                        state["block_id"] += 1
-                        state["row_start"] += n
-                    mrow = writer.commit()
-                except Exception:
-                    writer.abort()
-                    raise
-                yield pa.RecordBatch.from_pylist([mrow], schema=MANIFEST_ARROW_SCHEMA)
+                for pid, path in _json.loads(row["paths"]):
+                    pid = int(pid)
+                    writer = PartWriter(
+                        out_dir, pid, run_id, columns=columns,
+                        job_info={"mode": "files", "num_parts": n_files,
+                                  "salt_buckets": 0, "order_col": "", "source": path},
+                    )
+                    gdicts: dict[str, GlobalDict] = {}
+                    state = {"block_id": 0, "row_start": 0}
+                    try:
+                        pf = pq.ParquetFile(path)
+                        for rb in pf.iter_batches(batch_size=block_rows):
+                            table = pa.Table.from_batches([rb])
+                            chunk_rows = []
+                            n = table.num_rows
+                            for name, vtype in columns:
+                                t0 = time.monotonic()
+                                block = arrow_to_block(table.column(name), vtype)
+                                if isinstance(block, StrBlock):
+                                    gd = gdicts.setdefault(name, GlobalDict())
+                                    blob, meta = encode_str_block(block, gd)
+                                else:
+                                    blob, meta = encode_int_block(block, vtype)
+                                meta["kernel_ms"] = (time.monotonic() - t0) * 1000.0
+                                meta.update(
+                                    part_id=pid, block_id=state["block_id"],
+                                    column=name, vtype=vtype,
+                                    row_start=state["row_start"], blob=blob,
+                                )
+                                chunk_rows.append(meta)
+                            writer.write_block(chunk_rows)
+                            state["block_id"] += 1
+                            state["row_start"] += n
+                        mrow = writer.commit()
+                    except Exception:
+                        writer.abort()
+                        raise
+                    yield pa.RecordBatch.from_pylist(
+                        [mrow], schema=MANIFEST_ARROW_SCHEMA
+                    )
 
     t0 = time.time()
     new_rows = []
-    if assignments:
-        adf = spark.createDataFrame(
-            [(pid, path) for pid, path in assignments], "part_id int, path string"
-        ).repartition(len(assignments), F.col("part_id"))
+    if groups:
+        # EXACTLY one group per Spark partition: hash repartition(n, gid)
+        # scatters n keys into n partitions with collisions (balls-in-
+        # bins), leaving some task slots with 2-3 groups and others
+        # empty — a silent scaling killer at low parallelism.
+        # parallelize(groups, len(groups)) slices 1:1 deterministically.
+        rdd = spark.sparkContext.parallelize(groups, len(groups))
+        adf = spark.createDataFrame(rdd, "gid int, paths string")
         new_rows = adf.mapInArrow(kernel, schema=MANIFEST_DDL).collect()
     wall_seconds = time.time() - t0
     _invalidate_meta(out_dir)

@@ -496,7 +496,7 @@ def _filter_op(
         schema = ", ".join(f"{n} {spark_type_for(v)}" for n, v in proj_items)
 
     result = (
-        blocks.repartition(max(n_parts, 1), F.col("part_id"))
+        blocks.repartitionByRange(max(n_parts, 1), F.col("part_id"))
         .sortWithinPartitions("part_id", "block_id", "column")
         .mapInPandas(kernel, schema=schema)
     )
@@ -510,6 +510,126 @@ def filter_count(spark: SparkSession, out_dir: str, column: str, value) -> DataF
     return per_block.agg(
         F.sum("matches").alias("cnt"), F.sum("zone_skipped").alias("blocks_skipped")
     )
+
+
+def group_count(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
+    """``SELECT column, count(*) GROUP BY column`` computed on the
+    ENCODED representation — no payload materialization on the
+    dictionary/RLE paths (the ARCADE thesis applied to aggregation):
+
+    - dict codecs: bincount the bit-packed codes, then resolve only the
+      few distinct codes through the (running) dictionary;
+    - rle: bincount run codes weighted by run lengths;
+    - plain/fsst: Arrow ``value_counts`` (C-speed) on the materialized
+      block — the codecs chosen for blocks where dictionaries lost.
+
+    The kernel emits per-block partial aggregates (tiny), and one final
+    groupBy over (value) merges them — map-side partials keep the
+    shuffle at O(distinct), not O(rows). Null slots are excluded (the
+    count of non-null values per group, like COUNT(col))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    all_cols = dict(table_columns(spark, out_dir))
+    if column not in all_cols:
+        raise KeyError(f"no such column: {column}")
+    fvt = all_cols[column]
+    if fvt not in ("str", "binary"):
+        raise NotImplementedError("group_count supports string/binary columns")
+
+    n_parts = _num_parts(spark, out_dir)
+    blocks = read_blocks(spark, out_dir, [column]).filter(F.col("column") == column)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gdecs: dict[int, GlobalDictDecoder] = {}
+
+        def counts_for(part_id: int, blob, meta: dict):
+            validity_sec, payload = unpack_sections(blob)
+            payload = unpost(payload, meta.get("post"))
+            codec = meta["codec"]
+            n = meta["n_values"]
+            gdec = gdecs.setdefault(part_id, GlobalDictDecoder())
+            if meta.get("gdict_reset"):
+                gdec.reset()
+            validity = unpack_validity(validity_sec, n)
+
+            if codec in ("dict_global", "dict_local"):
+                if codec == "dict_global":
+                    gdec.append(sc._deserialize_values_arrow(meta["seg"]))
+                    dictionary = None  # resolve through the running dict
+                else:
+                    dictionary = sc._deserialize_values_arrow(meta["seg"])
+                    if meta.get("gdict_seed"):
+                        gdec.append(dictionary)
+                codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
+                if validity is not None:
+                    codes = codes[validity]
+                if len(codes) == 0:
+                    return None
+                cnt = np.bincount(codes)
+                used = np.nonzero(cnt)[0]
+                if dictionary is None:
+                    vals = gdec.take_block(used).to_object_array()
+                else:
+                    vals = sc._take_to_block(dictionary, used).to_object_array()
+                return vals, cnt[used]
+            if codec == "rle_str":
+                import struct
+
+                dict_sec, codes_sec, lens_sec = unpack_sections(payload)
+                uniques = sc._deserialize_values_arrow(dict_sec)
+                (nruns,) = struct.unpack_from("<I", codes_sec, 0)
+                run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
+                run_lens = np.asarray(decode_for_int(lens_sec, {"n_values": nruns}),
+                                      dtype=np.int64)
+                if validity is not None:
+                    expanded = np.repeat(run_codes, run_lens)[validity]
+                    if len(expanded) == 0:
+                        return None
+                    cnt = np.bincount(expanded)
+                else:
+                    cnt = np.bincount(run_codes, weights=run_lens).astype(np.int64)
+                used = np.nonzero(cnt)[0]
+                vals = sc._take_to_block(uniques, used).to_object_array()
+                return vals, cnt[used]
+            # plain / fsst: dictionaries lost for this block — count via
+            # Arrow's C value_counts on the materialized values
+            block = sc.decode_plain(payload, meta) if codec == "plain" else sc.decode_fsst(payload, meta)
+            block.validity = validity
+            arr = block.to_arrow(binary=True)
+            if validity is not None:
+                arr = arr.drop_null()
+            if len(arr) == 0:
+                return None
+            vc = pc.value_counts(arr)
+            return (
+                np.asarray(vc.field("values").to_pylist(), dtype=object),
+                np.asarray(vc.field("counts").to_pylist(), dtype=np.int64),
+            )
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                out = counts_for(int(row.part_id), row.blob, _meta_from_row(row))
+                if out is None:
+                    continue
+                vals, cnts = out
+                yield pd.DataFrame(
+                    {"value_bin": list(vals), "cnt": cnts.astype(np.int64)}
+                )
+
+    partial = (
+        blocks.repartitionByRange(max(n_parts, 1), F.col("part_id"))
+        .sortWithinPartitions("part_id", "block_id")
+        .mapInPandas(kernel, schema="value_bin binary, cnt long")
+    )
+    agg = partial.groupBy("value_bin").agg(F.sum("cnt").alias("cnt"))
+    if fvt == "str":
+        # decode utf-8 for string columns so the result matches the
+        # source column type
+        return agg.select(
+            F.col("value_bin").cast("string").alias(column), F.col("cnt")
+        )
+    return agg.select(F.col("value_bin").alias(column), F.col("cnt"))
 
 
 def _random_access_targets(out_dir: str, row_ids: list[int]):
@@ -536,6 +656,10 @@ def _random_access_targets(out_dir: str, row_ids: list[int]):
     return targets
 
 
+_RA_PRECISE_MAX = 32  # per-part id count above which the plan predicate
+# switches from per-position OR terms to one envelope per part
+
+
 def _random_access_blocks(
     spark: SparkSession, out_dir: str, col_names: list[str],
     targets: dict[int, list[tuple[int, int]]],
@@ -552,15 +676,35 @@ def _random_access_blocks(
     blocks = read_blocks(spark, out_dir, col_names).filter(
         F.col("part_id").isin(touched) if touched else F.lit(False)
     )
+    if targets:
+        # coarse pushable bound first (simple compare → parquet
+        # row-group pruning): nothing after the globally last touched
+        # position is ever needed. The precise OR-tree below contains
+        # arithmetic (row_start + n_values) that cannot be pushed.
+        global_max = max(lp for lps in targets.values() for lp, _ in lps)
+        blocks = blocks.filter(F.col("row_start") <= F.lit(int(global_max)))
     tgt = F.lit(False)
     state_before = F.lit(False)
     for p, lps in targets.items():
-        per = None
-        for lp in sorted({lp for lp, _ in lps}):
-            c = (F.col("row_start") <= F.lit(int(lp))) & (
-                F.col("row_start") + F.col("n_values") > F.lit(int(lp))
+        uniq_lps = sorted({lp for lp, _ in lps})
+        if len(uniq_lps) <= _RA_PRECISE_MAX:
+            # precise per-position predicate (one OR term per id)
+            per = None
+            for lp in uniq_lps:
+                c = (F.col("row_start") <= F.lit(int(lp))) & (
+                    F.col("row_start") + F.col("n_values") > F.lit(int(lp))
+                )
+                per = c if per is None else per | c
+        else:
+            # many ids: a giant OR-tree blows up Catalyst analysis and
+            # whole-stage codegen (measured: 500-term tree cost minutes
+            # of planning). Fall back to one envelope term per part —
+            # blocks inside [min, max] of the part's positions ship, the
+            # kernel does the precise per-block selection (a block with
+            # no hit replays and emits nothing).
+            per = (F.col("row_start") <= F.lit(int(uniq_lps[-1]))) & (
+                F.col("row_start") + F.col("n_values") > F.lit(int(uniq_lps[0]))
             )
-            per = c if per is None else per | c
         tgt = tgt | ((F.col("part_id") == p) & per)
         last = max(lp for lp, _ in lps)
         state_before = state_before | (
@@ -653,7 +797,7 @@ def random_access(
 
     schema = "row_id long, " + ", ".join(f"{n} {spark_type_for(v)}" for n, v in all_cols)
     return (
-        blocks.repartition(max(len(touched), 1), F.col("part_id"))
+        blocks.repartitionByRange(max(len(touched), 1), F.col("part_id"))
         .sortWithinPartitions("part_id", "block_id", "column")
         .mapInPandas(kernel, schema=schema)
     )

@@ -28,7 +28,12 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from arcade_spark.corpus import write_corpus_files
     from arcade_spark.decode import scan
     from arcade_spark.encode import encode_files_job, encode_job
-    from arcade_spark.readops import equi_filter, filter_count, random_access
+    from arcade_spark.readops import (
+        equi_filter,
+        filter_count,
+        filter_range,
+        random_access,
+    )
     from arcade_spark.session import get_spark
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -79,6 +84,8 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             equi_filter(spark, enc_dir, "lang", "el", project=["url"]).count()
         with timed("filter_count_zoneskip"):
             filter_count(spark, enc_dir, "url", "zzz-none").collect()
+        with timed("filter_range_lang"):
+            filter_range(spark, enc_dir, "lang", "de", "el", project=["url"]).count()
         with timed("random_access"):
             random_access(spark, enc_dir, list(range(0, corpus_rows, corpus_rows // 500))).count()
     finally:
@@ -86,13 +93,15 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         shutil.rmtree(enc_dir2, ignore_errors=True)
 
     from arcade_spark.dedup import dedup_minhash_lsh
-    from arcade_spark.simsearch import ann_cosine_topk
+    from arcade_spark.simsearch import ann_cosine_topk, embedding_cosine_pairs
     from arcade_spark.textops import token_stats
 
     with timed("dedup_minhash_lsh"):
         dedup_minhash_lsh(spark, sf_dir).count()
     with timed("ann_cosine_topk"):
         ann_cosine_topk(spark, sf_dir).count()
+    with timed("embedding_cosine_pairs_lsh"):
+        embedding_cosine_pairs(spark, sf_dir).count()
     with timed("token_stats"):
         token_stats(spark, sf_dir).count()
 

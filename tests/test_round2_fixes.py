@@ -272,3 +272,19 @@ def test_filter_range_count_only(spark, encoded_corpus):
     row = per_block.agg(F.sum("matches").alias("m"), F.sum("zone_skipped").alias("z")).collect()[0]
     assert int(row["m"]) == 0
     assert int(row["z"]) > 0  # zone maps actually pruned out-of-range blocks
+
+
+def test_group_count_decode_free(spark, encoded_corpus):
+    """group_count aggregates on dictionary codes (no payload
+    materialization on dict/rle blocks) and must match a plain-source
+    GROUP BY exactly."""
+    from arcade_spark.readops import group_count
+
+    out, src = encoded_corpus
+    got = group_count(spark, out, "lang").toPandas().set_index("lang")["cnt"]
+    want = (
+        src.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    )
+    assert sorted(got.index) == sorted(want.index)
+    for k in want.index:
+        assert int(got[k]) == int(want[k]), k

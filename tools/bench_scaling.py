@@ -1,10 +1,20 @@
 """Two-parallelism scaling bench (the north rule's N vs 4N executors,
-proxied in-sandbox by local[8] vs local[32] per BASELINE.md): encode the
-same deterministic corpus at both levels, report GB/s each and the
-scaling efficiency throughput(4N) / (4 × throughput(N)), and write
-BENCH/BASELINE.md.
+proxied in-sandbox by the core pair the hardware can express, per the
+calibration in BENCH/BASELINE.md): encode the same deterministic corpus
+at both levels with A/B-interleaved repetitions, report GB/s per level
+and the scaling efficiency throughput(4N) / (4 × throughput(N)), and
+write BENCH/BASELINE.md + BENCH/scaling.json.
 
-Usage: python tools/bench_scaling.py [corpus_rows] [n_small] [n_large]
+All efficiency numbers are computed WITHIN the current code revision
+(fingerprint of the encode-path sources) — no cross-revision merging.
+Both best-of and median-of efficiencies are reported side by side.
+
+Encode output goes to /dev/shm: on a real cluster the sink is object
+storage whose aggregate bandwidth scales with executors; the sandbox's
+single shared /tmp disk does not, and would attribute its serialization
+to the engine.
+
+Usage: python tools/bench_scaling.py [corpus_rows] [n_small] [n_large] [reps]
 """
 
 from __future__ import annotations
@@ -20,12 +30,17 @@ import uuid
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def encode_once(cores: int, corpus_path: str, num_parts: int, mode: str = "files") -> dict:
+def _out_base() -> str:
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def encode_once(cores: int, corpus_path: str, num_parts: int, mode: str = "files",
+                files_per_task: int = 1) -> dict:
     from arcade_spark.encode import encode_files_job, encode_job
     from arcade_spark.session import get_spark
 
     spark = get_spark(app=f"scaling-{cores}", cores=cores)
-    out = os.path.join(tempfile.gettempdir(), f"arcade_scaling_{uuid.uuid4().hex[:8]}")
+    out = os.path.join(_out_base(), f"arcade_scaling_{uuid.uuid4().hex[:8]}")
     try:
         src = spark.read.parquet(corpus_path)
         # warm the JVM + python workers with a tiny job first so the
@@ -33,7 +48,8 @@ def encode_once(cores: int, corpus_path: str, num_parts: int, mode: str = "files
         src.limit(1000).count()
         t0 = time.time()
         if mode == "files":
-            m = encode_files_job(spark, corpus_path, out, resume=False)
+            m = encode_files_job(spark, corpus_path, out, resume=False,
+                                 files_per_task=files_per_task)
         else:
             m = encode_job(spark, src, out, num_parts=num_parts, resume=False)
         wall = time.time() - t0
@@ -43,6 +59,7 @@ def encode_once(cores: int, corpus_path: str, num_parts: int, mode: str = "files
     return {
         "cores": cores,
         "mode": mode,
+        "files_per_task": files_per_task,
         "wall_seconds": round(wall, 2),
         "raw_bytes": m["raw_bytes"],
         "encoded_bytes": m["encoded_bytes"],
@@ -52,13 +69,24 @@ def encode_once(cores: int, corpus_path: str, num_parts: int, mode: str = "files
     }
 
 
-def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    num_parts = 2 * n_large
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
-    n_files = max(num_parts, 32)
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    num_parts = 32
+
+    n_files = 32
+    # ~2 task waves at the large level: constant per-task overhead
+    # (~150 ms python-worker handshake on this box) must be amortized
+    # into realistically-sized tasks, exactly as at 100 TB
+    files_per_task = max(1, n_files // (2 * n_large))
     corpus_path = os.path.join(
         tempfile.gettempdir(), f"arcade_corpus_files_{rows}_{n_files}"
     )
@@ -67,15 +95,10 @@ def main() -> None:
 
     write_corpus_files(corpus_path, rows, n_files)
 
-    # alternate A/B/A/B; persist every run to a history file and take
-    # best-of per level across all runs of the CURRENT code revision —
-    # the only defensible policy on a shared box whose noisy neighbors
-    # inflate wall time by up to ~1.7x run-to-run (noise only ever
-    # subtracts throughput, so max estimates the machine's capability)
     import hashlib
 
     # key runs by a fingerprint of the ENCODE-path sources, not the git
-    # rev — unrelated commits must not reset the accumulated best-of
+    # rev — unrelated commits must not reset the accumulated runs
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.md5()
     for rel in [
@@ -89,66 +112,92 @@ def main() -> None:
     rev = h.hexdigest()[:10]
     os.makedirs("BENCH", exist_ok=True)
     history = "BENCH/scaling_runs.jsonl"
-    for cores in (n_small, n_large, n_small, n_large):
-        r = encode_once(cores, corpus_path, num_parts)
-        r["code_rev"] = rev
-        r["corpus_rows"] = rows
-        print(f"run[{cores}]:", json.dumps(r), flush=True)
-        with open(history, "a") as f:
-            f.write(json.dumps(r) + "\n")
+    for i in range(reps):
+        for cores in (n_small, n_large):
+            r = encode_once(cores, corpus_path, num_parts,
+                            files_per_task=files_per_task)
+            r["code_rev"] = rev
+            r["corpus_rows"] = rows
+            print(f"rep {i + 1}/{reps} run[{cores}]:", json.dumps(r), flush=True)
+            with open(history, "a") as f:
+                f.write(json.dumps(r) + "\n")
+
     all_runs = [json.loads(line) for line in open(history)]
     cur = [r for r in all_runs if r.get("code_rev") == rev and r.get("corpus_rows") == rows]
     runs = {
         n_small: [r for r in cur if r["cores"] == n_small],
         n_large: [r for r in cur if r["cores"] == n_large],
     }
-    small = max(runs[n_small], key=lambda r: r["gbps"])
-    large = max(runs[n_large], key=lambda r: r["gbps"])
+    small_best = max(runs[n_small], key=lambda r: r["gbps"])
+    large_best = max(runs[n_large], key=lambda r: r["gbps"])
+    small_med = _median([r["gbps"] for r in runs[n_small]])
+    large_med = _median([r["gbps"] for r in runs[n_large]])
 
     factor = n_large / n_small
-    eff_raw = large["gbps"] / (factor * small["gbps"])
-    # >1.0 means the small-N level has not yet seen a quiet window on
-    # this noisy shared box (noise is asymmetric across levels); report
-    # the conservative cap and keep the raw value in scaling.json
-    eff = min(eff_raw, 1.0)
+    eff_best = large_best["gbps"] / (factor * small_best["gbps"])
+    eff_median = large_med / (factor * small_med)
     result = {
         "corpus_rows": rows,
         "num_parts": num_parts,
-        "small": small,
-        "large": large,
+        "files_per_task": files_per_task,
+        "code_rev": rev,
+        "small_best": small_best,
+        "large_best": large_best,
+        "small_median_gbps": round(small_med, 4),
+        "large_median_gbps": round(large_med, 4),
         "parallelism_factor": factor,
-        "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_raw": round(eff_raw, 3),
+        "scaling_efficiency_best": round(min(eff_best, 1.0), 3),
+        "scaling_efficiency_best_raw": round(eff_best, 3),
+        "scaling_efficiency_median": round(min(eff_median, 1.0), 3),
+        "scaling_efficiency_median_raw": round(eff_median, 3),
         "n_runs_small": len(runs[n_small]),
         "n_runs_large": len(runs[n_large]),
+        "gbps_small_all": [r["gbps"] for r in runs[n_small]],
+        "gbps_large_all": [r["gbps"] for r in runs[n_large]],
     }
     print(json.dumps(result), flush=True)
 
-    os.makedirs("BENCH", exist_ok=True)
+    small, large = small_best, large_best
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — measured results
 
 ## Encode throughput & scaling efficiency (north rule)
 
 Same job, same input ({rows:,} corpus rows, {small['raw_bytes']/1e6:.0f} MB raw,
-{num_parts} encode partitions), two parallelism levels — the sandbox
-proxy for N vs 4N executors per BASELINE.md.
+{n_files} source files, {files_per_task} files/task → {n_files // files_per_task}
+tasks), two parallelism levels — the sandbox proxy for N vs 4N
+executors per the hardware calibration below. **All numbers below are
+from ONE code revision ({rev}), {result['n_runs_small']}+{result['n_runs_large']}
+A/B-interleaved runs; no cross-revision merging.**
 
-| parallelism | wall (s) | encode GB/s | compression ratio |
-|---|---|---|---|
-| local[{n_small}] (N) | {small['wall_seconds']} | {small['gbps']} | {small['ratio']} |
-| local[{n_large}] (4N) | {large['wall_seconds']} | {large['gbps']} | {large['ratio']} |
+| parallelism | best GB/s | median GB/s | best wall (s) | ratio |
+|---|---|---|---|---|
+| local[{n_small}] (N) | {small['gbps']} | {result['small_median_gbps']} | {small['wall_seconds']} | {small['ratio']} |
+| local[{n_large}] (4N) | {large['gbps']} | {result['large_median_gbps']} | {large['wall_seconds']} | {large['ratio']} |
 
-**Scaling efficiency** = throughput(4N) / (4 × throughput(N)) =
-**{eff:.3f}** (target ≥ 0.8; raw value {eff_raw:.3f} over
-{result['n_runs_small']}+{result['n_runs_large']} interleaved runs —
-best-of per level on a noisy shared box is capped at 1.0, since a raw
-value above 1.0 only means the two levels caught quiet windows of
-different depth, not super-linear engine scaling).
+**Scaling efficiency** = throughput(4N) / (4 × throughput(N)):
+
+- best-of per level: **{result['scaling_efficiency_best']}** (raw {result['scaling_efficiency_best_raw']})
+- median-of per level: **{result['scaling_efficiency_median']}** (raw {result['scaling_efficiency_median_raw']})
+
+(target ≥ 0.8; best-of and median-of are reported side by side — noise
+on this shared box only ever subtracts throughput, so best-of estimates
+the machine's capability while median-of shows a typical run; values
+above 1.0 are capped, as they only mean the two levels caught quiet
+windows of different depth, not super-linear engine scaling).
+
+Per-run GB/s, small level: {result['gbps_small_all']}
+Per-run GB/s, large level: {result['gbps_large_all']}
 
 Compression: encoded/raw = {large['ratio']} on the mixed corpus
 (url/warc_ts/html/text/lang). Per-column codec selection is recorded in
 the manifest (`codec_counts`).
+
+Encode output is written to /dev/shm: a real cluster's sink is object
+storage whose aggregate bandwidth scales with executor count; the
+sandbox's one shared /tmp disk does not, and would attribute its
+serialization to the engine. The corpus is read from /tmp (page-cached
+after the first run — same reasoning on the read side).
 
 ### Why this N/4N pair (hardware calibration)
 
@@ -165,14 +214,16 @@ identical independent processes) measures aggregate throughput
 i.e. hardware efficiency 0.93 for 2→8 but **0.055** for 8→32 (32
 concurrent processes deliver *less* total than 8 — the box is a shared
 / throttled host with ~8-12 effective cores). The engine's scaling is
-therefore evidenced on the 2→4·2 pair the hardware can express; the
-engine itself has no cross-partition coupling (each partition encodes
-independently with its own dictionary state), so executor-count scaling
-on a real cluster is limited only by shuffle fan-in at plan time.
+therefore evidenced on the {n_small}→{n_large} pair the hardware can
+express; the engine itself has no cross-partition coupling (each
+partition encodes independently with its own dictionary state), so
+executor-count scaling on a real cluster is limited only by shuffle
+fan-in at plan time.
 
 Reference comparison: the reference publishes no numbers (BASELINE.md);
 its format-math size model bound is checked in
-tests/test_size_bound.py. Raw JSON: BENCH/scaling.json.
+tests/test_size_bound.py. Raw JSON: BENCH/scaling.json; per-run
+history: BENCH/scaling_runs.jsonl.
 """)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(result, f, indent=2)
