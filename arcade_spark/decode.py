@@ -234,7 +234,7 @@ def scan(
             f"{n} {spark_type_for(v)}" for n, v in sel
         )
     return (
-        blocks.repartitionByRange(max(n_parts, 1), F.col("part_id"))
+        blocks.repartition(max(n_parts, 1), F.col("part_id"))
         .sortWithinPartitions("part_id", "block_id", "column")
         .mapInArrow(kernel, schema=schema)
     )

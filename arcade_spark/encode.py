@@ -55,6 +55,7 @@ from arcade_spark.manifest import (
 from arcade_spark.schema import MANIFEST_DDL, spark_vtype
 
 _PART_COL = "__arcade_part"
+_KEY_COL = "__arcade_key"
 
 
 def with_part_id(
@@ -65,19 +66,28 @@ def with_part_id(
     salt_buckets: int = 8,
     part_id_offset: int = 0,
 ) -> DataFrame:
-    """Assign the deterministic encode partition id.
+    """Assign the deterministic encode partition id, ALIGNED with
+    Spark's own shuffle placement.
 
-    Key = (host, xxhash64(full row key) % salt_buckets): host locality
-    for dictionary sharing, salted so one Zipf-heavy host spreads over
-    ``salt_buckets`` partitions instead of serializing the job.
-    """
+    Locality key = xxhash64(host, salt) where salt = xxhash64(row key) %
+    salt_buckets: pages of one host co-locate (dictionary sharing),
+    Zipf-heavy hosts split across ``salt_buckets`` partitions.
+
+    part_id = pmod(murmur3(key), num_parts) — EXACTLY the bucket
+    ``repartition(num_parts, key)`` sends the row to (HashPartitioning
+    is Pmod(Murmur3Hash(expr), n); ``F.hash`` is the same Murmur3Hash).
+    One Spark partition therefore holds exactly one part id: no
+    balls-in-bins double hashing (hashing P part ids into P buckets
+    collides, leaving some tasks 2-3 parts and others empty), and task
+    balance is row-level multinomial, not key-level."""
     if host_col is not None and host_col in df.columns:
         host = F.regexp_extract(F.col(host_col), r"^[a-z]+://([^/]+)", 1)
     else:
         host = F.lit("")
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
-    part = (F.pmod(F.xxhash64(host, salt), F.lit(num_parts)) + F.lit(part_id_offset)).cast("int")
-    return df.withColumn(_PART_COL, part)
+    key = F.xxhash64(host, salt)
+    part = (F.pmod(F.hash(key), F.lit(num_parts)) + F.lit(part_id_offset)).cast("int")
+    return df.withColumn(_KEY_COL, key).withColumn(_PART_COL, part)
 
 
 def make_encode_kernel(
@@ -211,7 +221,11 @@ def encode_job(
     part_id_offset: int = 0,
 ) -> dict:
     """Run the full encode pipeline; returns job metrics."""
-    columns = [(f.name, spark_vtype(f.dataType)) for f in source.schema.fields]
+    columns = [
+        (f.name, spark_vtype(f.dataType))
+        for f in source.schema.fields
+        if f.name not in (_PART_COL, _KEY_COL)
+    ]
     df = with_part_id(
         source, num_parts, salt_col=order_col, host_col=order_col,
         salt_buckets=salt_buckets, part_id_offset=part_id_offset,
@@ -236,15 +250,16 @@ def encode_job(
     run_id = uuid.uuid4().hex[:12]
     t0 = time.time()
     kernel = make_encode_kernel(columns, out_dir, run_id, block_rows, job_info=job_info)
-    # range partitioning, not hash: with num_parts distinct part ids
-    # hashed into num_parts partitions, collisions leave some tasks
-    # with several parts and others empty (balls-in-bins) — fine when
-    # parts >> slots, a 2-3x straggler at low parallelism. Range
-    # partitioning keeps each part id contiguous (all rows of one part
-    # in one task — the dictionary-state requirement) and near-1:1.
+    # the shuffle key is the raw 64-bit locality key, and part_id was
+    # computed as pmod(murmur3(key), num_parts) — the exact bucket this
+    # repartition sends the row to (tests assert part_id ==
+    # spark_partition_id). One part per task, balanced at row level,
+    # single pass (repartitionByRange would re-run the whole source
+    # scan to sample range bounds).
     new_rows = (
-        df.repartitionByRange(num_parts, F.col(_PART_COL))
+        df.repartition(num_parts, F.col(_KEY_COL))
         .sortWithinPartitions(_PART_COL, order_col)
+        .drop(_KEY_COL)
         .mapInArrow(kernel, schema=MANIFEST_DDL)
         .collect()
     )

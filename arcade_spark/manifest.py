@@ -38,8 +38,12 @@ import pyarrow.parquet as pq
 #    segments live in their own parquet column so zone-pruned blocks
 #    ship segments only (and get parquet-zstd page compression, the
 #    generalization of ARCADE's snappy-over-dictionaries,
-#    writer.cpp:182-187)
-FORMAT_REV = 6
+#    writer.cpp:182-187);
+# 7: shuffle-mode part-id mapping changed to pmod(murmur3(locality_key),
+#    P) aligned with Spark's HashPartitioning — the row→part mapping is
+#    part of the format: resuming rev-6 markers under the rev-7 mapping
+#    would drop/duplicate rows, so the rev check must refuse
+FORMAT_REV = 7
 
 BLOCKS_ARROW_SCHEMA = pa.schema(
     [

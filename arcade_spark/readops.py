@@ -496,7 +496,7 @@ def _filter_op(
         schema = ", ".join(f"{n} {spark_type_for(v)}" for n, v in proj_items)
 
     result = (
-        blocks.repartitionByRange(max(n_parts, 1), F.col("part_id"))
+        blocks.repartition(max(n_parts, 1), F.col("part_id"))
         .sortWithinPartitions("part_id", "block_id", "column")
         .mapInPandas(kernel, schema=schema)
     )
@@ -618,7 +618,7 @@ def group_count(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
                 )
 
     partial = (
-        blocks.repartitionByRange(max(n_parts, 1), F.col("part_id"))
+        blocks.repartition(max(n_parts, 1), F.col("part_id"))
         .sortWithinPartitions("part_id", "block_id")
         .mapInPandas(kernel, schema="value_bin binary, cnt long")
     )
@@ -656,8 +656,8 @@ def _random_access_targets(out_dir: str, row_ids: list[int]):
     return targets
 
 
-_RA_PRECISE_MAX = 32  # per-part id count above which the plan predicate
-# switches from per-position OR terms to one envelope per part
+_RA_PRECISE_MAX = 32  # total id count above which the plan predicate
+# switches from per-position OR terms to one [min,max] envelope per part
 
 
 def _random_access_blocks(
@@ -683,12 +683,20 @@ def _random_access_blocks(
         # arithmetic (row_start + n_values) that cannot be pushed.
         global_max = max(lp for lps in targets.values() for lp, _ in lps)
         blocks = blocks.filter(F.col("row_start") <= F.lit(int(global_max)))
+    # the TOTAL id count decides the plan shape: a per-position OR tree
+    # blows up Catalyst analysis + whole-stage codegen once it reaches
+    # a few hundred terms (measured: a 500-term tree turned a 2 s
+    # lookup into minutes of planning). Point lookups (few ids) get the
+    # precise predicate; bulk lookups get one [min, max] envelope per
+    # part — the kernel always does the exact per-block selection, so
+    # the envelope only affects which blocks ship, never the result.
+    total_ids = sum(len({lp for lp, _ in lps}) for lps in targets.values())
+    precise = total_ids <= _RA_PRECISE_MAX
     tgt = F.lit(False)
     state_before = F.lit(False)
     for p, lps in targets.items():
         uniq_lps = sorted({lp for lp, _ in lps})
-        if len(uniq_lps) <= _RA_PRECISE_MAX:
-            # precise per-position predicate (one OR term per id)
+        if precise:
             per = None
             for lp in uniq_lps:
                 c = (F.col("row_start") <= F.lit(int(lp))) & (
@@ -696,12 +704,6 @@ def _random_access_blocks(
                 )
                 per = c if per is None else per | c
         else:
-            # many ids: a giant OR-tree blows up Catalyst analysis and
-            # whole-stage codegen (measured: 500-term tree cost minutes
-            # of planning). Fall back to one envelope term per part —
-            # blocks inside [min, max] of the part's positions ship, the
-            # kernel does the precise per-block selection (a block with
-            # no hit replays and emits nothing).
             per = (F.col("row_start") <= F.lit(int(uniq_lps[-1]))) & (
                 F.col("row_start") + F.col("n_values") > F.lit(int(uniq_lps[0]))
             )
@@ -797,7 +799,7 @@ def random_access(
 
     schema = "row_id long, " + ", ".join(f"{n} {spark_type_for(v)}" for n, v in all_cols)
     return (
-        blocks.repartitionByRange(max(len(touched), 1), F.col("part_id"))
+        blocks.repartition(max(len(touched), 1), F.col("part_id"))
         .sortWithinPartitions("part_id", "block_id", "column")
         .mapInPandas(kernel, schema=schema)
     )

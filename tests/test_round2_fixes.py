@@ -288,3 +288,31 @@ def test_group_count_decode_free(spark, encoded_corpus):
     assert sorted(got.index) == sorted(want.index)
     for k in want.index:
         assert int(got[k]) == int(want[k]), k
+
+
+def test_part_id_aligns_with_shuffle_placement(spark, tmp_path_factory):
+    """The encode part id is pmod(murmur3(locality_key), P) — it must
+    equal the Spark partition index after repartition(P, key), or the
+    resume filter and the kernel would disagree with actual placement
+    (one part split across tasks breaks dictionary state)."""
+    from pyspark.sql import functions as F
+
+    from arcade_spark.corpus import write_corpus
+    from arcade_spark.encode import _KEY_COL, _PART_COL, with_part_id
+
+    path = str(tmp_path_factory.mktemp("al") / "c.parquet")
+    write_corpus(path, n_rows=2000, seed=29)
+    df = with_part_id(spark.read.parquet(path), 16)
+    check = (
+        df.repartition(16, F.col(_KEY_COL))
+        .withColumn("spid", F.spark_partition_id())
+        .select(_PART_COL, "spid")
+        .distinct()
+        .collect()
+    )
+    assert all(r[_PART_COL] == r["spid"] for r in check), check[:5]
+    # and every spark partition holds exactly one part id
+    by_spid = {}
+    for r in check:
+        by_spid.setdefault(r["spid"], set()).add(r[_PART_COL])
+    assert all(len(v) == 1 for v in by_spid.values())
