@@ -534,11 +534,48 @@ def group_count(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
     if column not in all_cols:
         raise KeyError(f"no such column: {column}")
     fvt = all_cols[column]
-    if fvt not in ("str", "binary"):
-        raise NotImplementedError("group_count supports string/binary columns")
+    is_str = fvt in ("str", "binary")
 
     n_parts = _num_parts(spark, out_dir)
     blocks = read_blocks(spark, out_dir, [column]).filter(F.col("column") == column)
+
+    if not is_str:
+        # integer-family columns (int/i32/i16/i8/ts/tsntz/double/float):
+        # decode the int64 lane, np.unique-count per block, merge tiny
+        # partials. Stored bitcast for doubles — group keys are bit
+        # patterns, which equals value-equality grouping (modulo -0.0).
+        is_float = fvt in ("double", "float")
+        key_col, key_ddl = ("value_dbl", "value_dbl double") if is_float else (
+            "value_int", "value_int long")
+
+        def int_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    iblock = decode_int_block(row.blob, _meta_from_row(row))
+                    v = iblock.values
+                    if iblock.validity is not None:
+                        v = v[iblock.validity]
+                    if len(v) == 0:
+                        continue
+                    vals, cnts = np.unique(v, return_counts=True)
+                    if is_float:
+                        vals = vals.view(np.float64)
+                    yield pd.DataFrame({key_col: vals, "cnt": cnts.astype(np.int64)})
+
+        partial = (
+            blocks.repartition(max(n_parts, 1), F.col("part_id"))
+            .mapInPandas(int_kernel, schema=f"{key_ddl}, cnt long")
+        )
+        agg = partial.groupBy(key_col).agg(F.sum("cnt").alias("cnt"))
+        if is_float:
+            out_col = F.col(key_col).cast(spark_type_for(fvt))
+        elif fvt in ("ts", "tsntz"):
+            out_col = F.timestamp_micros(F.col(key_col))
+            if fvt == "tsntz":
+                out_col = out_col.cast("timestamp_ntz")
+        else:
+            out_col = F.col(key_col).cast(spark_type_for(fvt))
+        return agg.select(out_col.alias(column), F.col("cnt"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gdecs: dict[int, GlobalDictDecoder] = {}

@@ -316,3 +316,22 @@ def test_part_id_aligns_with_shuffle_placement(spark, tmp_path_factory):
     for r in check:
         by_spid.setdefault(r["spid"], set()).add(r[_PART_COL])
     assert all(len(v) == 1 for v in by_spid.values())
+
+
+def test_group_count_int_and_double(spark, encoded_corpus, double_table):
+    from arcade_spark.readops import group_count
+
+    # timestamp column (stored as epoch-µs int lane)
+    out, src = encoded_corpus
+    got = group_count(spark, out, "warc_ts")
+    n_groups = got.count()
+    total = got.agg({"cnt": "sum"}).collect()[0][0]
+    want_groups = src.select("warc_ts").distinct().count()
+    assert n_groups == want_groups and total == src.count()
+
+    # double column with negatives
+    out2, pdf = double_table
+    got2 = group_count(spark, out2, "value").toPandas().set_index("value")["cnt"]
+    want2 = pdf.groupby("value").size()
+    assert len(got2) == len(want2)
+    assert int(got2[-3.25]) == int(want2[-3.25])
