@@ -144,6 +144,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, out, "value", 10.5, 42.25, project=["event_id", "user_id"]
         )
 
+    def arcade_filter_and(spark, sf_dir):
+        """Conjunctive filter: dictionary-code equality AND a bitcast
+        double range, positions intersected per block; zone maps prune
+        when either predicate rules a block out."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_and
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return filter_and(
+            spark, out,
+            [("eq", "event_type", "click"), ("range", "value", 20.0, 60.0)],
+            project=["event_id", "user_id"],
+        )
+
     def arcade_group_count(spark, sf_dir):
         """Decode-free GROUP BY count on the encoded table: bincount of
         dictionary codes + dict lookup of the few distinct values —
@@ -211,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_events": arcade_filter_events,
         "arcade_filter_range": arcade_filter_range,
         "arcade_filter_range_double": arcade_filter_range_double,
+        "arcade_filter_and": arcade_filter_and,
         "arcade_group_count": arcade_group_count,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
@@ -364,6 +379,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_filter_range_double": (
             "SELECT event_id, user_id FROM events WHERE value >= 10.5 AND value <= 42.25"
+        ),
+        "arcade_filter_and": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE event_type = 'click' AND value >= 20.0 AND value <= 60.0"
         ),
         "arcade_group_count": (
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"

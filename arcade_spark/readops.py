@@ -243,7 +243,7 @@ def equi_filter(
 ) -> DataFrame:
     """``SELECT project... FROM encoded WHERE column = value``
     (ArcadeReader::equi_filter, reader.cpp:7-66)."""
-    return _filter_op(spark, out_dir, column, ("eq", value), project, count_only)
+    return _filter_op(spark, out_dir, [(column, ("eq", value))], project, count_only)
 
 
 def filter_range(
@@ -260,23 +260,112 @@ def filter_range(
     (README.md:115-131); our sorted dictionaries + zone maps make them
     cheap: blocks prune on min/max, local/rle dicts compare a code
     range, the global dict keeps a growing in-range entry bitmask."""
-    return _filter_op(spark, out_dir, column, ("range", lo, hi), project, count_only)
+    return _filter_op(spark, out_dir, [(column, ("range", lo, hi))], project, count_only)
+
+
+def filter_and(
+    spark: SparkSession,
+    out_dir: str,
+    preds: list[tuple],
+    project: list[str] | None = None,
+    count_only: bool = False,
+) -> DataFrame:
+    """Conjunctive filter: ``WHERE p1 AND p2 AND ...`` where each pred
+    is ("eq", column, value) or ("range", column, lo, hi). Zone maps
+    prune a block when ANY predicate's zone rules it out; the kernel
+    intersects per-column match-position sets, and projection columns
+    materialize only the intersection — at most one pass per chunk."""
+    spec = []
+    for p in preds:
+        if p[0] == "eq":
+            spec.append((p[1], ("eq", p[2])))
+        elif p[0] == "range":
+            spec.append((p[1], ("range", p[2], p[3])))
+        else:
+            raise ValueError(f"unknown predicate kind: {p[0]!r}")
+    return _filter_op(spark, out_dir, spec, project, count_only)
 
 
 def _encode_bound(v):
     return v.encode() if isinstance(v, str) else v
 
 
+class _Pred:
+    """Compiled per-column predicate: zone expression, kernel matcher,
+    replay-state factory."""
+
+    def __init__(self, column: str, vtype: str, pred: tuple):
+        from arcade_spark.bits import float_order_key
+
+        self.column = column
+        self.vtype = vtype
+        self.is_str = vtype in ("str", "binary")
+        self.is_float = vtype in ("double", "float")
+        self.kind = pred[0]
+        if self.kind == "eq":
+            self.lob = self.hib = _encode_bound(pred[1])
+        else:
+            self.lob, self.hib = _encode_bound(pred[1]), _encode_bound(pred[2])
+        if not self.is_str:
+            if self.kind == "eq":
+                if self.is_float:
+                    # stored bitcast: equality compares bit patterns,
+                    # zone prune compares order-preserving keys
+                    self.target_int = int(np.float64(self.lob).view(np.int64))
+                    self.zone_lo = self.zone_hi = float_order_key(float(self.lob))
+                else:
+                    self.target_int = int(self.lob)
+                    self.zone_lo = self.zone_hi = self.target_int
+            else:
+                if self.is_float:
+                    self.flo, self.fhi = float(self.lob), float(self.hib)
+                    self.zone_lo = float_order_key(self.flo)
+                    self.zone_hi = float_order_key(self.fhi)
+                else:
+                    self.ilo, self.ihi = int(self.lob), int(self.hib)
+                    self.zone_lo, self.zone_hi = self.ilo, self.ihi
+
+    def zone_keep_expr(self):
+        if self.is_str:
+            lo_lit, hi_lit = F.lit(bytearray(self.lob)), F.lit(bytearray(self.hib))
+            prune = (hi_lit < F.col("min_bin")) | (
+                F.col("max_exact") & (lo_lit > F.col("max_bin"))
+            )
+        else:
+            prune = (F.lit(self.zone_hi) < F.col("min_int")) | (
+                F.lit(self.zone_lo) > F.col("max_int")
+            )
+        return ~F.coalesce(prune, F.lit(False))
+
+    def new_state(self):
+        if self.kind == "eq":
+            return _StrFilterState(self.lob)
+        return _StrRangeState(self.lob, self.hib)
+
+    def int_positions(self, iblock) -> np.ndarray:
+        if self.kind == "eq":
+            m = iblock.values == self.target_int
+        elif self.is_float:
+            v = iblock.values.view(np.float64)
+            m = (v >= self.flo) & (v <= self.fhi)
+        else:
+            m = (iblock.values >= self.ilo) & (iblock.values <= self.ihi)
+        pos = np.nonzero(m)[0]
+        if iblock.validity is not None and len(pos):
+            pos = pos[iblock.validity[pos]]
+        return pos
+
+
 def _filter_op(
     spark: SparkSession,
     out_dir: str,
-    column: str,
-    pred: tuple,
+    preds_spec: list[tuple[str, tuple]],
     project: list[str] | None = None,
     count_only: bool = False,
 ) -> DataFrame:
-    """Shared filter driver. ``pred`` is ("eq", value) or
-    ("range", lo, hi) — inclusive bounds.
+    """Shared filter driver over a CONJUNCTION of per-column predicates
+    (("eq", value) / ("range", lo, hi), inclusive bounds; at most one
+    predicate per column).
 
     The zone-map prune is computed in the DataFrame plan (`zone_keep`),
     so Catalyst evaluates min/max against parquet row-group stats
@@ -284,86 +373,51 @@ def _filter_op(
     (seg column only) but never scanned or materialized — mirroring
     process.cpp:256-273 + the previndex segment walk (process.cpp:88-123)."""
     all_cols = dict(table_columns(spark, out_dir))
-    if column not in all_cols:
-        raise KeyError(f"no such column: {column}")
-    fvt = all_cols[column]
+    preds: dict[str, _Pred] = {}
+    for column, pred in preds_spec:
+        if column not in all_cols:
+            raise KeyError(f"no such column: {column}")
+        if column in preds:
+            raise ValueError(f"multiple predicates on {column!r} not supported")
+        preds[column] = _Pred(column, all_cols[column], pred)
+    pred_cols = list(preds)
+
     if count_only:
         # count-only fast path (runner.cpp:11): no projection chunks
-        # are read at all — only the filter column's files ship
+        # are read at all — only the filter columns' files ship
         project = []
     else:
-        project = [c for c in (project or [c for c in all_cols if c != column])]
-    sel_cols = [column] + [c for c in project if c != column]
+        project = [
+            c for c in (project or [c for c in all_cols if c not in preds])
+        ]
+    sel_cols = pred_cols + [c for c in project if c not in preds]
     vtypes = {c: all_cols[c] for c in sel_cols}
 
-    is_str = fvt in ("str", "binary")
-    is_float = fvt in ("double", "float")
-    kind = pred[0]
-
-    if kind == "eq":
-        vb = _encode_bound(pred[1])
-        lob = hib = vb
-    else:
-        lob, hib = _encode_bound(pred[1]), _encode_bound(pred[2])
-        vb = None
-
-    target_int = 0
-    flo = fhi = 0.0
-    ilo = ihi = 0
-    if not is_str:
-        from arcade_spark.bits import float_order_key
-
-        if kind == "eq":
-            if is_float:
-                # stored bitcast: equality compares bit patterns, the
-                # zone prune compares order-preserving keys
-                target_int = int(np.float64(lob).view(np.int64))
-                zone_lo = zone_hi = float_order_key(float(lob))
-            else:
-                target_int = int(lob)
-                zone_lo = zone_hi = target_int
-        else:
-            if is_float:
-                flo, fhi = float(lob), float(hib)
-                zone_lo, zone_hi = float_order_key(flo), float_order_key(fhi)
-            else:
-                ilo, ihi = int(lob), int(hib)
-                zone_lo, zone_hi = ilo, ihi
-
-    def int_positions(iblock) -> np.ndarray:
-        if kind == "eq":
-            m = iblock.values == target_int
-        elif is_float:
-            v = iblock.values.view(np.float64)
-            m = (v >= flo) & (v <= fhi)
-        else:
-            m = (iblock.values >= ilo) & (iblock.values <= ihi)
-        pos = np.nonzero(m)[0]
-        if iblock.validity is not None and len(pos):
-            pos = pos[iblock.validity[pos]]
-        return pos
-
-    def new_str_state():
-        if kind == "eq":
-            return _StrFilterState(vb)
-        return _StrRangeState(lob, hib)
-
     blocks = read_blocks(spark, out_dir, sel_cols)
-    if is_str:
-        lo_lit, hi_lit = F.lit(bytearray(lob)), F.lit(bytearray(hib))
-        prune = (hi_lit < F.col("min_bin")) | (
-            F.col("max_exact") & (lo_lit > F.col("max_bin"))
+    zk_chain = F.lit(True)
+    for p in preds.values():
+        zk_chain = F.when(F.col("column") == p.column, p.zone_keep_expr()).otherwise(
+            zk_chain
         )
-    else:
-        prune = (F.lit(zone_hi) < F.col("min_int")) | (F.lit(zone_lo) > F.col("max_int"))
-    zk = ~F.coalesce(prune, F.lit(False))
-    blocks = blocks.withColumn(
-        "zone_keep",
-        F.when(F.col("column") == column, zk).otherwise(F.lit(True)),
-    )
+    blocks = blocks.withColumn("zone_keep", zk_chain)
+    is_pred_col = F.col("column").isin(pred_cols)
     stateful = (F.col("codec") == "dict_global") | F.col("gdict_seed")
+    # per-(part,block) verdict = AND of every predicate column's zone
+    # verdict (min over booleans == AND)
+    fmeta_keep = F.lit(True)
+    for p in preds.values():
+        fmeta_keep = F.when(F.col("column") == p.column, p.zone_keep_expr()).otherwise(
+            fmeta_keep
+        )
+    fmeta = (
+        read_blocks(spark, out_dir, pred_cols)
+        .filter(F.col("column").isin(pred_cols))
+        .select("part_id", "block_id", fmeta_keep.alias("keep"))
+        .groupBy("part_id", "block_id")
+        .agg(F.min("keep").alias("blk_keep"))
+    )
     if not count_only:
-        # true I/O skip (filter column): pruned chunks whose codec
+        # true I/O skip (predicate columns): pruned chunks whose codec
         # carries no cross-block dictionary state are DROPPED in the
         # plan — the predicate is on raw stats columns, so parquet
         # row-group pruning elides their blob bytes entirely. Stateful
@@ -371,26 +425,20 @@ def _filter_op(
         # retained for replay (the previndex walk analogue,
         # process.cpp:88-123). count_only keeps every row so the
         # zone_skipped metric is observable (FIXTURES.md §3).
-        blocks = blocks.filter(
-            (F.col("column") != column) | F.col("zone_keep") | stateful
-        )
-        # block-level propagation to PROJECTION columns: a block whose
-        # filter chunk is zone-pruned can produce no matches, so its
-        # projection chunks are replay-only too. The filter column's
-        # per-block verdict is a tiny metadata-only scan (no blob/seg
-        # bytes read — parquet column pruning), broadcast-joined onto
-        # every chunk row. At scale this is the difference between
-        # shipping all html blobs of all blocks vs only matched blocks'.
-        fmeta = (
-            read_blocks(spark, out_dir, [column])
-            .filter(F.col("column") == column)
-            .select("part_id", "block_id", zk.alias("blk_keep"))
-        )
+        blocks = blocks.filter((~is_pred_col) | F.col("zone_keep") | stateful)
+        # block-level propagation to PROJECTION columns: a block pruned
+        # by ANY predicate's zone map can produce no matches, so every
+        # other chunk of it is replay-only. The per-block verdict is a
+        # tiny metadata-only scan (no blob/seg bytes read — parquet
+        # column pruning), broadcast-joined onto every chunk row. At
+        # scale this is the difference between shipping all html blobs
+        # of all blocks vs only matched blocks'.
         blocks = blocks.join(F.broadcast(fmeta), ["part_id", "block_id"], "left")
         blocks = blocks.withColumn("blk_keep", F.coalesce("blk_keep", F.lit(True)))
         blocks = blocks.filter((F.col("zone_keep") & F.col("blk_keep")) | stateful)
     else:
-        blocks = blocks.withColumn("blk_keep", F.col("zone_keep"))
+        blocks = blocks.join(F.broadcast(fmeta), ["part_id", "block_id"], "left")
+        blocks = blocks.withColumn("blk_keep", F.coalesce("blk_keep", F.lit(True)))
     # replay-only chunks ship their dict segment but never the code
     # array: NULL out the blob in the plan so shuffle + Arrow IPC move
     # segments only (the blob column bytes dominate at scale)
@@ -401,39 +449,52 @@ def _filter_op(
 
     n_parts = _num_parts(spark, out_dir)
     proj_items = [(c, vtypes[c]) for c in project]
-    want = set(sel_cols)
+    pred_list = list(preds.values())
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fstates: dict[int, object] = {}
+        fstates: dict[tuple[int, str], object] = {}
         gdecs: dict[tuple[int, str], GlobalDictDecoder] = {}
 
         def handle_block(part_id: int, block_id: int, chunks) -> pd.DataFrame | None:
-            fchunk = chunks.get(column)
-            if fchunk is None:
-                # filter chunk pruned out of the plan entirely (stateless
-                # codec outside the zone map) → zero matches by
-                # construction
-                pos = np.empty(0, dtype=np.int64)
-                fkeep = False
-            else:
-                fblob, fmeta, fkeep = fchunk
-                if is_str:
-                    st = fstates.setdefault(part_id, new_str_state())
-                    if fkeep and fblob is not None:
-                        pos = st.match_positions(fblob, fmeta)
-                    else:
-                        st.replay(fmeta)
-                        pos = np.empty(0, dtype=np.int64)
+            pos = None
+            n_skipped = 0
+            for p in pred_list:
+                fchunk = chunks.get(p.column)
+                if fchunk is None:
+                    # pruned out of the plan entirely (stateless codec
+                    # outside the zone map) → zero matches
+                    pos_c = np.empty(0, dtype=np.int64)
+                    n_skipped += 1
                 else:
-                    if fkeep:
-                        pos = int_positions(decode_int_block(fblob, fmeta))
+                    fblob, fmeta_, fkeep = fchunk
+                    if p.is_str:
+                        st = fstates.setdefault((part_id, p.column), p.new_state())
+                        if fkeep and fblob is not None:
+                            pos_c = st.match_positions(fblob, fmeta_)
+                        else:
+                            st.replay(fmeta_)
+                            pos_c = np.empty(0, dtype=np.int64)
+                            n_skipped += 1
                     else:
-                        pos = np.empty(0, dtype=np.int64)
+                        if fkeep and fblob is not None:
+                            pos_c = p.int_positions(decode_int_block(fblob, fmeta_))
+                        else:
+                            pos_c = np.empty(0, dtype=np.int64)
+                            n_skipped += 1
+                if pos is None:
+                    pos = pos_c
+                elif len(pos) and len(pos_c):
+                    pos = np.intersect1d(pos, pos_c, assume_unique=True)
+                else:
+                    pos = np.empty(0, dtype=np.int64)
+            if pos is None:
+                pos = np.empty(0, dtype=np.int64)
 
             if count_only:
                 return pd.DataFrame(
                     {"part_id": [part_id], "block_id": [block_id],
-                     "matches": [len(pos)], "zone_skipped": [0 if fkeep else 1]}
+                     "matches": [len(pos)],
+                     "zone_skipped": [1 if n_skipped else 0]}
                 )
 
             data = {}

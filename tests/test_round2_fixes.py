@@ -335,3 +335,37 @@ def test_group_count_int_and_double(spark, encoded_corpus, double_table):
     want2 = pdf.groupby("value").size()
     assert len(got2) == len(want2)
     assert int(got2[-3.25]) == int(want2[-3.25])
+
+
+def test_filter_and_conjunction(spark, encoded_corpus):
+    """filter_and intersects per-column predicate positions: string eq +
+    timestamp range must equal the plain-source conjunction."""
+    from pyspark.sql import functions as F
+
+    from arcade_spark.readops import filter_and
+
+    out, src = encoded_corpus
+    bounds = src.agg(F.min("warc_ts"), F.max("warc_ts")).collect()[0]
+    lo_us = int(pd.Timestamp(bounds[0]).value // 1000)
+    hi_us = lo_us + (int(pd.Timestamp(bounds[1]).value // 1000) - lo_us) // 2
+    got = filter_and(
+        spark, out,
+        [("eq", "lang", "en"), ("range", "warc_ts", lo_us, hi_us)],
+        project=["url"],
+    ).toPandas()
+    want = src.filter(
+        (F.col("lang") == "en")
+        & (F.col("warc_ts") >= F.lit(pd.Timestamp(lo_us * 1000)))
+        & (F.col("warc_ts") <= F.lit(pd.Timestamp(hi_us * 1000)))
+    ).select("url").toPandas()
+    assert sorted(got["url"]) == sorted(want["url"])
+    assert 0 < len(want) < src.filter(F.col("lang") == "en").count()
+
+    # count-only agrees
+    cnt = (
+        filter_and(spark, out,
+                   [("eq", "lang", "en"), ("range", "warc_ts", lo_us, hi_us)],
+                   count_only=True)
+        .agg(F.sum("matches")).collect()[0][0]
+    )
+    assert int(cnt) == len(want)
