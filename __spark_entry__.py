@@ -158,6 +158,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             project=["event_id", "user_id"],
         )
 
+    def arcade_minmax(spark, sf_dir):
+        """min/max/count from chunk METADATA only — zero data bytes
+        read (zone maps are exact for integer-family columns)."""
+        _ship_package(spark)
+        from arcade_spark.readops import column_minmax
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return column_minmax(spark, out, "n_chars")
+
+    def arcade_minmax_double(spark, sf_dir):
+        """Metadata min/max on a double column: key-domain zone maps
+        invert to the true float extrema."""
+        _ship_package(spark)
+        from arcade_spark.readops import column_minmax
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return column_minmax(spark, out, "value")
+
     def arcade_group_count(spark, sf_dir):
         """Decode-free GROUP BY count on the encoded table: bincount of
         dictionary codes + dict lookup of the few distinct values —
@@ -226,6 +244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_range": arcade_filter_range,
         "arcade_filter_range_double": arcade_filter_range_double,
         "arcade_filter_and": arcade_filter_and,
+        "arcade_minmax": arcade_minmax,
+        "arcade_minmax_double": arcade_minmax_double,
         "arcade_group_count": arcade_group_count,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
@@ -386,6 +406,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_group_count": (
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
+        ),
+        "arcade_minmax": (
+            "SELECT min(n_chars) AS min_v, max(n_chars) AS max_v, "
+            "count(*) AS cnt FROM documents"
+        ),
+        "arcade_minmax_double": (
+            "SELECT min(value) AS min_v, max(value) AS max_v, "
+            "count(*) AS cnt FROM events"
         ),
         "token_stats": """
             SELECT doc_id,

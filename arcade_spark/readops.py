@@ -573,6 +573,68 @@ def filter_count(spark: SparkSession, out_dir: str, column: str, value) -> DataF
     )
 
 
+def column_minmax(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
+    """``SELECT min(col), max(col), count(*)`` answered from CHUNK
+    METADATA ONLY — no blob or seg bytes are read at all. The zone maps
+    (min_int/max_int per chunk) are exact for integer-family columns,
+    and for double/float they live in the order-preserving key domain
+    (bits.float_order_keys), whose min/max invert back to the true
+    float extrema (the key map is a self-inverse bijection). count(*)
+    is the sum of n_values.
+
+    Scale shape: the plan is a metadata-column aggregation over the
+    blocks table — parquet column pruning means only a few int64
+    columns per chunk row are scanned; at 10^12 rows this reads KB per
+    partition, not TB. Null caveat: null slots hold 0 sentinels inside
+    the zone maps, so columns containing nulls raise (min/max of
+    non-null values is not recoverable from metadata alone)."""
+    all_cols = dict(table_columns(spark, out_dir))
+    if column not in all_cols:
+        raise KeyError(f"no such column: {column}")
+    fvt = all_cols[column]
+    if fvt in ("str", "binary"):
+        raise NotImplementedError(
+            "column_minmax is metadata-exact for integer-family columns "
+            "only (string zone maps are prefix-truncated)"
+        )
+    row = (
+        read_blocks(spark, out_dir, [column])
+        .filter(F.col("column") == column)
+        .agg(
+            F.min("min_int").alias("lo"),
+            F.max("max_int").alias("hi"),
+            F.sum("n_values").alias("cnt"),
+            F.sum("n_nulls").alias("nulls"),
+        )
+        .collect()[0]
+    )
+    if row["nulls"]:
+        raise NotImplementedError(
+            "column contains nulls: metadata zone maps include the null "
+            "sentinel, so min/max of non-null values needs a decode pass"
+        )
+    lo, hi, cnt = row["lo"], row["hi"], int(row["cnt"])
+    if fvt in ("double", "float"):
+        from arcade_spark.bits import float_order_key  # noqa: F401  (doc pointer)
+
+        def unkey(k: int) -> float:
+            bits = k if k >= 0 else k ^ 0x7FFFFFFFFFFFFFFF
+            return float(np.int64(bits).view(np.float64))
+
+        lo_v, hi_v = unkey(int(lo)), unkey(int(hi))
+        ddl = f"min_v {spark_type_for(fvt)}, max_v {spark_type_for(fvt)}, cnt long"
+        return spark.createDataFrame([(lo_v, hi_v, cnt)], ddl)
+    if fvt in ("ts", "tsntz"):
+        import datetime as _dt
+
+        lo_v = _dt.datetime.utcfromtimestamp(int(lo) / 1e6)
+        hi_v = _dt.datetime.utcfromtimestamp(int(hi) / 1e6)
+        ddl = f"min_v {spark_type_for(fvt)}, max_v {spark_type_for(fvt)}, cnt long"
+        return spark.createDataFrame([(lo_v, hi_v, cnt)], ddl)
+    ddl = f"min_v {spark_type_for(fvt)}, max_v {spark_type_for(fvt)}, cnt long"
+    return spark.createDataFrame([(int(lo), int(hi), cnt)], ddl)
+
+
 def group_count(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
     """``SELECT column, count(*) GROUP BY column`` computed on the
     ENCODED representation — no payload materialization on the

@@ -369,3 +369,39 @@ def test_filter_and_conjunction(spark, encoded_corpus):
         .agg(F.sum("matches")).collect()[0][0]
     )
     assert int(cnt) == len(want)
+
+
+def test_column_minmax_metadata_only(spark, encoded_corpus, double_table):
+    from arcade_spark.readops import column_minmax
+
+    out2, pdf = double_table
+    row = column_minmax(spark, out2, "value").collect()[0]
+    assert row["min_v"] == pdf["value"].min()
+    assert row["max_v"] == pdf["value"].max()
+    assert row["cnt"] == len(pdf)
+    # int column
+    row_k = column_minmax(spark, out2, "k").collect()[0]
+    assert (row_k["min_v"], row_k["max_v"], row_k["cnt"]) == (0, len(pdf) - 1, len(pdf))
+    # timestamp column
+    out, src = encoded_corpus
+    from pyspark.sql import functions as F
+
+    row_t = column_minmax(spark, out, "warc_ts").collect()[0]
+    want = src.agg(F.min("warc_ts"), F.max("warc_ts"), F.count("*")).collect()[0]
+    assert (row_t["min_v"], row_t["max_v"], row_t["cnt"]) == (want[0], want[1], want[2])
+
+
+def test_column_minmax_rejects_nulls(spark, tmp_path_factory):
+    import pyspark.sql.types as T
+
+    from arcade_spark.readops import column_minmax
+
+    src = spark.createDataFrame(
+        [("a", 5), ("b", None), ("c", 9)],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("x", T.LongType(), True)]),
+    )
+    out = str(tmp_path_factory.mktemp("mmx") / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=8)
+    with pytest.raises(NotImplementedError, match="null"):
+        column_minmax(spark, out, "x")
