@@ -158,6 +158,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             project=["event_id", "user_id"],
         )
 
+    def arcade_filter_in(spark, sf_dir):
+        """IN-list filter: dictionary codes matched against the memoized
+        global-code set of the target values."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_in
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return filter_in(
+            spark, out, "event_type", ["view", "purchase"],
+            project=["event_id", "user_id"],
+        )
+
     def arcade_minmax(spark, sf_dir):
         """min/max/count from chunk METADATA only — zero data bytes
         read (zone maps are exact for integer-family columns)."""
@@ -244,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_range": arcade_filter_range,
         "arcade_filter_range_double": arcade_filter_range_double,
         "arcade_filter_and": arcade_filter_and,
+        "arcade_filter_in": arcade_filter_in,
         "arcade_minmax": arcade_minmax,
         "arcade_minmax_double": arcade_minmax_double,
         "arcade_group_count": arcade_group_count,
@@ -406,6 +419,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_group_count": (
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
+        ),
+        "arcade_filter_in": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE event_type IN ('view', 'purchase')"
         ),
         "arcade_minmax": (
             "SELECT min(n_chars) AS min_v, max(n_chars) AS max_v, "

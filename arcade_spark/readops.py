@@ -150,6 +150,90 @@ class _StrFilterState:
             self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
 
 
+class _StrInState:
+    """Per-(part, column) IN-list state: the memoized global codes of
+    every target value (the multi-value generalization of
+    _StrFilterState's carried offset)."""
+
+    def __init__(self, values: list[bytes]):
+        self.values = sorted(set(values))
+        self.gdec_len = 0
+        self.gids: set[int] = set()
+        self._mask = np.zeros(0, dtype=bool)
+
+    def _flags(self, arr) -> np.ndarray:
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        obj = np.asarray(arr.to_pylist(), dtype=object)
+        vals = np.asarray(self.values, dtype=object)
+        idx = np.searchsorted(vals, obj)
+        idx[idx >= len(vals)] = 0
+        return np.asarray(vals[idx] == obj, dtype=bool)
+
+    def _absorb_segment(self, segment) -> None:
+        if len(segment):
+            self._mask = np.concatenate([self._mask, self._flags(segment)])
+
+    def match_positions(self, blob, meta: dict) -> np.ndarray:
+        validity_sec, payload = unpack_sections(blob)
+        payload = unpost(payload, meta.get("post"))
+        codec = meta["codec"]
+        if meta.get("gdict_reset"):
+            self._mask = np.zeros(0, dtype=bool)
+        n = meta["n_values"]
+
+        if codec == "dict_global":
+            self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
+            if not self._mask.any():
+                return np.empty(0, dtype=np.int64)
+            codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
+            pos = np.nonzero(self._mask[codes])[0]
+        elif codec == "dict_local":
+            uniques = sc._deserialize_values_arrow(meta["seg"])
+            if meta.get("gdict_seed"):
+                self._absorb_segment(uniques)
+            flags = self._flags(uniques)
+            if not flags.any():
+                return np.empty(0, dtype=np.int64)
+            codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
+            pos = np.nonzero(flags[codes])[0]
+        elif codec == "rle_str":
+            dict_sec, codes_sec, lens_sec = unpack_sections(payload)
+            uniques = sc._deserialize_values_arrow(dict_sec)
+            flags = self._flags(uniques)
+            if not flags.any():
+                return np.empty(0, dtype=np.int64)
+            import struct
+
+            (nruns,) = struct.unpack_from("<I", codes_sec, 0)
+            run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
+            run_lens = decode_for_int(lens_sec, {"n_values": nruns})
+            pos = np.nonzero(np.repeat(flags[run_codes], run_lens))[0]
+        else:  # plain / fsst
+            if codec == "plain":
+                block = sc.decode_plain(payload, meta)
+            else:
+                block = sc.decode_fsst(payload, meta)
+            obj = block.to_object_array()
+            obj = np.where(obj == None, b"", obj)  # noqa: E711
+            m = np.zeros(len(obj), dtype=bool)
+            for v in self.values:
+                m |= obj == v
+            pos = np.nonzero(m)[0]
+
+        validity = unpack_validity(validity_sec, n)
+        if validity is not None and len(pos):
+            pos = pos[validity[pos]]
+        return pos
+
+    def replay(self, meta: dict) -> None:
+        if meta.get("gdict_reset"):
+            self._mask = np.zeros(0, dtype=bool)
+        codec = meta["codec"]
+        if codec == "dict_global" or (codec == "dict_local" and meta.get("gdict_seed")):
+            self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
+
+
 class _StrRangeState:
     """Per-(part, column) BETWEEN state for string columns. Local and
     rle dictionaries are sorted, so the in-range code set is a
@@ -281,9 +365,26 @@ def filter_and(
             spec.append((p[1], ("eq", p[2])))
         elif p[0] == "range":
             spec.append((p[1], ("range", p[2], p[3])))
+        elif p[0] == "in":
+            spec.append((p[1], ("in", list(p[2]))))
         else:
             raise ValueError(f"unknown predicate kind: {p[0]!r}")
     return _filter_op(spark, out_dir, spec, project, count_only)
+
+
+def filter_in(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    values: list,
+    project: list[str] | None = None,
+    count_only: bool = False,
+) -> DataFrame:
+    """``WHERE column IN (...)``: dictionary paths match against the
+    memoized global-code set of the target values (multi-value
+    generalization of the equi-filter's carried offset); zone maps
+    prune on the [min, max] envelope of the list."""
+    return _filter_op(spark, out_dir, [(column, ("in", list(values)))], project, count_only)
 
 
 def _encode_bound(v):
@@ -304,6 +405,15 @@ class _Pred:
         self.kind = pred[0]
         if self.kind == "eq":
             self.lob = self.hib = _encode_bound(pred[1])
+        elif self.kind == "in":
+            self.in_vals = [_encode_bound(v) for v in pred[1]]
+            if not self.in_vals:
+                raise ValueError("empty IN list")
+            if self.is_str:
+                self.lob, self.hib = min(self.in_vals), max(self.in_vals)
+            else:
+                fv = [float(v) if self.is_float else int(v) for v in self.in_vals]
+                self.lob, self.hib = min(fv), max(fv)
         else:
             self.lob, self.hib = _encode_bound(pred[1]), _encode_bound(pred[2])
         if not self.is_str:
@@ -316,6 +426,19 @@ class _Pred:
                 else:
                     self.target_int = int(self.lob)
                     self.zone_lo = self.zone_hi = self.target_int
+            elif self.kind == "in":
+                if self.is_float:
+                    self.targets = np.array(
+                        [np.float64(float(v)).view(np.int64) for v in self.in_vals],
+                        dtype=np.int64,
+                    )
+                    self.zone_lo = float_order_key(float(self.lob))
+                    self.zone_hi = float_order_key(float(self.hib))
+                else:
+                    self.targets = np.array(
+                        [int(v) for v in self.in_vals], dtype=np.int64
+                    )
+                    self.zone_lo, self.zone_hi = int(self.lob), int(self.hib)
             else:
                 if self.is_float:
                     self.flo, self.fhi = float(self.lob), float(self.hib)
@@ -340,11 +463,15 @@ class _Pred:
     def new_state(self):
         if self.kind == "eq":
             return _StrFilterState(self.lob)
+        if self.kind == "in":
+            return _StrInState(self.in_vals)
         return _StrRangeState(self.lob, self.hib)
 
     def int_positions(self, iblock) -> np.ndarray:
         if self.kind == "eq":
             m = iblock.values == self.target_int
+        elif self.kind == "in":
+            m = np.isin(iblock.values, self.targets)
         elif self.is_float:
             v = iblock.values.view(np.float64)
             m = (v >= self.flo) & (v <= self.fhi)

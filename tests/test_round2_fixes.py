@@ -405,3 +405,20 @@ def test_column_minmax_rejects_nulls(spark, tmp_path_factory):
     encode_job(spark, src, out, num_parts=1, block_rows=8)
     with pytest.raises(NotImplementedError, match="null"):
         column_minmax(spark, out, "x")
+
+
+def test_filter_in(spark, encoded_corpus, double_table):
+    from pyspark.sql import functions as F
+
+    from arcade_spark.readops import filter_in
+
+    out, src = encoded_corpus
+    got = filter_in(spark, out, "lang", ["de", "el", "sv"], project=["url"]).toPandas()
+    want = src.filter(F.col("lang").isin(["de", "el", "sv"])).select("url").toPandas()
+    assert sorted(got["url"]) == sorted(want["url"])
+    assert len(want) > 0
+
+    out2, pdf = double_table
+    got2 = filter_in(spark, out2, "value", [-3.25, 123.0], project=["k"]).toPandas()
+    want2 = sorted(pdf.loc[pdf["value"].isin([-3.25, 123.0]), "k"])
+    assert sorted(got2["k"].tolist()) == want2
