@@ -536,14 +536,14 @@ def _filter_op(
         fmeta_keep = F.when(F.col("column") == p.column, p.zone_keep_expr()).otherwise(
             fmeta_keep
         )
-    fmeta = (
-        read_blocks(spark, out_dir, pred_cols)
-        .filter(F.col("column").isin(pred_cols))
-        .select("part_id", "block_id", fmeta_keep.alias("keep"))
-        .groupBy("part_id", "block_id")
-        .agg(F.min("keep").alias("blk_keep"))
-    )
     if not count_only:
+        fmeta = (
+            read_blocks(spark, out_dir, pred_cols)
+            .filter(F.col("column").isin(pred_cols))
+            .select("part_id", "block_id", fmeta_keep.alias("keep"))
+            .groupBy("part_id", "block_id")
+            .agg(F.min("keep").alias("blk_keep"))
+        )
         # true I/O skip (predicate columns): pruned chunks whose codec
         # carries no cross-block dictionary state are DROPPED in the
         # plan — the predicate is on raw stats columns, so parquet
@@ -564,8 +564,10 @@ def _filter_op(
         blocks = blocks.withColumn("blk_keep", F.coalesce("blk_keep", F.lit(True)))
         blocks = blocks.filter((F.col("zone_keep") & F.col("blk_keep")) | stateful)
     else:
-        blocks = blocks.join(F.broadcast(fmeta), ["part_id", "block_id"], "left")
-        blocks = blocks.withColumn("blk_keep", F.coalesce("blk_keep", F.lit(True)))
+        # count-only keeps every chunk row (zone_skipped metric) and
+        # needs no cross-column verdict — every predicate chunk ships
+        # anyway, so skip the fmeta scan+join entirely (single scan)
+        blocks = blocks.withColumn("blk_keep", F.col("zone_keep"))
     # replay-only chunks ship their dict segment but never the code
     # array: NULL out the blob in the plan so shuffle + Arrow IPC move
     # segments only (the blob column bytes dominate at scale)

@@ -29,9 +29,13 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from arcade_spark.decode import scan
     from arcade_spark.encode import encode_files_job, encode_job
     from arcade_spark.readops import (
+        column_minmax,
         equi_filter,
+        filter_and,
         filter_count,
+        filter_in,
         filter_range,
+        group_count,
         random_access,
     )
     from arcade_spark.session import get_spark
@@ -86,6 +90,18 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             filter_count(spark, enc_dir, "url", "zzz-none").collect()
         with timed("filter_range_lang"):
             filter_range(spark, enc_dir, "lang", "de", "el", project=["url"]).count()
+        with timed("filter_in_lang"):
+            filter_in(spark, enc_dir, "lang", ["de", "sv"], project=["url"]).count()
+        with timed("filter_and_conj"):
+            filter_and(
+                spark, enc_dir,
+                [("eq", "lang", "en"), ("range", "url", "https://m", "https://zz")],
+                project=["url"],
+            ).count()
+        with timed("group_count_lang"):
+            group_count(spark, enc_dir, "lang").count()
+        with timed("minmax_metadata_only"):
+            column_minmax(spark, enc_dir, "warc_ts").collect()
         with timed("random_access"):
             random_access(spark, enc_dir, list(range(0, corpus_rows, corpus_rows // 500))).count()
     finally:
