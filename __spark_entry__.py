@@ -170,6 +170,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             project=["event_id", "user_id"],
         )
 
+    def arcade_filter_or(spark, sf_dir):
+        """Disjunctive filter (round-3 algebra extension): zone-envelope
+        pruning per disjunct, per-block position union, match-level
+        projection decode."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_or
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return filter_or(
+            spark, out,
+            [("eq", "lang", "el"), ("range", "n_chars", 100, 160)],
+            project=["doc_id", "n_chars"],
+        )
+
+    def arcade_minmax_str(spark, sf_dir):
+        """Metadata min/max on a STRING column: exact zone bounds (short
+        values) answer without reading any payload bytes; truncated
+        bounds would fall back to a per-part decode pass."""
+        _ship_package(spark)
+        from arcade_spark.readops import column_minmax
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return column_minmax(spark, out, "source")
+
+    def arcade_minmax_ts(spark, sf_dir):
+        """Metadata min/max on a timestamp column (exact integer-micros
+        reconstruction — no float division)."""
+        _ship_package(spark)
+        from arcade_spark.readops import column_minmax
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return column_minmax(spark, out, "ts")
+
     def arcade_minmax(spark, sf_dir):
         """min/max/count from chunk METADATA only — zero data bytes
         read (zone maps are exact for integer-family columns)."""
@@ -257,8 +290,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_range_double": arcade_filter_range_double,
         "arcade_filter_and": arcade_filter_and,
         "arcade_filter_in": arcade_filter_in,
+        "arcade_filter_or": arcade_filter_or,
         "arcade_minmax": arcade_minmax,
         "arcade_minmax_double": arcade_minmax_double,
+        "arcade_minmax_str": arcade_minmax_str,
+        "arcade_minmax_ts": arcade_minmax_ts,
         "arcade_group_count": arcade_group_count,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
@@ -424,9 +460,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id FROM events "
             "WHERE event_type IN ('view', 'purchase')"
         ),
+        "arcade_filter_or": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE lang = 'el' OR (n_chars >= 100 AND n_chars <= 160)"
+        ),
         "arcade_minmax": (
             "SELECT min(n_chars) AS min_v, max(n_chars) AS max_v, "
             "count(*) AS cnt FROM documents"
+        ),
+        "arcade_minmax_str": (
+            "SELECT min(source) AS min_v, max(source) AS max_v, "
+            "count(*) AS cnt FROM documents"
+        ),
+        "arcade_minmax_ts": (
+            "SELECT min(ts) AS min_v, max(ts) AS max_v, "
+            "count(*) AS cnt FROM events"
         ),
         "arcade_minmax_double": (
             "SELECT min(value) AS min_v, max(value) AS max_v, "

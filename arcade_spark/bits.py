@@ -102,6 +102,14 @@ def unpack_uints(buf: bytes | memoryview, width: int, n: int) -> np.ndarray:
     ngroups = (n + g - 1) // g
     need = ngroups * nw * 8
     raw = np.frombuffer(buf, dtype=np.uint8)
+    nbytes = (n * width + 7) // 8
+    if len(raw) < nbytes:
+        # a truncated/corrupt payload must fail loudly — only the
+        # word-alignment tail beyond the bitstream may be zero-padded
+        raise ValueError(
+            f"bit-packed buffer too short: {len(raw)} bytes < {nbytes} "
+            f"needed for {n} values of width {width}"
+        )
     if len(raw) < need:
         raw = np.concatenate([raw, np.zeros(need - len(raw), dtype=np.uint8)])
     words = raw[:need].view("<u8").reshape(ngroups, nw).astype(np.uint64, copy=False)

@@ -25,6 +25,30 @@ from arcade_spark.selector import choose_int_codec, choose_str_codec
 from arcade_spark.stats import profile_int_block, profile_str_block
 
 
+def _str_zone(block: StrBlock, stats) -> tuple[bytes | None, bytes | None, bool, bool]:
+    """Zone-map bounds over NON-NULL values only (FORMAT_REV 8): null
+    slots hold b'' sentinels that would poison the minimum, and SQL
+    min/max exclude nulls — so do the zone maps (safe for filter
+    pruning too: null rows never match a predicate)."""
+    if block.validity is None:
+        return stats.min_val, stats.max_val, stats.min_exact, stats.max_exact
+    import pyarrow.compute as pc
+
+    from arcade_spark.stats import ZONE_MAX_LEN
+
+    arr = block.to_arrow(binary=True).drop_null()
+    if len(arr) == 0:
+        return None, None, False, False
+    mm = pc.min_max(arr)
+    mn_full, mx_full = mm["min"].as_py(), mm["max"].as_py()
+    return (
+        mn_full[:ZONE_MAX_LEN],
+        mx_full[:ZONE_MAX_LEN],
+        len(mn_full) <= ZONE_MAX_LEN,
+        len(mx_full) <= ZONE_MAX_LEN,
+    )
+
+
 def encode_str_block(block: StrBlock, gdict: GlobalDict) -> tuple[bytes, dict[str, Any]]:
     stats = profile_str_block(block)
     decision = choose_str_codec(stats, gdict, block)
@@ -51,6 +75,7 @@ def encode_str_block(block: StrBlock, gdict: GlobalDict) -> tuple[bytes, dict[st
     seg = cmeta.pop("seg", b"")
     payload, post = maybe_post(payload, codec)
     blob = pack_sections(pack_validity(block.validity), payload)
+    zmin, zmax, zmin_exact, zmax_exact = _str_zone(block, stats)
     meta: dict[str, Any] = {
         "codec": codec,
         "post": post,
@@ -68,10 +93,10 @@ def encode_str_block(block: StrBlock, gdict: GlobalDict) -> tuple[bytes, dict[st
         "gdict_epoch": gdict.epoch,
         "gdict_reset": decision.reset_before,
         "gdict_seed": decision.seed_gdict,
-        "min_bin": stats.min_val,
-        "max_bin": stats.max_val,
-        "min_exact": stats.min_exact,
-        "max_exact": stats.max_exact,
+        "min_bin": zmin,
+        "max_bin": zmax,
+        "min_exact": zmin_exact,
+        "max_exact": zmax_exact,
         "min_int": None,
         "max_int": None,
         "entropy": stats.entropy,
@@ -123,16 +148,23 @@ def replay_str_block(meta: dict[str, Any], gdec: GlobalDictDecoder) -> None:
 def encode_int_block(block: IntBlock, vtype: str = "int") -> tuple[bytes, dict[str, Any]]:
     stats = profile_int_block(block)
     decision = choose_int_codec(stats)
-    if vtype in ("double", "float") and block.n:
+    # zone extrema over NON-NULL slots only (FORMAT_REV 8): null slots
+    # hold 0 sentinels that would poison min/max; filters never match
+    # null rows, so the narrower zones stay prune-safe and make
+    # column_minmax metadata-exact under nulls. All-null ⇒ no zone.
+    zvals = block.values if block.validity is None else block.values[block.validity]
+    if len(zvals) == 0:
+        zone_min = zone_max = None
+    elif vtype in ("double", "float"):
         # zone maps for float columns live in the order-preserving key
         # domain (bits.float_order_keys) — raw bitcast min/max is not
         # ordered for negative floats and would prune wrongly
         from arcade_spark.bits import float_order_keys
 
-        keys = float_order_keys(block.values)
+        keys = float_order_keys(zvals)
         zone_min, zone_max = int(keys.min()), int(keys.max())
     else:
-        zone_min, zone_max = stats.min_val, stats.max_val
+        zone_min, zone_max = int(zvals.min()), int(zvals.max())
     payload, cmeta = INT_ENCODERS[decision.codec](block.values)
     payload, post = maybe_post(payload, decision.codec)
     blob = pack_sections(pack_validity(block.validity), payload)
@@ -157,8 +189,8 @@ def encode_int_block(block: IntBlock, vtype: str = "int") -> tuple[bytes, dict[s
         "max_bin": None,
         "min_exact": True,
         "max_exact": True,
-        "min_int": zone_min if block.n else None,
-        "max_int": zone_max if block.n else None,
+        "min_int": zone_min,
+        "max_int": zone_max,
         "entropy": 0.0,
     }
     return blob, meta

@@ -209,14 +209,25 @@ def scan(
     out_dir: str,
     columns: list[str] | None = None,
     emit_meta: bool = False,
+    mode: str = "files",
 ) -> DataFrame:
     """Full scan: decoded DataFrame with the original schema (projected).
+
+    ``mode="files"`` (default) runs the per-partition pyarrow in-process
+    reader (partread.scan_parts — zero shuffle, no JVM→Python IPC of
+    blob bytes); ``mode="plan"`` keeps the DataFrame pipeline below.
 
     Note on ordering/pruning: even when projecting a subset, all chunks
     of the selected columns are shipped — differential-dictionary
     segments ride inside each chunk, so later blocks need earlier
     chunks' segments replayed (ARCADE resolves these via the previndex
     walk — process.cpp:88-123; we replay in block order)."""
+    if mode == "files":
+        from arcade_spark.partread import scan_parts
+
+        return scan_parts(spark, out_dir, columns, emit_meta)
+    if mode != "plan":
+        raise ValueError(f"mode must be 'files' or 'plan': {mode!r}")
     all_cols = table_columns(spark, out_dir)
     if columns is not None:
         sel = [(n, v) for n, v in all_cols if n in columns]

@@ -221,10 +221,16 @@ def encode_job(
     part_id_offset: int = 0,
 ) -> dict:
     """Run the full encode pipeline; returns job metrics."""
+    reserved = {_PART_COL, _KEY_COL} & set(source.columns)
+    if reserved:
+        raise ValueError(
+            f"source schema uses reserved internal column names "
+            f"{sorted(reserved)} — rename them before encoding (they "
+            f"would be silently dropped/overwritten otherwise)"
+        )
     columns = [
         (f.name, spark_vtype(f.dataType))
         for f in source.schema.fields
-        if f.name not in (_PART_COL, _KEY_COL)
     ]
     df = with_part_id(
         source, num_parts, salt_col=order_col, host_col=order_col,

@@ -42,8 +42,12 @@ import pyarrow.parquet as pq
 # 7: shuffle-mode part-id mapping changed to pmod(murmur3(locality_key),
 #    P) aligned with Spark's HashPartitioning — the row→part mapping is
 #    part of the format: resuming rev-6 markers under the rev-7 mapping
-#    would drop/duplicate rows, so the rev check must refuse
-FORMAT_REV = 7
+#    would drop/duplicate rows, so the rev check must refuse;
+# 8: zone maps (min_int/max_int/min_bin/max_bin) are computed over
+#    NON-NULL slots only (absent for all-null chunks) so metadata
+#    min/max matches SQL null semantics, and min_exact now truthfully
+#    reflects prefix truncation on the high-cardinality stats shortcut
+FORMAT_REV = 8
 
 BLOCKS_ARROW_SCHEMA = pa.schema(
     [

@@ -1,0 +1,838 @@
+"""Files-mode read path: per-partition tasks reading their own encoded
+column files with pyarrow IN-PROCESS — the read-side mirror of
+``encode_files_job`` (the 100 TB fast path).
+
+Why this exists (and is the default): the encoded table is one parquet
+file per (partition, column) (manifest.PartWriter), so every read
+operator can be expressed as "each task owns one partition's files":
+
+    driver: manifest read (tiny) → assignment list [(part_id,)]
+      → sc.parallelize(items, len(items))      [1:1, no balls-in-bins]
+      → mapInArrow(part kernel)                [pyarrow reads, numpy prune]
+
+vs the plan-mode pipeline (kept as ``mode="plan"`` in readops/decode):
+
+    JVM parquet scan → zone filter → repartition shuffle → Arrow IPC
+    → python kernel
+
+Measured on this class of workload, the JVM→Python Arrow IPC alone
+costs ~13 ns/byte/core — 3× the decode kernels — and plan mode adds a
+shuffle of the blob bytes plus (for filters) a second metadata scan +
+broadcast join for the per-block verdict. Files mode removes all three:
+
+- **zero shuffle** for scan / filter / random_access (group_count keeps
+  one O(distinct) partial-merge shuffle);
+- **zone pruning in numpy** on the chunk-metadata columns (a few KB per
+  partition — parquet column pruning reads no payload bytes);
+- **match-level late materialization**: projection blobs are fetched
+  (by parquet row group) only for blocks with actual filter MATCHES —
+  strictly tighter than the plan-mode zone-level verdict;
+- dictionary replay still ships segments only (seg column reads).
+
+At cluster scale the same shape holds: Spark distributes part ids with
+retries/locality, tasks read their own files from shared storage
+(pyarrow.fs handles s3://..., hdfs://...), and no row data ever crosses
+the JVM.
+
+Reference parity: the per-part kernel IS ArcadeReader's single-file
+loop (reader.cpp:7-195) — zone prune (process.cpp:256-273), previndex
+segment replay (process.cpp:88-123), late materialization
+(process.cpp:4-180) — distributed by partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arcade_spark.manifest import FORMAT_REV, blocks_path
+
+# chunk-metadata columns (everything but blob/seg): reading these per
+# column file touches KB, not payload bytes
+_META_COLS = [
+    "block_id", "codec", "post", "n_values", "row_start", "code_width",
+    "global_start", "gdict_reset", "gdict_seed", "min_bin", "max_bin",
+    "min_exact", "max_exact", "min_int", "max_int", "n_nulls",
+]
+
+
+def load_manifest(out_dir: str) -> tuple[list[tuple[str, str]], list[tuple[int, int]]]:
+    """((name, vtype) list, [(part_id, n_rows)] sorted) from the manifest
+    directory — driver-side pyarrow, no Spark job. Validates FORMAT_REV
+    exactly like decode._manifest_meta."""
+    mdir = os.path.join(out_dir, "manifest")
+    t = pq.read_table(mdir, columns=["part_id", "n_rows", "columns", "format_rev"])
+    revs = set(t.column("format_rev").to_pylist())
+    bad = revs - {FORMAT_REV}
+    if bad or not revs:
+        raise ValueError(
+            f"{out_dir}: manifest format_rev {sorted(bad)} != reader "
+            f"FORMAT_REV {FORMAT_REV} — re-encode the table"
+        )
+    cols = [tuple(c) for c in json.loads(t.column("columns")[0].as_py())]
+    parts = sorted(
+        zip(t.column("part_id").to_pylist(), t.column("n_rows").to_pylist())
+    )
+    return cols, parts
+
+
+def _assign_df(spark: SparkSession, part_ids: list[int]) -> DataFrame:
+    """One Spark partition per part id — exact 1:1 (parallelize slicing),
+    never hash-repartition (balls-in-bins leaves slots empty)."""
+    items = [(int(p),) for p in part_ids]
+    rdd = spark.sparkContext.parallelize(items, max(len(items), 1))
+    return spark.createDataFrame(rdd, "part_id int")
+
+
+class _ColMeta:
+    """Numpy view over one column file's chunk-metadata rows (one row
+    per block, in block order)."""
+
+    def __init__(self, tbl: pa.Table):
+        import pyarrow.compute as pc
+
+        self.n = tbl.num_rows
+        self.block_id = tbl.column("block_id").to_numpy(zero_copy_only=False)
+        if self.n > 1 and not bool(np.all(np.diff(self.block_id) > 0)):
+            raise ValueError("column file rows not in block order")
+        self.codec = tbl.column("codec").to_pylist()
+        self.post = tbl.column("post").to_pylist()
+        self.n_values = tbl.column("n_values").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.row_start = tbl.column("row_start").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.code_width = tbl.column("code_width").to_numpy(zero_copy_only=False)
+        self.global_start = tbl.column("global_start").to_numpy(zero_copy_only=False)
+        self.gdict_reset = tbl.column("gdict_reset").to_numpy(zero_copy_only=False).astype(bool)
+        self.gdict_seed = tbl.column("gdict_seed").to_numpy(zero_copy_only=False).astype(bool)
+        self.n_nulls = tbl.column("n_nulls").to_numpy(zero_copy_only=False).astype(np.int64)
+        mi, ma = tbl.column("min_int"), tbl.column("max_int")
+        self.has_zone = (
+            pc.and_(pc.is_valid(mi), pc.is_valid(ma)).to_numpy(zero_copy_only=False)
+        ).astype(bool)
+        self.min_int = mi.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        self.max_int = ma.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        self.min_bin = tbl.column("min_bin").to_pylist()
+        self.max_bin = tbl.column("max_bin").to_pylist()
+        self.min_exact = tbl.column("min_exact").to_numpy(zero_copy_only=False).astype(bool)
+        self.max_exact = tbl.column("max_exact").to_numpy(zero_copy_only=False).astype(bool)
+        self.stateful = np.array(
+            [c == "dict_global" for c in self.codec], dtype=bool
+        ) | self.gdict_seed
+
+    def meta_dict(self, i: int, seg=b"") -> dict:
+        return {
+            "codec": self.codec[i],
+            "post": self.post[i],
+            "n_values": int(self.n_values[i]),
+            "code_width": int(self.code_width[i]),
+            "global_start": int(self.global_start[i]),
+            "gdict_reset": bool(self.gdict_reset[i]),
+            "gdict_seed": bool(self.gdict_seed[i]),
+            "seg": seg,
+        }
+
+
+class _ColFile:
+    """One (part, column) parquet file: tiny metadata read + row-group-
+    pruned payload fetches (the parquet analogue of ARCADE's per-chunk
+    offsets — reader seeks only touched chunks, reader.cpp:113-143)."""
+
+    def __init__(self, out_dir: str, part_id: int, column: str):
+        self.path = blocks_path(out_dir, part_id, column)
+        self.pf = pq.ParquetFile(self.path)
+        md = self.pf.metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        self.rg_off = np.concatenate([[0], np.cumsum(rg_rows)]).astype(np.int64)
+
+    def meta(self) -> _ColMeta:
+        return _ColMeta(self.pf.read(columns=_META_COLS))
+
+    def _take_rows(self, idx: np.ndarray, columns: list[str]) -> pa.Table:
+        """Rows ``idx`` (sorted ascending) of ``columns``, reading only
+        the row groups that contain them."""
+        which = np.searchsorted(self.rg_off, idx, side="right") - 1
+        rgs = np.unique(which)
+        tbl = self.pf.read_row_groups([int(r) for r in rgs], columns=columns)
+        sel_sizes = self.rg_off[rgs + 1] - self.rg_off[rgs]
+        sel_start = np.concatenate([[0], np.cumsum(sel_sizes)])
+        pos = sel_start[np.searchsorted(rgs, which)] + (idx - self.rg_off[which])
+        return tbl.take(pa.array(pos, type=pa.int64()))
+
+    def payloads(self, idx: np.ndarray, column: str) -> dict[int, memoryview]:
+        """{block_row_index: payload memoryview} for the given rows of
+        ``blob`` or ``seg`` — zero-copy views into the fetched buffer."""
+        from arcade_spark.decode import _binary_views
+
+        idx = np.asarray(idx, dtype=np.int64)
+        if len(idx) == 0:
+            return {}
+        tbl = self._take_rows(idx, [column])
+        arr = tbl.column(column).combine_chunks()
+        off, mv = _binary_views(arr)
+        return {int(r): mv[off[j]: off[j + 1]] for j, r in enumerate(idx)}
+
+
+def _zone_keep_np(pred, cm: _ColMeta) -> np.ndarray:
+    """Per-block zone verdict for one compiled predicate (numpy twin of
+    readops._Pred.zone_keep_expr). Missing zone info ⇒ keep (pruning is
+    an optimization, never a correctness gate)."""
+    if pred.is_str:
+        keep = np.ones(cm.n, dtype=bool)
+        for i in range(cm.n):
+            mb, xb = cm.min_bin[i], cm.max_bin[i]
+            if mb is not None and pred.hib < mb:
+                keep[i] = False
+            elif xb is not None and cm.max_exact[i] and pred.lob > xb:
+                keep[i] = False
+        return keep
+    prune = (pred.zone_hi < cm.min_int) | (pred.zone_lo > cm.max_int)
+    return ~(prune & cm.has_zone)
+
+
+def _out_schema(proj_items: list[tuple[str, str]], lead: list[pa.Field] | None = None) -> pa.Schema:
+    from arcade_spark.decode import _out_arrow_type
+
+    return pa.schema(
+        (lead or []) + [pa.field(n, _out_arrow_type(v)) for n, v in proj_items]
+    )
+
+
+_EMPTY = np.empty(0, dtype=np.int64)
+
+
+def _filter_part_batches(
+    out_dir: str,
+    pid: int,
+    preds: list,
+    proj_items: list[tuple[str, str]],
+    count_only: bool,
+    combine: str,
+) -> Iterator[pa.RecordBatch]:
+    """Run the whole filter for ONE partition: predicate pass (zone
+    prune → kernel match on kept blocks, dict replay on the rest) then
+    match-level projection decode. All IO is row-group-pruned pyarrow."""
+    from arcade_spark.convert import block_to_arrow
+    from arcade_spark.core import (
+        decode_int_block,
+        decode_str_positions,
+        replay_str_block,
+    )
+    from arcade_spark.decode import _out_arrow_type
+    from arcade_spark.gdict import GlobalDictDecoder
+
+    # ---- group predicates by column, zone verdicts ----
+    col_preds: dict[str, list] = {}
+    for p in preds:
+        col_preds.setdefault(p.column, []).append(p)
+    cfs: dict[str, _ColFile] = {}
+    cms: dict[str, _ColMeta] = {}
+    zk: dict[int, np.ndarray] = {}
+    nb = None
+    for c, plist in col_preds.items():
+        cfs[c] = _ColFile(out_dir, pid, c)
+        cms[c] = cfs[c].meta()
+        if nb is None:
+            nb = cms[c].n
+        elif cms[c].n != nb:
+            raise ValueError(f"column {c!r}: block count mismatch in part {pid}")
+        for p in plist:
+            zk[id(p)] = _zone_keep_np(p, cms[c])
+    assert nb is not None
+    if combine == "and":
+        blk = np.ones(nb, dtype=bool)
+        for p in preds:
+            blk &= zk[id(p)]
+    else:
+        blk = np.zeros(nb, dtype=bool)
+        for p in preds:
+            blk |= zk[id(p)]
+
+    # ---- predicate pass: positions per block ----
+    acc: list[np.ndarray | None] = [None] * nb  # None = no pred applied yet
+
+    def fold(b: int, pos_c: np.ndarray) -> None:
+        cur = acc[b]
+        if cur is None:
+            acc[b] = pos_c
+        elif combine == "and":
+            acc[b] = (
+                np.intersect1d(cur, pos_c, assume_unique=True)
+                if len(cur) and len(pos_c)
+                else _EMPTY
+            )
+        else:
+            acc[b] = np.union1d(cur, pos_c)
+
+    for c, plist in col_preds.items():
+        cm, cf = cms[c], cfs[c]
+        if combine == "and":
+            scan = blk
+        else:
+            scan = np.zeros(nb, dtype=bool)
+            for p in plist:
+                scan |= zk[id(p)]
+        idxs = np.nonzero(scan)[0]
+        last = int(idxs[-1]) if len(idxs) else -1
+        is_str = plist[0].is_str
+        if is_str:
+            rng = np.arange(nb)
+            seg_rows = np.nonzero((cm.stateful | scan) & (rng <= last))[0]
+            blobs = cf.payloads(idxs, "blob")
+            segs = cf.payloads(seg_rows, "seg")
+            states = [(p, p.new_state()) for p in plist]
+            for b in range(last + 1):
+                meta = cm.meta_dict(b, segs.get(b, b""))
+                blob = blobs.get(b)
+                for p, st in states:
+                    # each state owns an independent replay decoder, so
+                    # every predicate consumes every block exactly once
+                    if scan[b] and zk[id(p)][b] and blob is not None:
+                        pos_c = st.match_positions(blob, meta)
+                    else:
+                        st.replay(meta)
+                        pos_c = _EMPTY
+                    fold(b, pos_c)
+        else:
+            blobs = cf.payloads(idxs, "blob")
+            for b in idxs:
+                iblock = decode_int_block(blobs[int(b)], cm.meta_dict(int(b)))
+                for p in plist:
+                    if zk[id(p)][int(b)]:
+                        fold(int(b), p.int_positions(iblock))
+                    else:
+                        fold(int(b), _EMPTY)
+        # blocks this column never scanned contribute empty (AND) /
+        # nothing (OR)
+        if combine == "and":
+            for b in np.nonzero(~scan)[0]:
+                acc[int(b)] = _EMPTY
+
+    pos_of = [
+        (a if a is not None else _EMPTY) for a in acc
+    ]
+
+    if count_only:
+        if combine == "and":
+            zskip = np.zeros(nb, dtype=bool)
+            for p in preds:
+                zskip |= ~zk[id(p)]
+        else:
+            zskip = ~blk
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.full(nb, pid, dtype=np.int32)),
+                pa.array(cms[next(iter(col_preds))].block_id.astype(np.int32)),
+                pa.array(np.array([len(p) for p in pos_of], dtype=np.int64)),
+                pa.array(zskip.astype(np.int32)),
+            ],
+            schema=pa.schema(
+                [pa.field("part_id", pa.int32()), pa.field("block_id", pa.int32()),
+                 pa.field("matches", pa.int64()), pa.field("zone_skipped", pa.int32())]
+            ),
+        )
+        return
+
+    matched = [b for b in range(nb) if len(pos_of[b])]
+    if not matched or not proj_items:
+        return
+    last_m = matched[-1]
+    matched_mask = np.zeros(nb, dtype=bool)
+    matched_mask[matched] = True
+
+    # ---- projection pass: decode matched positions only ----
+    schema = _out_schema(proj_items)
+    col_arrays: dict[str, dict[int, pa.Array]] = {}
+    for name, vt in proj_items:
+        cf = cfs.get(name) or _ColFile(out_dir, pid, name)
+        cm = cms.get(name) or cf.meta()
+        if cm.n != nb:
+            raise ValueError(f"column {name!r}: block count mismatch in part {pid}")
+        out: dict[int, pa.Array] = {}
+        if vt in ("str", "binary"):
+            rng = np.arange(nb)
+            seg_rows = np.nonzero((cm.stateful | matched_mask) & (rng <= last_m))[0]
+            segs = cf.payloads(seg_rows, "seg")
+            blobs = cf.payloads(np.asarray(matched, dtype=np.int64), "blob")
+            gdec = GlobalDictDecoder()
+            for b in range(last_m + 1):
+                meta = cm.meta_dict(b, segs.get(b, b""))
+                if matched_mask[b]:
+                    blkd = decode_str_positions(blobs[b], meta, pos_of[b], gdec)
+                    out[b] = block_to_arrow(blkd, vt).cast(_out_arrow_type(vt))
+                else:
+                    replay_str_block(meta, gdec)
+        else:
+            blobs = cf.payloads(np.asarray(matched, dtype=np.int64), "blob")
+            for b in matched:
+                iblock = decode_int_block(blobs[b], cm.meta_dict(b))
+                pos = pos_of[b]
+                from arcade_spark.blocks import IntBlock
+
+                sub = IntBlock(
+                    values=iblock.values[pos],
+                    validity=None if iblock.validity is None else iblock.validity[pos],
+                )
+                out[b] = block_to_arrow(sub, vt).cast(_out_arrow_type(vt))
+        col_arrays[name] = out
+
+    for b in matched:
+        yield pa.RecordBatch.from_arrays(
+            [col_arrays[n][b] for n, _ in proj_items], schema=schema
+        )
+
+
+def filter_parts(
+    spark: SparkSession,
+    out_dir: str,
+    preds_spec: list[tuple[str, tuple]],
+    project: list[str] | None = None,
+    count_only: bool = False,
+    combine: str = "and",
+) -> DataFrame:
+    """Files-mode filter driver over a conjunction (``combine="and"``,
+    at most one predicate per column) or disjunction (``combine="or"``,
+    repeats allowed) of per-column predicates."""
+    from arcade_spark.readops import _Pred
+    from arcade_spark.schema import spark_type_for
+
+    if combine not in ("and", "or"):
+        raise ValueError(f"combine must be 'and' or 'or': {combine!r}")
+    columns, parts = load_manifest(out_dir)
+    all_cols = dict(columns)
+    preds: list[_Pred] = []
+    seen: set[str] = set()
+    for column, pred in preds_spec:
+        if column not in all_cols:
+            raise KeyError(f"no such column: {column}")
+        if combine == "and" and column in seen:
+            raise ValueError(f"multiple predicates on {column!r} not supported")
+        seen.add(column)
+        preds.append(_Pred(column, all_cols[column], pred))
+
+    if count_only:
+        proj_items: list[tuple[str, str]] = []
+    else:
+        names = project if project is not None else [
+            c for c, _ in columns if c not in seen
+        ]
+        proj_items = [(c, all_cols[c]) for c in names]
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                yield from _filter_part_batches(
+                    out_dir, int(pid), preds, proj_items, count_only, combine
+                )
+
+    if count_only:
+        ddl = "part_id int, block_id int, matches long, zone_skipped int"
+    else:
+        ddl = ", ".join(f"{n} {spark_type_for(v)}" for n, v in proj_items)
+    return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl)
+
+
+def scan_parts(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str] | None = None,
+    emit_meta: bool = False,
+) -> DataFrame:
+    """Files-mode full scan: each task decodes its partition's column
+    files in block order, streaming one RecordBatch per block (the
+    reference's coroutine paging — generator.h:44-60)."""
+    from arcade_spark.schema import spark_type_for
+
+    all_cols, parts = load_manifest(out_dir)
+    sel = [(n, v) for n, v in all_cols if columns is None or n in columns]
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                yield from _scan_part_batches(out_dir, int(pid), sel, emit_meta)
+
+    ddl = ", ".join(
+        (["part_id int", "block_id int", "pos long"] if emit_meta else [])
+        + [f"{n} {spark_type_for(v)}" for n, v in sel]
+    )
+    return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl)
+
+
+def _scan_part_batches(
+    out_dir: str, pid: int, sel: list[tuple[str, str]], emit_meta: bool
+) -> Iterator[pa.RecordBatch]:
+    from arcade_spark.convert import block_to_arrow
+    from arcade_spark.core import decode_int_block, decode_str_block
+    from arcade_spark.decode import _binary_views, _out_arrow_type
+    from arcade_spark.gdict import GlobalDictDecoder
+
+    cfs = [(n, v, _ColFile(out_dir, pid, n)) for n, v in sel]
+    n_rgs = {cf.pf.metadata.num_row_groups for _, _, cf in cfs}
+    if len(n_rgs) != 1:
+        raise ValueError(f"part {pid}: row-group count differs across columns")
+    meta_fields = (
+        [pa.field("part_id", pa.int32()), pa.field("block_id", pa.int32()),
+         pa.field("pos", pa.int64())] if emit_meta else []
+    )
+    schema = _out_schema(sel, lead=meta_fields)
+    gdecs: dict[str, GlobalDictDecoder] = {}
+    for rg in range(next(iter(n_rgs))):
+        views = []
+        rows = None
+        for n, v, cf in cfs:
+            tbl = cf.pf.read_row_group(rg, columns=_META_COLS + ["blob", "seg"])
+            cm = _ColMeta(tbl)
+            b_off, b_mv = _binary_views(tbl.column("blob").combine_chunks())
+            s_off, s_mv = _binary_views(tbl.column("seg").combine_chunks())
+            views.append((n, v, cm, b_off, b_mv, s_off, s_mv))
+            rows = cm.n
+        for i in range(rows):
+            arrays = []
+            nvals = None
+            bid = None
+            for n, v, cm, b_off, b_mv, s_off, s_mv in views:
+                meta = cm.meta_dict(i, s_mv[s_off[i]: s_off[i + 1]])
+                blob = b_mv[b_off[i]: b_off[i + 1]]
+                if v in ("str", "binary"):
+                    gdec = gdecs.setdefault(n, GlobalDictDecoder())
+                    blk = decode_str_block(blob, meta, gdec)
+                else:
+                    blk = decode_int_block(blob, meta)
+                arr = block_to_arrow(blk, v).cast(_out_arrow_type(v))
+                arrays.append(arr)
+                nvals = len(arr)
+                bid = int(cm.block_id[i])
+            if emit_meta:
+                arrays = [
+                    pa.array(np.full(nvals, pid, dtype=np.int32)),
+                    pa.array(np.full(nvals, bid, dtype=np.int32)),
+                    pa.array(np.arange(nvals, dtype=np.int64)),
+                ] + arrays
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+def random_access_parts(
+    spark: SparkSession,
+    out_dir: str,
+    row_ids: list[int],
+    project: list[str] | None = None,
+) -> DataFrame:
+    """Files-mode point lookup: tasks launch ONLY for touched
+    partitions, read metadata, then fetch exactly the touched blocks'
+    blobs (+ stateful segs before them) — reader.cpp:69-143."""
+    from arcade_spark.readops import _random_access_targets
+    from arcade_spark.schema import spark_type_for
+
+    all_cols, _parts = load_manifest(out_dir)
+    if project is not None:
+        all_cols = [(n, v) for n, v in all_cols if n in project]
+    targets = _random_access_targets(out_dir, row_ids)
+    touched = sorted(targets)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                yield from _ra_part_batches(
+                    out_dir, int(pid), targets[int(pid)], all_cols
+                )
+
+    ddl = "row_id long, " + ", ".join(
+        f"{n} {spark_type_for(v)}" for n, v in all_cols
+    )
+    return _assign_df(spark, touched).mapInArrow(kernel, schema=ddl)
+
+
+def _ra_part_batches(
+    out_dir: str, pid: int, local: list[tuple[int, int]], all_cols: list[tuple[str, str]]
+) -> Iterator[pa.RecordBatch]:
+    from arcade_spark.blocks import IntBlock
+    from arcade_spark.convert import block_to_arrow
+    from arcade_spark.core import (
+        decode_int_block,
+        decode_str_positions,
+        replay_str_block,
+    )
+    from arcade_spark.decode import _out_arrow_type
+    from arcade_spark.gdict import GlobalDictDecoder
+
+    first = _ColFile(out_dir, pid, all_cols[0][0])
+    cm0 = first.meta()
+    nb = cm0.n
+    ends = cm0.row_start + cm0.n_values
+    # block index of every local position
+    lps = np.array(sorted({lp for lp, _ in local}), dtype=np.int64)
+    target_blocks = np.unique(np.searchsorted(ends, lps, side="right"))
+    if len(target_blocks) == 0:
+        return
+    last_t = int(target_blocks[-1])
+    tmask = np.zeros(nb, dtype=bool)
+    tmask[target_blocks] = True
+
+    # per target block: (positions within block sorted, row_ids aligned)
+    by_block: dict[int, list[tuple[int, int]]] = {}
+    for lp, rid in local:
+        b = int(np.searchsorted(ends, lp, side="right"))
+        by_block.setdefault(b, []).append((lp - int(cm0.row_start[b]), rid))
+
+    schema = _out_schema(all_cols, lead=[pa.field("row_id", pa.int64())])
+    decoded: dict[str, dict[int, pa.Array]] = {}
+    for name, vt in all_cols:
+        cf = first if name == all_cols[0][0] else _ColFile(out_dir, pid, name)
+        cm = cm0 if name == all_cols[0][0] else cf.meta()
+        out: dict[int, pa.Array] = {}
+        blobs = cf.payloads(target_blocks.astype(np.int64), "blob")
+        if vt in ("str", "binary"):
+            rng = np.arange(nb)
+            seg_rows = np.nonzero((cm.stateful | tmask) & (rng <= last_t))[0]
+            segs = cf.payloads(seg_rows, "seg")
+            gdec = GlobalDictDecoder()
+            for b in range(last_t + 1):
+                meta = cm.meta_dict(b, segs.get(b, b""))
+                if not tmask[b]:
+                    replay_str_block(meta, gdec)
+                    continue
+                pos = np.array([p for p, _ in by_block[b]], dtype=np.int64)
+                order = np.argsort(pos, kind="stable")
+                inv = np.empty(len(order), dtype=np.int64)
+                inv[order] = np.arange(len(order))
+                blkd = decode_str_positions(blobs[b], meta, pos[order], gdec)
+                arr = block_to_arrow(blkd, vt).cast(_out_arrow_type(vt))
+                out[b] = arr.take(pa.array(inv, type=pa.int64()))
+        else:
+            for b in (int(x) for x in target_blocks):
+                pos = np.array([p for p, _ in by_block[b]], dtype=np.int64)
+                iblock = decode_int_block(blobs[b], cm.meta_dict(b))
+                sub = IntBlock(
+                    values=iblock.values[pos],
+                    validity=None if iblock.validity is None else iblock.validity[pos],
+                )
+                out[b] = block_to_arrow(sub, vt).cast(_out_arrow_type(vt))
+        decoded[name] = out
+
+    for b in (int(x) for x in target_blocks):
+        rids = pa.array(
+            np.array([r for _, r in by_block[b]], dtype=np.int64), type=pa.int64()
+        )
+        yield pa.RecordBatch.from_arrays(
+            [rids] + [decoded[n][b] for n, _ in all_cols], schema=schema
+        )
+
+
+def group_count_partials(
+    spark: SparkSession, out_dir: str, column: str
+) -> tuple[DataFrame, str]:
+    """Files-mode per-block partial counts for ``group_count``: each
+    task bincounts its partition's codes (dictionary/RLE paths never
+    materialize payloads) and emits tiny (value, cnt) partials; the
+    caller merges with one O(distinct) groupBy. Returns (partials_df,
+    vtype)."""
+    all_cols, parts = load_manifest(out_dir)
+    vt = dict(all_cols).get(column)
+    if vt is None:
+        raise KeyError(f"no such column: {column}")
+    is_str = vt in ("str", "binary")
+    is_float = vt in ("double", "float")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from arcade_spark.decode import _binary_views
+        from arcade_spark.gdict import GlobalDictDecoder
+        from arcade_spark.readops import _int_chunk_counts, _str_chunk_counts
+
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                cf = _ColFile(out_dir, int(pid), column)
+                gdec = GlobalDictDecoder()
+                for rg in range(cf.pf.metadata.num_row_groups):
+                    tbl = cf.pf.read_row_group(rg, columns=_META_COLS + ["blob", "seg"])
+                    cm = _ColMeta(tbl)
+                    b_off, b_mv = _binary_views(tbl.column("blob").combine_chunks())
+                    s_off, s_mv = _binary_views(tbl.column("seg").combine_chunks())
+                    for i in range(cm.n):
+                        meta = cm.meta_dict(i, s_mv[s_off[i]: s_off[i + 1]])
+                        blob = b_mv[b_off[i]: b_off[i + 1]]
+                        if is_str:
+                            out = _str_chunk_counts(gdec, blob, meta)
+                            if out is None:
+                                continue
+                            vals, cnts = out
+                            yield pa.RecordBatch.from_arrays(
+                                [pa.array(list(vals), type=pa.binary()),
+                                 pa.array(cnts.astype(np.int64))],
+                                names=["value_bin", "cnt"],
+                            )
+                        else:
+                            out = _int_chunk_counts(blob, meta, is_float)
+                            if out is None:
+                                continue
+                            vals, cnts = out
+                            yield pa.RecordBatch.from_arrays(
+                                [pa.array(vals), pa.array(cnts.astype(np.int64))],
+                                names=["value_dbl" if is_float else "value_int", "cnt"],
+                            )
+
+    if is_str:
+        ddl = "value_bin binary, cnt long"
+    elif is_float:
+        ddl = "value_dbl double, cnt long"
+    else:
+        ddl = "value_int long, cnt long"
+    return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl), vt
+
+
+def column_minmax_parts(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
+    """Files-mode ``SELECT min(col), max(col), count(*)``.
+
+    Integer-family columns answer from chunk METADATA only (zone maps
+    are non-null-exact since FORMAT_REV 8; float zones invert through
+    the order-preserving key map). String columns answer from metadata
+    when every extremum-winning chunk's bound is exact (min_bin/max_bin
+    ≤ stats.ZONE_MAX_LEN, the common case for short strings); otherwise
+    the task falls back to a single-column decode pass FOR ITS OWN
+    PARTITION only. Nulls are excluded from min/max (SQL semantics);
+    count(*) includes them."""
+    import pyarrow.compute as pc
+
+    from arcade_spark.schema import spark_type_for
+
+    all_cols, parts = load_manifest(out_dir)
+    vt = dict(all_cols).get(column)
+    if vt is None:
+        raise KeyError(f"no such column: {column}")
+    is_str = vt in ("str", "binary")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from arcade_spark.core import decode_str_block
+        from arcade_spark.decode import _binary_views
+        from arcade_spark.gdict import GlobalDictDecoder
+
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                cf = _ColFile(out_dir, int(pid), column)
+                cm = cf.meta()
+                cnt = int(cm.n_values.sum())
+                nulls = int(cm.n_nulls.sum())
+                if not is_str:
+                    hz = cm.has_zone  # all-null chunks carry no zone
+                    if hz.any():
+                        lo = int(cm.min_int[hz].min())
+                        hi = int(cm.max_int[hz].max())
+                        lo_a = pa.array([lo], type=pa.int64())
+                        hi_a = pa.array([hi], type=pa.int64())
+                    else:
+                        lo_a = pa.array([None], type=pa.int64())
+                        hi_a = pa.array([None], type=pa.int64())
+                    yield pa.RecordBatch.from_arrays(
+                        [lo_a, hi_a, pa.array([None], type=pa.binary()),
+                         pa.array([None], type=pa.binary()),
+                         pa.array([cnt], type=pa.int64()),
+                         pa.array([nulls], type=pa.int64())],
+                        names=["lo_int", "hi_int", "lo_bin", "hi_bin", "cnt", "nulls"],
+                    )
+                    continue
+                # string column: metadata path iff the winning bounds
+                # are exact. All-null chunks carry min_bin None.
+                lo = hi = None
+                meta_ok = True
+                for i in range(cm.n):
+                    if cm.n_nulls[i] == cm.n_values[i]:
+                        continue  # all-null chunk: no extrema
+                    mb, xb = cm.min_bin[i], cm.max_bin[i]
+                    if mb is None or xb is None:
+                        meta_ok = False
+                        break
+                    if lo is None or mb < lo[0]:
+                        lo = (mb, bool(cm.min_exact[i]))
+                    if hi is None or xb > hi[0]:
+                        hi = (xb, bool(cm.max_exact[i]))
+                if meta_ok and lo is not None and not (lo[1] and hi[1]):
+                    meta_ok = False
+                if not meta_ok:
+                    # decode fallback (this partition's column only)
+                    gdec = GlobalDictDecoder()
+                    lo_v = hi_v = None
+                    for rg in range(cf.pf.metadata.num_row_groups):
+                        tbl = cf.pf.read_row_group(
+                            rg, columns=_META_COLS + ["blob", "seg"]
+                        )
+                        rcm = _ColMeta(tbl)
+                        b_off, b_mv = _binary_views(tbl.column("blob").combine_chunks())
+                        s_off, s_mv = _binary_views(tbl.column("seg").combine_chunks())
+                        for i in range(rcm.n):
+                            meta = rcm.meta_dict(i, s_mv[s_off[i]: s_off[i + 1]])
+                            blk = decode_str_block(
+                                b_mv[b_off[i]: b_off[i + 1]], meta, gdec
+                            )
+                            arr = blk.to_arrow(binary=True)
+                            if blk.validity is not None:
+                                arr = arr.drop_null()
+                            if len(arr) == 0:
+                                continue
+                            mm = pc.min_max(arr)
+                            bmn, bmx = mm["min"].as_py(), mm["max"].as_py()
+                            if lo_v is None or bmn < lo_v:
+                                lo_v = bmn
+                            if hi_v is None or bmx > hi_v:
+                                hi_v = bmx
+                    lo_b, hi_b = lo_v, hi_v
+                else:
+                    lo_b = None if lo is None else lo[0]
+                    hi_b = None if hi is None else hi[0]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([None], type=pa.int64()),
+                     pa.array([None], type=pa.int64()),
+                     pa.array([lo_b], type=pa.binary()),
+                     pa.array([hi_b], type=pa.binary()),
+                     pa.array([cnt], type=pa.int64()),
+                     pa.array([nulls], type=pa.int64())],
+                    names=["lo_int", "hi_int", "lo_bin", "hi_bin", "cnt", "nulls"],
+                )
+
+    ddl = "lo_int long, hi_int long, lo_bin binary, hi_bin binary, cnt long, nulls long"
+    rows = _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl).collect()
+
+    cnt = sum(r["cnt"] for r in rows)
+    if is_str:
+        los = [r["lo_bin"] for r in rows if r["lo_bin"] is not None]
+        his = [r["hi_bin"] for r in rows if r["hi_bin"] is not None]
+        lo_v = min(los) if los else None
+        hi_v = max(his) if his else None
+        if vt == "str":
+            lo_v = lo_v.decode() if lo_v is not None else None
+            hi_v = hi_v.decode() if hi_v is not None else None
+        ddl_out = f"min_v {spark_type_for(vt)}, max_v {spark_type_for(vt)}, cnt long"
+        return spark.createDataFrame([(lo_v, hi_v, cnt)], ddl_out)
+
+    los = [r["lo_int"] for r in rows if r["lo_int"] is not None]
+    his = [r["hi_int"] for r in rows if r["hi_int"] is not None]
+    lo = min(los) if los else None
+    hi = max(his) if his else None
+    ddl_out = f"min_v {spark_type_for(vt)}, max_v {spark_type_for(vt)}, cnt long"
+    if vt in ("double", "float"):
+
+        def unkey(k: int | None) -> float | None:
+            if k is None:
+                return None
+            bits = k if k >= 0 else k ^ 0x7FFFFFFFFFFFFFFF
+            return float(np.int64(bits).view(np.float64))
+
+        return spark.createDataFrame([(unkey(lo), unkey(hi), cnt)], ddl_out)
+    if vt in ("ts", "tsntz"):
+        import datetime as _dt
+
+        def to_dt(us: int | None):
+            if us is None:
+                return None
+            # exact integer micros (no float division); UTC attached for
+            # tz-aware columns so the result is session-timezone-proof
+            base = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc if vt == "ts" else None)
+            return base + _dt.timedelta(microseconds=int(us))
+
+        return spark.createDataFrame([(to_dt(lo), to_dt(hi), cnt)], ddl_out)
+    lo_i = int(lo) if lo is not None else None
+    hi_i = int(hi) if hi is not None else None
+    return spark.createDataFrame([(lo_i, hi_i, cnt)], ddl_out)

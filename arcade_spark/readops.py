@@ -317,6 +317,25 @@ class _StrRangeState:
             self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
 
 
+def _dispatch_filter(
+    spark, out_dir, spec, project, count_only, mode, combine="and"
+) -> DataFrame:
+    """Route to the files-mode driver (default — per-part pyarrow
+    in-process reads, zero shuffle; partread.py) or the plan-mode
+    pipeline (Catalyst zone pruning + repartition + mapInPandas; kept
+    for blocks tables not laid out one-file-per-(part, column) and as
+    the cross-check twin in tests)."""
+    if mode == "files":
+        from arcade_spark.partread import filter_parts
+
+        return filter_parts(spark, out_dir, spec, project, count_only, combine=combine)
+    if mode != "plan":
+        raise ValueError(f"mode must be 'files' or 'plan': {mode!r}")
+    if combine != "and":
+        raise NotImplementedError("plan mode supports conjunctions only")
+    return _filter_op(spark, out_dir, spec, project, count_only)
+
+
 def equi_filter(
     spark: SparkSession,
     out_dir: str,
@@ -324,10 +343,13 @@ def equi_filter(
     value,
     project: list[str] | None = None,
     count_only: bool = False,
+    mode: str = "files",
 ) -> DataFrame:
     """``SELECT project... FROM encoded WHERE column = value``
     (ArcadeReader::equi_filter, reader.cpp:7-66)."""
-    return _filter_op(spark, out_dir, [(column, ("eq", value))], project, count_only)
+    return _dispatch_filter(
+        spark, out_dir, [(column, ("eq", value))], project, count_only, mode
+    )
 
 
 def filter_range(
@@ -338,27 +360,19 @@ def filter_range(
     hi,
     project: list[str] | None = None,
     count_only: bool = False,
+    mode: str = "files",
 ) -> DataFrame:
     """``SELECT project... FROM encoded WHERE column BETWEEN lo AND hi``
     (inclusive). The reference lists range filters as future work
     (README.md:115-131); our sorted dictionaries + zone maps make them
     cheap: blocks prune on min/max, local/rle dicts compare a code
     range, the global dict keeps a growing in-range entry bitmask."""
-    return _filter_op(spark, out_dir, [(column, ("range", lo, hi))], project, count_only)
+    return _dispatch_filter(
+        spark, out_dir, [(column, ("range", lo, hi))], project, count_only, mode
+    )
 
 
-def filter_and(
-    spark: SparkSession,
-    out_dir: str,
-    preds: list[tuple],
-    project: list[str] | None = None,
-    count_only: bool = False,
-) -> DataFrame:
-    """Conjunctive filter: ``WHERE p1 AND p2 AND ...`` where each pred
-    is ("eq", column, value) or ("range", column, lo, hi). Zone maps
-    prune a block when ANY predicate's zone rules it out; the kernel
-    intersects per-column match-position sets, and projection columns
-    materialize only the intersection — at most one pass per chunk."""
+def _preds_to_spec(preds: list[tuple]) -> list[tuple[str, tuple]]:
     spec = []
     for p in preds:
         if p[0] == "eq":
@@ -369,7 +383,45 @@ def filter_and(
             spec.append((p[1], ("in", list(p[2]))))
         else:
             raise ValueError(f"unknown predicate kind: {p[0]!r}")
-    return _filter_op(spark, out_dir, spec, project, count_only)
+    return spec
+
+
+def filter_and(
+    spark: SparkSession,
+    out_dir: str,
+    preds: list[tuple],
+    project: list[str] | None = None,
+    count_only: bool = False,
+    mode: str = "files",
+) -> DataFrame:
+    """Conjunctive filter: ``WHERE p1 AND p2 AND ...`` where each pred
+    is ("eq", column, value), ("range", column, lo, hi) or ("in",
+    column, values). Zone maps prune a block when ANY predicate's zone
+    rules it out; the kernel intersects per-column match-position sets,
+    and projection columns materialize only the intersection."""
+    return _dispatch_filter(
+        spark, out_dir, _preds_to_spec(preds), project, count_only, mode
+    )
+
+
+def filter_or(
+    spark: SparkSession,
+    out_dir: str,
+    preds: list[tuple],
+    project: list[str] | None = None,
+    count_only: bool = False,
+    mode: str = "files",
+) -> DataFrame:
+    """Disjunctive filter: ``WHERE p1 OR p2 OR ...`` (same predicate
+    forms as ``filter_and``; repeated columns allowed). Zone-envelope
+    pruning: a block is scanned for a column iff ANY disjunct on that
+    column admits it, and survives overall iff any disjunct's zone
+    admits it; the kernel unions per-predicate match positions, so
+    projection columns still materialize matched positions only."""
+    return _dispatch_filter(
+        spark, out_dir, _preds_to_spec(preds), project, count_only, mode,
+        combine="or",
+    )
 
 
 def filter_in(
@@ -379,12 +431,15 @@ def filter_in(
     values: list,
     project: list[str] | None = None,
     count_only: bool = False,
+    mode: str = "files",
 ) -> DataFrame:
     """``WHERE column IN (...)``: dictionary paths match against the
     memoized global-code set of the target values (multi-value
     generalization of the equi-filter's carried offset); zone maps
     prune on the [min, max] envelope of the list."""
-    return _filter_op(spark, out_dir, [(column, ("in", list(values)))], project, count_only)
+    return _dispatch_filter(
+        spark, out_dir, [(column, ("in", list(values)))], project, count_only, mode
+    )
 
 
 def _encode_bound(v):
@@ -420,20 +475,38 @@ class _Pred:
             if self.kind == "eq":
                 if self.is_float:
                     # stored bitcast: equality compares bit patterns,
-                    # zone prune compares order-preserving keys
-                    self.target_int = int(np.float64(self.lob).view(np.int64))
-                    self.zone_lo = self.zone_hi = float_order_key(float(self.lob))
+                    # zone prune compares order-preserving keys. ±0.0
+                    # are SQL-equal but distinct bit patterns — expand
+                    # a zero literal to both and widen the zone
+                    # envelope across both keys (-1 and 0)
+                    f = float(self.lob)
+                    pats = {int(np.float64(f).view(np.int64))}
+                    if f == 0.0:
+                        pats.add(int(np.float64(-0.0).view(np.int64)))
+                        pats.add(int(np.float64(0.0).view(np.int64)))
+                    self.targets = np.array(sorted(pats), dtype=np.int64)
+                    keys = [
+                        float_order_key(float(np.int64(p).view(np.float64)))
+                        for p in pats
+                    ]
+                    self.zone_lo, self.zone_hi = min(keys), max(keys)
                 else:
                     self.target_int = int(self.lob)
                     self.zone_lo = self.zone_hi = self.target_int
             elif self.kind == "in":
                 if self.is_float:
-                    self.targets = np.array(
-                        [np.float64(float(v)).view(np.int64) for v in self.in_vals],
-                        dtype=np.int64,
-                    )
-                    self.zone_lo = float_order_key(float(self.lob))
-                    self.zone_hi = float_order_key(float(self.hib))
+                    pats = {
+                        int(np.float64(float(v)).view(np.int64)) for v in self.in_vals
+                    }
+                    if any(float(v) == 0.0 for v in self.in_vals):
+                        pats.add(int(np.float64(-0.0).view(np.int64)))
+                        pats.add(int(np.float64(0.0).view(np.int64)))
+                    self.targets = np.array(sorted(pats), dtype=np.int64)
+                    keys = [
+                        float_order_key(float(np.int64(p).view(np.float64)))
+                        for p in pats
+                    ]
+                    self.zone_lo, self.zone_hi = min(keys), max(keys)
                 else:
                     self.targets = np.array(
                         [int(v) for v in self.in_vals], dtype=np.int64
@@ -442,8 +515,18 @@ class _Pred:
             else:
                 if self.is_float:
                     self.flo, self.fhi = float(self.lob), float(self.hib)
-                    self.zone_lo = float_order_key(self.flo)
-                    self.zone_hi = float_order_key(self.fhi)
+                    # a bound of 0.0 admits both ±0.0 bit patterns —
+                    # widen the key envelope across the zero pair
+                    self.zone_lo = (
+                        float_order_key(-0.0)
+                        if self.flo == 0.0
+                        else float_order_key(self.flo)
+                    )
+                    self.zone_hi = (
+                        float_order_key(0.0)
+                        if self.fhi == 0.0
+                        else float_order_key(self.fhi)
+                    )
                 else:
                     self.ilo, self.ihi = int(self.lob), int(self.hib)
                     self.zone_lo, self.zone_hi = self.ilo, self.ihi
@@ -469,7 +552,11 @@ class _Pred:
 
     def int_positions(self, iblock) -> np.ndarray:
         if self.kind == "eq":
-            m = iblock.values == self.target_int
+            if self.is_float:
+                # 1 or 2 bit patterns (±0.0 expansion)
+                m = np.isin(iblock.values, self.targets)
+            else:
+                m = iblock.values == self.target_int
         elif self.kind == "in":
             m = np.isin(iblock.values, self.targets)
         elif self.is_float:
@@ -693,78 +780,132 @@ def _filter_op(
     return result
 
 
-def filter_count(spark: SparkSession, out_dir: str, column: str, value) -> DataFrame:
+def filter_count(
+    spark: SparkSession, out_dir: str, column: str, value, mode: str = "files"
+) -> DataFrame:
     """Count-only fast path: one row ``cnt`` (plus blocks_skipped for
     zone-map observability — FIXTURES.md §3)."""
-    per_block = equi_filter(spark, out_dir, column, value, count_only=True)
+    per_block = equi_filter(spark, out_dir, column, value, count_only=True, mode=mode)
     return per_block.agg(
         F.sum("matches").alias("cnt"), F.sum("zone_skipped").alias("blocks_skipped")
     )
 
 
 def column_minmax(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
-    """``SELECT min(col), max(col), count(*)`` answered from CHUNK
-    METADATA ONLY — no blob or seg bytes are read at all. The zone maps
-    (min_int/max_int per chunk) are exact for integer-family columns,
-    and for double/float they live in the order-preserving key domain
-    (bits.float_order_keys), whose min/max invert back to the true
-    float extrema (the key map is a self-inverse bijection). count(*)
-    is the sum of n_values.
+    """``SELECT min(col), max(col), count(*)``.
 
-    Scale shape: the plan is a metadata-column aggregation over the
-    blocks table — parquet column pruning means only a few int64
-    columns per chunk row are scanned; at 10^12 rows this reads KB per
-    partition, not TB. Null caveat: null slots hold 0 sentinels inside
-    the zone maps, so columns containing nulls raise (min/max of
-    non-null values is not recoverable from metadata alone)."""
-    all_cols = dict(table_columns(spark, out_dir))
-    if column not in all_cols:
-        raise KeyError(f"no such column: {column}")
-    fvt = all_cols[column]
-    if fvt in ("str", "binary"):
-        raise NotImplementedError(
-            "column_minmax is metadata-exact for integer-family columns "
-            "only (string zone maps are prefix-truncated)"
-        )
-    row = (
-        read_blocks(spark, out_dir, [column])
-        .filter(F.col("column") == column)
-        .agg(
-            F.min("min_int").alias("lo"),
-            F.max("max_int").alias("hi"),
-            F.sum("n_values").alias("cnt"),
-            F.sum("n_nulls").alias("nulls"),
-        )
-        .collect()[0]
+    Integer-family columns answer from chunk METADATA only — no blob or
+    seg bytes read. Zone maps are non-null-exact (FORMAT_REV 8: extrema
+    over valid slots only, absent for all-null chunks); double/float
+    zones live in the order-preserving key domain (bits.float_order_keys)
+    whose min/max invert back to the true float extrema. String columns
+    answer from metadata when the winning bounds are exact (≤
+    stats.ZONE_MAX_LEN — the common short-string case) and otherwise
+    fall back to a per-partition single-column decode pass. min/max
+    exclude nulls (SQL semantics); count(*) includes them.
+
+    Scale shape: per-part tasks read a few KB of chunk metadata each
+    (parquet column pruning) and emit one partial row; the driver folds
+    |parts| rows. See partread.column_minmax_parts."""
+    from arcade_spark.partread import column_minmax_parts
+
+    return column_minmax_parts(spark, out_dir, column)
+
+
+def _int_chunk_counts(blob, meta: dict, is_float: bool):
+    """Per-chunk (values, counts) partial for integer-family group
+    counts. Doubles group by canonicalized bit pattern: -0.0 folds into
+    +0.0 and every NaN payload collapses to the quiet-NaN pattern, so
+    grouping matches SQL value-equality semantics."""
+    iblock = decode_int_block(blob, meta)
+    v = iblock.values
+    if iblock.validity is not None:
+        v = v[iblock.validity]
+    if len(v) == 0:
+        return None
+    if is_float:
+        v = v.copy()
+        f = v.view(np.float64)
+        v[f == 0.0] = 0  # catches both ±0.0 (IEEE equality)
+        v[np.isnan(f)] = np.int64(0x7FF8000000000000)
+    vals, cnts = np.unique(v, return_counts=True)
+    if is_float:
+        vals = vals.view(np.float64)
+    return vals, cnts
+
+
+def _str_chunk_counts(gdec: GlobalDictDecoder, blob, meta: dict):
+    """Per-chunk (values, counts) partial for string group counts —
+    decode-free on dict/rle paths: bincount the bit-packed codes and
+    resolve only the few used codes through the (running) dictionary."""
+    import pyarrow.compute as pc
+
+    validity_sec, payload = unpack_sections(blob)
+    payload = unpost(payload, meta.get("post"))
+    codec = meta["codec"]
+    n = meta["n_values"]
+    if meta.get("gdict_reset"):
+        gdec.reset()
+    validity = unpack_validity(validity_sec, n)
+
+    if codec in ("dict_global", "dict_local"):
+        if codec == "dict_global":
+            gdec.append(sc._deserialize_values_arrow(meta["seg"]))
+            dictionary = None  # resolve through the running dict
+        else:
+            dictionary = sc._deserialize_values_arrow(meta["seg"])
+            if meta.get("gdict_seed"):
+                gdec.append(dictionary)
+        codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
+        if validity is not None:
+            codes = codes[validity]
+        if len(codes) == 0:
+            return None
+        cnt = np.bincount(codes)
+        used = np.nonzero(cnt)[0]
+        if dictionary is None:
+            vals = gdec.take_block(used).to_object_array()
+        else:
+            vals = sc._take_to_block(dictionary, used).to_object_array()
+        return vals, cnt[used]
+    if codec == "rle_str":
+        import struct
+
+        dict_sec, codes_sec, lens_sec = unpack_sections(payload)
+        uniques = sc._deserialize_values_arrow(dict_sec)
+        (nruns,) = struct.unpack_from("<I", codes_sec, 0)
+        run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
+        run_lens = np.asarray(decode_for_int(lens_sec, {"n_values": nruns}),
+                              dtype=np.int64)
+        if validity is not None:
+            expanded = np.repeat(run_codes, run_lens)[validity]
+            if len(expanded) == 0:
+                return None
+            cnt = np.bincount(expanded)
+        else:
+            cnt = np.bincount(run_codes, weights=run_lens).astype(np.int64)
+        used = np.nonzero(cnt)[0]
+        vals = sc._take_to_block(uniques, used).to_object_array()
+        return vals, cnt[used]
+    # plain / fsst: dictionaries lost for this block — count via
+    # Arrow's C value_counts on the materialized values
+    block = sc.decode_plain(payload, meta) if codec == "plain" else sc.decode_fsst(payload, meta)
+    block.validity = validity
+    arr = block.to_arrow(binary=True)
+    if validity is not None:
+        arr = arr.drop_null()
+    if len(arr) == 0:
+        return None
+    vc = pc.value_counts(arr)
+    return (
+        np.asarray(vc.field("values").to_pylist(), dtype=object),
+        np.asarray(vc.field("counts").to_pylist(), dtype=np.int64),
     )
-    if row["nulls"]:
-        raise NotImplementedError(
-            "column contains nulls: metadata zone maps include the null "
-            "sentinel, so min/max of non-null values needs a decode pass"
-        )
-    lo, hi, cnt = row["lo"], row["hi"], int(row["cnt"])
-    if fvt in ("double", "float"):
-        from arcade_spark.bits import float_order_key  # noqa: F401  (doc pointer)
-
-        def unkey(k: int) -> float:
-            bits = k if k >= 0 else k ^ 0x7FFFFFFFFFFFFFFF
-            return float(np.int64(bits).view(np.float64))
-
-        lo_v, hi_v = unkey(int(lo)), unkey(int(hi))
-        ddl = f"min_v {spark_type_for(fvt)}, max_v {spark_type_for(fvt)}, cnt long"
-        return spark.createDataFrame([(lo_v, hi_v, cnt)], ddl)
-    if fvt in ("ts", "tsntz"):
-        import datetime as _dt
-
-        lo_v = _dt.datetime.utcfromtimestamp(int(lo) / 1e6)
-        hi_v = _dt.datetime.utcfromtimestamp(int(hi) / 1e6)
-        ddl = f"min_v {spark_type_for(fvt)}, max_v {spark_type_for(fvt)}, cnt long"
-        return spark.createDataFrame([(lo_v, hi_v, cnt)], ddl)
-    ddl = f"min_v {spark_type_for(fvt)}, max_v {spark_type_for(fvt)}, cnt long"
-    return spark.createDataFrame([(int(lo), int(hi), cnt)], ddl)
 
 
-def group_count(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
+def group_count(
+    spark: SparkSession, out_dir: str, column: str, mode: str = "files"
+) -> DataFrame:
     """``SELECT column, count(*) GROUP BY column`` computed on the
     ENCODED representation — no payload materialization on the
     dictionary/RLE paths (the ARCADE thesis applied to aggregation):
@@ -775,150 +916,88 @@ def group_count(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
     - plain/fsst: Arrow ``value_counts`` (C-speed) on the materialized
       block — the codecs chosen for blocks where dictionaries lost.
 
-    The kernel emits per-block partial aggregates (tiny), and one final
-    groupBy over (value) merges them — map-side partials keep the
+    Each task emits per-block partial aggregates (tiny), and one final
+    groupBy over (value) merges them — map-side partials keep the only
     shuffle at O(distinct), not O(rows). Null slots are excluded (the
-    count of non-null values per group, like COUNT(col))."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    count of non-null values per group, like COUNT(col)). Doubles group
+    by canonicalized value (-0.0 = 0.0, NaN payloads collapsed) to
+    match SQL GROUP BY equality."""
+    if mode == "files":
+        from arcade_spark.partread import group_count_partials
 
-    all_cols = dict(table_columns(spark, out_dir))
-    if column not in all_cols:
-        raise KeyError(f"no such column: {column}")
-    fvt = all_cols[column]
-    is_str = fvt in ("str", "binary")
-
-    n_parts = _num_parts(spark, out_dir)
-    blocks = read_blocks(spark, out_dir, [column]).filter(F.col("column") == column)
-
-    if not is_str:
-        # integer-family columns (int/i32/i16/i8/ts/tsntz/double/float):
-        # decode the int64 lane, np.unique-count per block, merge tiny
-        # partials. Stored bitcast for doubles — group keys are bit
-        # patterns, which equals value-equality grouping (modulo -0.0).
+        partial, fvt = group_count_partials(spark, out_dir, column)
+        is_str = fvt in ("str", "binary")
         is_float = fvt in ("double", "float")
-        key_col, key_ddl = ("value_dbl", "value_dbl double") if is_float else (
-            "value_int", "value_int long")
+    elif mode == "plan":
+        all_cols = dict(table_columns(spark, out_dir))
+        if column not in all_cols:
+            raise KeyError(f"no such column: {column}")
+        fvt = all_cols[column]
+        is_str = fvt in ("str", "binary")
+        is_float = fvt in ("double", "float")
+        n_parts = _num_parts(spark, out_dir)
+        blocks = read_blocks(spark, out_dir, [column]).filter(F.col("column") == column)
 
-        def int_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    iblock = decode_int_block(row.blob, _meta_from_row(row))
-                    v = iblock.values
-                    if iblock.validity is not None:
-                        v = v[iblock.validity]
-                    if len(v) == 0:
-                        continue
-                    vals, cnts = np.unique(v, return_counts=True)
-                    if is_float:
-                        vals = vals.view(np.float64)
-                    yield pd.DataFrame({key_col: vals, "cnt": cnts.astype(np.int64)})
+        if not is_str:
+            key_col = "value_dbl" if is_float else "value_int"
+            key_ddl = f"{key_col} double" if is_float else f"{key_col} long"
 
-        partial = (
-            blocks.repartition(max(n_parts, 1), F.col("part_id"))
-            .mapInPandas(int_kernel, schema=f"{key_ddl}, cnt long")
-        )
-        agg = partial.groupBy(key_col).agg(F.sum("cnt").alias("cnt"))
-        if is_float:
-            out_col = F.col(key_col).cast(spark_type_for(fvt))
-        elif fvt in ("ts", "tsntz"):
-            out_col = F.timestamp_micros(F.col(key_col))
-            if fvt == "tsntz":
-                out_col = out_col.cast("timestamp_ntz")
-        else:
-            out_col = F.col(key_col).cast(spark_type_for(fvt))
-        return agg.select(out_col.alias(column), F.col("cnt"))
+            def int_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        out = _int_chunk_counts(row.blob, _meta_from_row(row), is_float)
+                        if out is None:
+                            continue
+                        vals, cnts = out
+                        yield pd.DataFrame({key_col: vals, "cnt": cnts.astype(np.int64)})
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        gdecs: dict[int, GlobalDictDecoder] = {}
-
-        def counts_for(part_id: int, blob, meta: dict):
-            validity_sec, payload = unpack_sections(blob)
-            payload = unpost(payload, meta.get("post"))
-            codec = meta["codec"]
-            n = meta["n_values"]
-            gdec = gdecs.setdefault(part_id, GlobalDictDecoder())
-            if meta.get("gdict_reset"):
-                gdec.reset()
-            validity = unpack_validity(validity_sec, n)
-
-            if codec in ("dict_global", "dict_local"):
-                if codec == "dict_global":
-                    gdec.append(sc._deserialize_values_arrow(meta["seg"]))
-                    dictionary = None  # resolve through the running dict
-                else:
-                    dictionary = sc._deserialize_values_arrow(meta["seg"])
-                    if meta.get("gdict_seed"):
-                        gdec.append(dictionary)
-                codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
-                if validity is not None:
-                    codes = codes[validity]
-                if len(codes) == 0:
-                    return None
-                cnt = np.bincount(codes)
-                used = np.nonzero(cnt)[0]
-                if dictionary is None:
-                    vals = gdec.take_block(used).to_object_array()
-                else:
-                    vals = sc._take_to_block(dictionary, used).to_object_array()
-                return vals, cnt[used]
-            if codec == "rle_str":
-                import struct
-
-                dict_sec, codes_sec, lens_sec = unpack_sections(payload)
-                uniques = sc._deserialize_values_arrow(dict_sec)
-                (nruns,) = struct.unpack_from("<I", codes_sec, 0)
-                run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
-                run_lens = np.asarray(decode_for_int(lens_sec, {"n_values": nruns}),
-                                      dtype=np.int64)
-                if validity is not None:
-                    expanded = np.repeat(run_codes, run_lens)[validity]
-                    if len(expanded) == 0:
-                        return None
-                    cnt = np.bincount(expanded)
-                else:
-                    cnt = np.bincount(run_codes, weights=run_lens).astype(np.int64)
-                used = np.nonzero(cnt)[0]
-                vals = sc._take_to_block(uniques, used).to_object_array()
-                return vals, cnt[used]
-            # plain / fsst: dictionaries lost for this block — count via
-            # Arrow's C value_counts on the materialized values
-            block = sc.decode_plain(payload, meta) if codec == "plain" else sc.decode_fsst(payload, meta)
-            block.validity = validity
-            arr = block.to_arrow(binary=True)
-            if validity is not None:
-                arr = arr.drop_null()
-            if len(arr) == 0:
-                return None
-            vc = pc.value_counts(arr)
-            return (
-                np.asarray(vc.field("values").to_pylist(), dtype=object),
-                np.asarray(vc.field("counts").to_pylist(), dtype=np.int64),
+            partial = (
+                blocks.repartition(max(n_parts, 1), F.col("part_id"))
+                .mapInPandas(int_kernel, schema=f"{key_ddl}, cnt long")
             )
+        else:
 
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                out = counts_for(int(row.part_id), row.blob, _meta_from_row(row))
-                if out is None:
-                    continue
-                vals, cnts = out
-                yield pd.DataFrame(
-                    {"value_bin": list(vals), "cnt": cnts.astype(np.int64)}
-                )
+            def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                gdecs: dict[int, GlobalDictDecoder] = {}
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        gdec = gdecs.setdefault(int(row.part_id), GlobalDictDecoder())
+                        out = _str_chunk_counts(gdec, row.blob, _meta_from_row(row))
+                        if out is None:
+                            continue
+                        vals, cnts = out
+                        yield pd.DataFrame(
+                            {"value_bin": list(vals), "cnt": cnts.astype(np.int64)}
+                        )
 
-    partial = (
-        blocks.repartition(max(n_parts, 1), F.col("part_id"))
-        .sortWithinPartitions("part_id", "block_id")
-        .mapInPandas(kernel, schema="value_bin binary, cnt long")
-    )
-    agg = partial.groupBy("value_bin").agg(F.sum("cnt").alias("cnt"))
-    if fvt == "str":
-        # decode utf-8 for string columns so the result matches the
-        # source column type
-        return agg.select(
-            F.col("value_bin").cast("string").alias(column), F.col("cnt")
-        )
-    return agg.select(F.col("value_bin").alias(column), F.col("cnt"))
+            partial = (
+                blocks.repartition(max(n_parts, 1), F.col("part_id"))
+                .sortWithinPartitions("part_id", "block_id")
+                .mapInPandas(kernel, schema="value_bin binary, cnt long")
+            )
+    else:
+        raise ValueError(f"mode must be 'files' or 'plan': {mode!r}")
+
+    if is_str:
+        agg = partial.groupBy("value_bin").agg(F.sum("cnt").alias("cnt"))
+        if fvt == "str":
+            # decode utf-8 for string columns so the result matches the
+            # source column type
+            return agg.select(
+                F.col("value_bin").cast("string").alias(column), F.col("cnt")
+            )
+        return agg.select(F.col("value_bin").alias(column), F.col("cnt"))
+    key_col = "value_dbl" if is_float else "value_int"
+    agg = partial.groupBy(key_col).agg(F.sum("cnt").alias("cnt"))
+    if is_float:
+        out_col = F.col(key_col).cast(spark_type_for(fvt))
+    elif fvt in ("ts", "tsntz"):
+        out_col = F.timestamp_micros(F.col(key_col))
+        if fvt == "tsntz":
+            out_col = out_col.cast("timestamp_ntz")
+    else:
+        out_col = F.col(key_col).cast(spark_type_for(fvt))
+    return agg.select(out_col.alias(column), F.col("cnt"))
 
 
 def _random_access_targets(out_dir: str, row_ids: list[int]):
@@ -1012,11 +1091,20 @@ def random_access(
     out_dir: str,
     row_ids: list[int],
     project: list[str] | None = None,
+    mode: str = "files",
 ) -> DataFrame:
     """Multi-row lookup by global rowid (canonical order: part_id asc,
     block order within part). Metadata math on the driver (manifest +
     chunk headers are metadata, not data), positional decode on
-    executors for only the touched BLOCKS (reader.cpp:69-143)."""
+    executors for only the touched BLOCKS (reader.cpp:69-143). Files
+    mode launches tasks ONLY for touched partitions and fetches exactly
+    the touched blocks' row groups."""
+    if mode == "files":
+        from arcade_spark.partread import random_access_parts
+
+        return random_access_parts(spark, out_dir, row_ids, project)
+    if mode != "plan":
+        raise ValueError(f"mode must be 'files' or 'plan': {mode!r}")
     all_cols = table_columns(spark, out_dir)
     if project is not None:
         all_cols = [(n, v) for n, v in all_cols if n in project]

@@ -74,10 +74,14 @@ def profile_str_block(block: StrBlock) -> StrStats:
                 min_exact = max_exact = False
             else:
                 mm = pc.min_max(block.to_arrow(binary=True))
-                mn = (mm["min"].as_py() or b"")[:ZONE_MAX_LEN]
+                mn_full = mm["min"].as_py() or b""
+                mn = mn_full[:ZONE_MAX_LEN]
                 mx_full = mm["max"].as_py() or b""
                 mx = mx_full[:ZONE_MAX_LEN]
-                min_exact = True  # a prefix lower bound is always safe
+                # a prefix lower bound is always SAFE for pruning, but
+                # only exact (= the true minimum, usable by metadata
+                # min/max) when nothing was truncated
+                min_exact = len(mn_full) <= ZONE_MAX_LEN
                 max_exact = len(mx_full) <= ZONE_MAX_LEN
             return StrStats(
                 n=n,

@@ -32,7 +32,9 @@ def test_partial_run_then_resume(spark, small_corpus, tmp_path_factory):
     # simulate a run killed after 3 of 6 partitions committed: encode
     # only rows belonging to parts {0,1,2} (deterministic assignment)
     partial = (
-        with_part_id(src, N_PARTS).filter(F.col(_PART_COL) < 3).drop(_PART_COL)
+        with_part_id(src, N_PARTS)
+        .filter(F.col(_PART_COL) < 3)
+        .drop(_PART_COL, "__arcade_key")
     )
     m1 = encode_job(spark, partial, out, num_parts=N_PARTS, block_rows=512)
     done_after_kill = completed_parts(out)

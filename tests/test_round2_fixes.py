@@ -391,20 +391,44 @@ def test_column_minmax_metadata_only(spark, encoded_corpus, double_table):
     assert (row_t["min_v"], row_t["max_v"], row_t["cnt"]) == (want[0], want[1], want[2])
 
 
-def test_column_minmax_rejects_nulls(spark, tmp_path_factory):
+def test_column_minmax_null_tolerant(spark, tmp_path_factory):
+    """FORMAT_REV 8: zone maps exclude null slots, so metadata min/max
+    matches SQL (min/max over non-null, count(*) over all) — the round-2
+    guard-raise is gone. All-null columns answer NULL extrema."""
     import pyspark.sql.types as T
 
     from arcade_spark.readops import column_minmax
 
     src = spark.createDataFrame(
-        [("a", 5), ("b", None), ("c", 9)],
+        [("a", 5, None), ("b", None, None), ("c", -9, None), ("d", None, None)],
         T.StructType([T.StructField("url", T.StringType()),
-                      T.StructField("x", T.LongType(), True)]),
+                      T.StructField("x", T.LongType(), True),
+                      T.StructField("y", T.LongType(), True)]),
     )
     out = str(tmp_path_factory.mktemp("mmx") / "enc")
     encode_job(spark, src, out, num_parts=1, block_rows=8)
-    with pytest.raises(NotImplementedError, match="null"):
-        column_minmax(spark, out, "x")
+    row = column_minmax(spark, out, "x").collect()[0]
+    assert (row["min_v"], row["max_v"], row["cnt"]) == (-9, 5, 4)
+    row_y = column_minmax(spark, out, "y").collect()[0]
+    assert (row_y["min_v"], row_y["max_v"], row_y["cnt"]) == (None, None, 4)
+
+
+def test_column_minmax_string_with_nulls(spark, tmp_path_factory):
+    """String minmax under nulls: null slots (b'' sentinels) must not
+    poison the minimum; short strings answer metadata-only."""
+    import pyspark.sql.types as T
+
+    from arcade_spark.readops import column_minmax
+
+    src = spark.createDataFrame(
+        [("u1", "banana"), ("u2", None), ("u3", "apple"), ("u4", "cherry")],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("s", T.StringType(), True)]),
+    )
+    out = str(tmp_path_factory.mktemp("mmxs") / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=8)
+    row = column_minmax(spark, out, "s").collect()[0]
+    assert (row["min_v"], row["max_v"], row["cnt"]) == ("apple", "cherry", 4)
 
 
 def test_filter_in(spark, encoded_corpus, double_table):
