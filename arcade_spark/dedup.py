@@ -13,6 +13,9 @@ oracle. Popular-bucket skew is capped via a bucket-size guard.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 SHINGLE_K = 3
@@ -21,6 +24,108 @@ LSH_BANDS = 32
 LSH_ROWS = 4
 JACCARD_THRESHOLD = 0.8
 MAX_BUCKET = 64  # skew guard: ignore degenerate buckets (all-same boilerplate)
+_OPH_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)  # empty-bin sentinel
+_LOG2_N = MINHASH_N.bit_length() - 1  # 128 bins = top 7 hash bits
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a public-domain 64-bit mixer (full-period
+    bijection); used to derive band seeds and densification values."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+_BAND_SEEDS = _mix64(np.arange(10_001, 10_001 + LSH_BANDS, dtype=np.uint64))
+
+
+def _oph_signatures(doc_idx: np.ndarray, base: np.ndarray, n_docs: int) -> np.ndarray:
+    """One-Permutation-Hashing MinHash (Li/Owen/Zhang 2012; rotation
+    densification per Shrivastava/Li 2014): hash each shingle ONCE,
+    route it to bin = top log2(MINHASH_N) bits, keep the min per
+    (doc, bin), then fill empty bins from the nearest filled bin to the
+    circular right, mixing in the borrow distance. O(n log n) total vs
+    the classic k-permutation scheme's O(n·MINHASH_N) — the difference
+    between touching 8 B and 1 KB of memory per shingle, which is what
+    parallel workers contend on. Returns (n_docs, MINHASH_N) uint64;
+    rows of shingle-less docs stay at the empty sentinel."""
+    bins = base >> np.uint64(64 - _LOG2_N)
+    key = doc_idx.astype(np.uint64) * np.uint64(MINHASH_N) + bins
+    order = np.lexsort((base, key))
+    ks, hs = key[order], base[order]
+    first = np.ones(len(ks), dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    flat = np.full(n_docs * MINHASH_N, _OPH_EMPTY, dtype=np.uint64)
+    flat[ks[first].astype(np.int64)] = hs[first]
+    S = flat.reshape(n_docs, MINHASH_N)
+    sparse = S.copy()  # borrow from ORIGINAL bins only (stable scheme)
+    empty = S == _OPH_EMPTY
+    k = 1
+    while empty.any() and k < MINHASH_N:
+        src = np.roll(sparse, -k, axis=1)
+        fill = empty & (src != _OPH_EMPTY)
+        if fill.any():
+            S[fill] = _mix64(src[fill] + np.uint64(k))
+            empty &= ~fill
+        k += 1
+    return S
+
+
+def _band_rows(doc_ids: np.ndarray, offsets: np.ndarray, base: np.ndarray):
+    """(doc_id, band_hash) rows for one Arrow batch: OPH signatures,
+    then LSH_ROWS consecutive signature slots fold into each band's
+    64-bit bucket id. Docs with no shingles are skipped."""
+    n_docs = len(doc_ids)
+    lens = np.diff(offsets)
+    keep = lens > 0
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    S = _oph_signatures(doc_idx, base, n_docs)
+    mr = S.reshape(n_docs, LSH_BANDS, LSH_ROWS)  # consecutive slots per band
+    h = np.broadcast_to(_BAND_SEEDS, (n_docs, LSH_BANDS)).copy()
+    for r in range(LSH_ROWS):
+        h = _mix64(h ^ mr[:, :, r])
+    ids = np.repeat(doc_ids[keep], LSH_BANDS)
+    return ids, h.view(np.int64)[keep].reshape(-1)
+
+
+def _banded(shingle_arrays: DataFrame) -> DataFrame:
+    """(doc_id, band_hash) — MinHash signatures + LSH banding in ONE
+    pass over (doc_id, sh: array<string>): the per-shingle base hash is
+    a single JVM-side ``xxhash64`` inside the shingle array (no
+    explode, no per-permutation Catalyst expressions), and a mapInArrow
+    kernel consumes the list column's flat int64 buffer ZERO-COPY (no
+    Python string/int objects) to build OPH signatures and emit band
+    buckets. This removes the round-2 plan's 128 xxhash64 expressions
+    over the exploded shingle table AND the 128-column signature
+    shuffle (bucket join fan-out unchanged, candidates still
+    exact-verified)."""
+    import pyarrow as pa
+
+    arrays = shingle_arrays.select(
+        "doc_id",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"),
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            hs = batch.column(1)
+            if isinstance(hs, pa.ChunkedArray):
+                hs = hs.combine_chunks()
+            offs = np.frombuffer(hs.buffers()[1], dtype=np.int32)[
+                hs.offset: hs.offset + len(hs) + 1
+            ].astype(np.int64)
+            flat = hs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            base = flat.view(np.uint64)
+            out_ids, out_bands = _band_rows(ids, offs, base)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()),
+                 pa.array(out_bands, type=pa.int64())],
+                names=["doc_id", "band_hash"],
+            )
+
+    return arrays.mapInArrow(kernel, schema="doc_id long, band_hash long")
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,11 +141,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram shingles; docs with fewer
-    than 3 words are excluded (same rule in the oracle SQL). The source
-    is one small parquet file → one input split; repartition so the
-    shingle explosion parallelizes."""
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<string>) distinct word-3-gram shingles per
+    doc; docs with fewer than 3 words are excluded (same rule in the
+    oracle SQL). The source is one small parquet file → one input
+    split; repartition so the shingle work parallelizes."""
     d = _documents(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -53,7 +158,15 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", words.alias("w"), sh.alias("sh"))
         .filter(F.size("w") >= SHINGLE_K)
-        .select("doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
+        .select("doc_id", F.array_distinct("sh").alias("sh"))
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles — the exact-verify
+    join side."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
 
 
@@ -108,31 +221,21 @@ def dedup_minhash_lsh(
     candidate count is tiny and shingling is cheap)."""
     from pyspark import StorageLevel
 
-    shingles = _shingles(spark, sf_dir)
+    # cache the COMPACT per-doc shingle arrays (not the exploded view):
+    # both the banding kernel and the exact-verify join derive from it,
+    # so the normalize+shingle string work runs once
+    arrays = _shingle_arrays(spark, sf_dir)
     if shingle_storage == "memory":
-        shingles = shingles.cache()
+        arrays = arrays.cache()
     elif shingle_storage == "disk":
-        shingles = shingles.persist(StorageLevel.DISK_ONLY)
+        arrays = arrays.persist(StorageLevel.DISK_ONLY)
     elif shingle_storage != "recompute":
         raise ValueError(f"unknown shingle_storage: {shingle_storage!r}")
-    hashes = shingles.select(
-        "doc_id",
-        *[
-            F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}")
-            for i in range(MINHASH_N)
-        ],
-    )
-    sigs = hashes.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(MINHASH_N)]
-    ).cache()  # reused by every band path below — without this the
-    # 128-column aggregation recomputes once per downstream branch
-    band_cols = [
-        F.xxhash64(F.lit(band), *[F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias(
-            f"b{band}"
-        )
-        for band in range(LSH_BANDS)
-    ]
-    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band_hash")).cache()
+    shingles = arrays.select("doc_id", F.explode("sh").alias("shingle"))
+    # signatures + band buckets in ONE Arrow-batched kernel over the
+    # un-exploded shingle arrays (round-3 rewrite, see _banded); banded
+    # is reused by the bucket-size guard and both join sides
+    banded = _banded(arrays).cache()
     bucket_sizes = banded.groupBy("band_hash").agg(F.count("*").alias("bsz"))
     banded = banded.join(
         F.broadcast(bucket_sizes.filter(F.col("bsz").between(2, MAX_BUCKET))), "band_hash"
