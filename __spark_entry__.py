@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_cosine_topk,
         ann_lsh_recall,
         ann_lsh_topk,
+        ann_sq_recall,
+        ann_sq_topk,
         embedding_cosine_pairs,
     )
     from arcade_spark.textops import (
@@ -310,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _wrap(ann_cosine_topk),
         "ann_lsh_topk": _wrap(ann_lsh_topk),
         "ann_lsh_recall": _wrap(ann_lsh_recall),
+        "ann_sq_topk": _wrap(ann_sq_topk),
+        "ann_sq_recall": _wrap(ann_sq_recall),
         "embedding_cosine_pairs": _wrap(embedding_cosine_pairs),
         "media_meta": _wrap(media_meta),
     }
@@ -348,25 +352,33 @@ _STOP = "('the','a','of','and','to','in','is','for')"
 def _ann_lsh_recall_oracle() -> str:
     """DuckDB replica of the full LSH-multiprobe pipeline: same
     hyperplanes (embedded as double literals — repr round-trips
-    exactly), same probe masks, same rank-based top-k, intersected
-    with the exact top-k. Verifies the measured recall end to end."""
+    exactly), the SAME n-derived plane count (computed in SQL from
+    count(*), matching simsearch._derived_planes), the same budgeted
+    (popcount, value)-ordered probe masks, same rank-based top-k,
+    intersected with the exact top-k. Verifies the measured recall
+    end to end."""
     from arcade_spark.simsearch import (
-        LSH_PLANES,
-        MULTIPROBE_RADIUS,
+        LSH_MAX_PLANES,
+        LSH_PROBE_FRACTION,
+        LSH_TARGET_BUCKET,
         N_QUERIES,
         TOPK,
         _plane,
-        _probe_masks,
     )
 
     planes_rows = ",\n        ".join(
         f"({i}, [{', '.join(repr(x) for x in _plane(i, 64))}]::DOUBLE[])"
-        for i in range(LSH_PLANES)
+        for i in range(LSH_MAX_PLANES)
     )
-    masks = ", ".join(f"({m})" for m in _probe_masks(MULTIPROBE_RADIUS, LSH_PLANES))
     return f"""
-        WITH planes(pid, pvec) AS (VALUES
+        WITH planes_all(pid, pvec) AS (VALUES
         {planes_rows}),
+        par AS (
+          SELECT greatest(4, least({LSH_MAX_PLANES},
+                 CAST(ceil(log2(greatest(count(*), 2) / {LSH_TARGET_BUCKET}.0)) AS INT))) AS p
+          FROM embeddings
+        ),
+        planes AS (SELECT pid, pvec FROM planes_all, par WHERE pid < par.p),
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         bits AS (
           SELECT e.vec_id,
@@ -378,8 +390,14 @@ def _ann_lsh_recall_oracle() -> str:
           SELECT e.vec_id AS query_id, emb AS qemb, bucket AS qb
           FROM e JOIN bits ON bits.vec_id = e.vec_id WHERE e.vec_id < {N_QUERIES}
         ),
-        masks(mask) AS (VALUES {masks}),
-        probes AS (SELECT query_id, qemb, xor(qb, mask) AS probe FROM q, masks),
+        masks AS (
+          SELECT mask FROM (
+            SELECT unnest(range(0, (SELECT CAST(pow(2, p) AS BIGINT) FROM par))) AS mask
+          )
+          QUALIFY row_number() OVER (ORDER BY bit_count(mask), mask)
+            <= (SELECT greatest(1, CAST(floor({LSH_PROBE_FRACTION} * pow(2, p)) AS INT)) FROM par)
+        ),
+        probes AS (SELECT query_id, qemb, xor(qb, CAST(mask AS INTEGER)) AS probe FROM q, masks),
         cand AS (
           SELECT DISTINCT p.query_id, p.qemb, e.vec_id, e.emb
           FROM probes p
@@ -410,6 +428,79 @@ def _ann_lsh_recall_oracle() -> str:
           FROM lsh JOIN exact
             ON exact.query_id = lsh.query_id AND exact.neighbor_id = lsh.vec_id
           GROUP BY lsh.query_id
+        ) h ON h.query_id = qs.query_id
+    """
+
+
+def _ann_sq_cte() -> str:
+    """Shared DuckDB CTE chain replaying the quantized-scan ANN
+    (simsearch.ann_sq_topk): int8-range codes via floor(127·x/maxabs +
+    0.5), integer-dot candidate pool (exact in any engine — sums of
+    small ints stay < 2^53), exact-cosine re-rank."""
+    from arcade_spark.simsearch import N_QUERIES, SQ_CAND_FACTOR, TOPK
+
+    return f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        sc AS (
+          SELECT vec_id, emb,
+                 greatest(list_max(list_transform(emb, x -> abs(x))), 1e-300) AS scale
+          FROM e
+        ),
+        c AS (
+          SELECT vec_id, emb,
+                 list_transform(emb, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS code
+          FROM sc
+        ),
+        q AS (
+          SELECT vec_id AS query_id, emb AS qemb, code AS qcode
+          FROM c WHERE vec_id < {N_QUERIES}
+        ),
+        s AS (
+          SELECT q.query_id, q.qemb, c.vec_id, c.emb,
+                 CAST(list_inner_product(CAST(c.code AS DOUBLE[]), CAST(q.qcode AS DOUBLE[])) AS DOUBLE)
+                 / sqrt(greatest(CAST(list_inner_product(CAST(c.code AS DOUBLE[]), CAST(c.code AS DOUBLE[])) AS DOUBLE), 1.0)) AS approx
+          FROM c, q WHERE c.vec_id <> q.query_id
+        ),
+        pool AS (
+          SELECT query_id, qemb, vec_id, emb FROM s
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY approx DESC, vec_id ASC) <= {SQ_CAND_FACTOR * TOPK}
+        ),
+        sq AS (
+          SELECT query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(emb, qemb) DESC, vec_id ASC) AS BIGINT) AS rank,
+                 vec_id AS neighbor_id
+          FROM pool
+          QUALIFY rank <= {TOPK}
+        )"""
+
+
+def _ann_sq_topk_oracle() -> str:
+    return f"WITH {_ann_sq_cte()} SELECT query_id, rank, neighbor_id FROM sq"
+
+
+def _ann_sq_recall_oracle() -> str:
+    from arcade_spark.simsearch import N_QUERIES, TOPK
+
+    return f"""
+        WITH {_ann_sq_cte()},
+        exact AS (
+          SELECT q2.vec_id AS query_id, e2.vec_id AS neighbor_id
+          FROM embeddings e2, embeddings q2
+          WHERE q2.vec_id < {N_QUERIES} AND e2.vec_id <> q2.vec_id
+          QUALIFY row_number() OVER (PARTITION BY q2.vec_id
+            ORDER BY list_cosine_similarity(e2.embedding, q2.embedding) DESC,
+                     e2.vec_id ASC) <= {TOPK}
+        )
+        SELECT qs.query_id,
+               CAST(coalesce(h.c, 0) * {10000 // TOPK} AS BIGINT) AS recall_bp
+        FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERIES}) qs
+        LEFT JOIN (
+          SELECT sq.query_id, count(*) AS c
+          FROM sq JOIN exact
+            ON exact.query_id = sq.query_id AND exact.neighbor_id = sq.neighbor_id
+          GROUP BY sq.query_id
         ) h ON h.query_id = qs.query_id
     """
 
@@ -592,6 +683,8 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.e, b.e) * 10000 >= 9500
         """,
         "ann_lsh_recall": _ann_lsh_recall_oracle(),
+        "ann_sq_topk": _ann_sq_topk_oracle(),
+        "ann_sq_recall": _ann_sq_recall_oracle(),
         "media_meta": """
             SELECT doc_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

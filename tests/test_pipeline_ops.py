@@ -80,6 +80,34 @@ def test_ann_lsh_subset_of_brute(spark):
     assert len(lsh) > 0
 
 
+def test_ann_sq_matches_brute_force(spark):
+    """Quantized-scan ANN (int8 codes + integer-dot pool + exact
+    re-rank) must reproduce the exact brute-force top-k on this corpus
+    (measured recall 1.0 — the designed behavior for near-orthogonal
+    data where LSH pruning can't reach high recall)."""
+    from arcade_spark.simsearch import ann_cosine_topk, ann_sq_topk
+
+    brute = {(r.query_id, r.rank, r.neighbor_id) for r in ann_cosine_topk(spark, SF).collect()}
+    sq = {(r.query_id, r.rank, r.neighbor_id) for r in ann_sq_topk(spark, SF).collect()}
+    assert sq == brute
+
+
+def test_pair_candidates_shuffle_ids_only(spark):
+    """Round-3 plan audit: the LSH banding/candidate stage of
+    embedding_cosine_pairs must not carry the embedding vectors —
+    vectors attach after dedup via id joins."""
+    from arcade_spark.simsearch import embedding_cosine_pairs
+
+    plan = embedding_cosine_pairs(spark, SF)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    # the posexplode project carries (vec_id, table_id, bucket) only
+    import re
+
+    explode_lines = [ln for ln in plan.splitlines() if "posexplode" in ln.lower()]
+    assert explode_lines, "banding explode missing from plan"
+    assert all(" e#" not in ln for ln in explode_lines), explode_lines
+
+
 def test_media_meta_plumbing(spark):
     from arcade_spark.multimodal import decode_media, media_meta
 
