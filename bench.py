@@ -11,6 +11,11 @@ corpus sized to the scale factor is synthesized (cached), encoded with
 the adaptive engine, and the manifest's byte totals give GB/s +
 compression ratio. Scaling-efficiency evidence (local[8] vs local[32])
 is produced by tools/bench_scaling.py into BENCH/BASELINE.md.
+
+Noise control (round-3, VERDICT r2 item 8): this box is a shared host
+where identical runs vary up to 1.7×, so every query reports the
+MIN OF 2 back-to-back runs — the minimum estimates uncontended cost,
+making driver-window numbers comparable to quiet-window records.
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         filter_and,
         filter_count,
         filter_in,
+        filter_or,
         filter_range,
         group_count,
         random_access,
@@ -59,67 +65,79 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name):
-        class _T:
-            def __enter__(self):
-                self.t0 = time.time()
-
-            def __exit__(self, *a):
-                timings[name] = round(time.time() - self.t0, 3)
-
-        return _T()
+    def timed(name: str, fn, reps: int = 2):
+        """min-of-reps wall time; returns the last rep's result."""
+        best, out = float("inf"), None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        return out
 
     enc_dir = os.path.join(tempfile.gettempdir(), f"arcade_bench_enc_{uuid.uuid4().hex[:8]}")
     enc_dir2 = enc_dir + "_shuffle"
+    enc_tmp = enc_dir + "_rep"
     try:
         src = spark.read.parquet(corpus_path)
         src.limit(1000).count()  # warm JVM + python workers
-        with timed("encode_corpus"):
-            m = encode_files_job(spark, corpus_path, enc_dir, resume=False)
+
+        def encode_files_rep():
+            shutil.rmtree(enc_tmp, ignore_errors=True)
+            return encode_files_job(spark, corpus_path, enc_tmp, resume=False)
+
+        m = timed("encode_corpus", encode_files_rep)
+        os.rename(enc_tmp, enc_dir)  # keep the last rep for the read ops
         extras["encode_gbps"] = round(m["raw_bytes"] / timings["encode_corpus"] / 1e9, 4)
         extras["compression_ratio"] = round(m["ratio"], 4)
         extras["corpus_raw_mb"] = round(m["raw_bytes"] / 1e6, 1)
-        with timed("encode_corpus_shuffle_mode"):
-            m2 = encode_job(spark, src, enc_dir2, num_parts=2 * n_cores, resume=False)
 
-        with timed("scan_decode"):
-            scan(spark, enc_dir).count()
-        with timed("filter_lang"):
-            equi_filter(spark, enc_dir, "lang", "el", project=["url"]).count()
-        with timed("filter_count_zoneskip"):
-            filter_count(spark, enc_dir, "url", "zzz-none").collect()
-        with timed("filter_range_lang"):
-            filter_range(spark, enc_dir, "lang", "de", "el", project=["url"]).count()
-        with timed("filter_in_lang"):
-            filter_in(spark, enc_dir, "lang", ["de", "sv"], project=["url"]).count()
-        with timed("filter_and_conj"):
-            filter_and(
-                spark, enc_dir,
-                [("eq", "lang", "en"), ("range", "url", "https://m", "https://zz")],
-                project=["url"],
-            ).count()
-        with timed("group_count_lang"):
-            group_count(spark, enc_dir, "lang").count()
-        with timed("minmax_metadata_only"):
-            column_minmax(spark, enc_dir, "warc_ts").collect()
-        with timed("random_access"):
-            random_access(spark, enc_dir, list(range(0, corpus_rows, corpus_rows // 500))).count()
+        def encode_shuffle_rep():
+            shutil.rmtree(enc_dir2, ignore_errors=True)
+            return encode_job(spark, src, enc_dir2, num_parts=2 * n_cores, resume=False)
+
+        timed("encode_corpus_shuffle_mode", encode_shuffle_rep)
+
+        timed("scan_decode", lambda: scan(spark, enc_dir).count())
+        timed("filter_lang", lambda: equi_filter(
+            spark, enc_dir, "lang", "el", project=["url"]).count())
+        timed("filter_count_zoneskip", lambda: filter_count(
+            spark, enc_dir, "url", "zzz-none").collect())
+        timed("filter_range_lang", lambda: filter_range(
+            spark, enc_dir, "lang", "de", "el", project=["url"]).count())
+        timed("filter_in_lang", lambda: filter_in(
+            spark, enc_dir, "lang", ["de", "sv"], project=["url"]).count())
+        timed("filter_and_conj", lambda: filter_and(
+            spark, enc_dir,
+            [("eq", "lang", "en"), ("range", "url", "https://m", "https://zz")],
+            project=["url"]).count())
+        timed("filter_or_disj", lambda: filter_or(
+            spark, enc_dir,
+            [("eq", "lang", "el"), ("eq", "lang", "sv")],
+            project=["url"]).count())
+        timed("group_count_lang", lambda: group_count(spark, enc_dir, "lang").count())
+        timed("minmax_metadata_only", lambda: column_minmax(
+            spark, enc_dir, "warc_ts").collect())
+        timed("random_access", lambda: random_access(
+            spark, enc_dir, list(range(0, corpus_rows, corpus_rows // 500))).count())
     finally:
         shutil.rmtree(enc_dir, ignore_errors=True)
         shutil.rmtree(enc_dir2, ignore_errors=True)
+        shutil.rmtree(enc_tmp, ignore_errors=True)
 
     from arcade_spark.dedup import dedup_minhash_lsh
-    from arcade_spark.simsearch import ann_cosine_topk, embedding_cosine_pairs
+    from arcade_spark.simsearch import (
+        ann_cosine_topk,
+        ann_sq_topk,
+        embedding_cosine_pairs,
+    )
     from arcade_spark.textops import token_stats
 
-    with timed("dedup_minhash_lsh"):
-        dedup_minhash_lsh(spark, sf_dir).count()
-    with timed("ann_cosine_topk"):
-        ann_cosine_topk(spark, sf_dir).count()
-    with timed("embedding_cosine_pairs_lsh"):
-        embedding_cosine_pairs(spark, sf_dir).count()
-    with timed("token_stats"):
-        token_stats(spark, sf_dir).count()
+    timed("dedup_minhash_lsh", lambda: dedup_minhash_lsh(spark, sf_dir).count())
+    timed("ann_cosine_topk", lambda: ann_cosine_topk(spark, sf_dir).count())
+    timed("ann_sq_topk", lambda: ann_sq_topk(spark, sf_dir).count())
+    timed("embedding_cosine_pairs_lsh", lambda: embedding_cosine_pairs(spark, sf_dir).count())
+    timed("token_stats", lambda: token_stats(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     return {
@@ -129,6 +147,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "queries": timings,
         "sf": sf_num,
         "cpus": n_cores,
+        "timing": "min-of-2",
         **extras,
     }
 
