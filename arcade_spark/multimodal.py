@@ -23,14 +23,40 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 FRAME_BYTES = 4096  # fake: one "frame" per 4 KiB of payload
 
 
+def _try_import_pil():
+    """Runtime probe for a real image decoder (round-3, VERDICT r2
+    stretch item): present → real decode path; absent (this container)
+    → the deterministic fake stays the default."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except Exception:
+        return None
+
+
 def decode_media(payload: bytes, *, fake: bool = True) -> dict:
-    """Stub for the real media decoder. With the real libraries:
-    PIL.Image.open / av.open over ``payload``. Here: deterministic
-    header math (fake=True) or NotImplementedError."""
+    """Media decoder with a runtime-optional real path.
+
+    fake=True (default, container-safe): deterministic header math so
+    the DuckDB oracle reproduces it exactly. fake=False: decode with
+    PIL when importable (width/height from the real image header,
+    n_frames from ``getattr(im, "n_frames", 1)``); raises
+    NotImplementedError only when no decoder library exists."""
     if not fake:
-        raise NotImplementedError(
-            "real media decode requires PIL/av, not present in this container"
-        )
+        Image = _try_import_pil()
+        if Image is None:
+            raise NotImplementedError(
+                "real media decode requires PIL/av, not present in this container"
+            )
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return {
+                "width": im.width,
+                "height": im.height,
+                "n_frames": int(getattr(im, "n_frames", 1)),
+            }
     b0 = payload[0] if len(payload) > 0 else 0
     b1 = payload[1] if len(payload) > 1 else 0
     return {

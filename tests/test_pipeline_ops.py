@@ -113,8 +113,21 @@ def test_media_meta_plumbing(spark):
 
     rows = media_meta(spark, SF).collect()
     assert all(r.n_bytes > 0 and 16 <= r.width < 1040 for r in rows)
-    with pytest.raises(NotImplementedError):
-        decode_media(b"xxxx", fake=False)
+    from arcade_spark.multimodal import _try_import_pil
+
+    if _try_import_pil() is None:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"xxxx", fake=False)
+    else:
+        import base64
+
+        # 1×1 transparent PNG
+        png = base64.b64decode(
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNg"
+            "YGBgAAAABQABh6FO1AAAAABJRU5ErkJggg=="
+        )
+        meta = decode_media(png, fake=False)
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (1, 1, 1)
 
 
 def test_entry_contract(spark):

@@ -158,6 +158,14 @@ def main() -> None:
     print(json.dumps(result), flush=True)
 
     small, large = small_best, large_best
+    # preserve hand-written sections appended after the marker (query
+    # bench tables, recall tables, ...) across regenerations
+    marker = "<!-- sections below are preserved by tools/bench_scaling.py -->"
+    tail = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        prev = open("BENCH/BASELINE.md").read()
+        if marker in prev:
+            tail = "\n" + marker + prev.split(marker, 1)[1]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — measured results
 
@@ -225,6 +233,7 @@ its format-math size model bound is checked in
 tests/test_size_bound.py. Raw JSON: BENCH/scaling.json; per-run
 history: BENCH/scaling_runs.jsonl.
 """)
+        f.write(tail)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(result, f, indent=2)
     print("wrote BENCH/BASELINE.md")
