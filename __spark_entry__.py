@@ -221,6 +221,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _encoded_dir(spark, sf_dir, "events", "event_id")
         return column_minmax(spark, out, "value")
 
+    def arcade_topk(spark, sf_dir):
+        """ORDER BY ... LIMIT k with zone-map block pruning: blocks
+        decode in zone-bound order, stopping when the bound can't beat
+        the k-th value (pruned blobs never read)."""
+        _ship_package(spark)
+        from arcade_spark.readops import column_topk
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return column_topk(spark, out, "n_chars", 50, descending=True)
+
+    def arcade_sum_avg(spark, sf_dir):
+        """Integer aggregate pushdown: exact per-partition integer
+        partials, one-row fold (avg = one IEEE division of exact ints,
+        so the oracle hash matches bit-for-bit)."""
+        _ship_package(spark)
+        from arcade_spark.readops import column_agg
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return column_agg(spark, out, "n_chars")
+
     def arcade_group_count(spark, sf_dir):
         """Decode-free GROUP BY count on the encoded table: bincount of
         dictionary codes + dict lookup of the few distinct values —
@@ -297,6 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_minmax_double": arcade_minmax_double,
         "arcade_minmax_str": arcade_minmax_str,
         "arcade_minmax_ts": arcade_minmax_ts,
+        "arcade_topk": arcade_topk,
+        "arcade_sum_avg": arcade_sum_avg,
         "arcade_group_count": arcade_group_count,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
@@ -546,6 +568,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_group_count": (
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
+        ),
+        "arcade_topk": (
+            "SELECT n_chars AS v FROM documents ORDER BY n_chars DESC LIMIT 50"
+        ),
+        "arcade_sum_avg": (
+            "SELECT CAST(sum(n_chars) AS BIGINT) AS sum_v, "
+            "count(*) AS cnt_all, count(n_chars) AS cnt_col, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_v "
+            "FROM documents"
         ),
         "arcade_filter_in": (
             "SELECT event_id, user_id FROM events "

@@ -684,6 +684,160 @@ def group_count_partials(
     return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl), vt
 
 
+def column_topk_parts(
+    spark: SparkSession, out_dir: str, column: str, k: int, descending: bool = True
+) -> DataFrame:
+    """``SELECT col FROM t ORDER BY col [DESC] LIMIT k`` with zone-map
+    block pruning — the ARCADE-thesis answer to top-k: each task sorts
+    its partition's blocks by their zone bound and decodes them in
+    bound order, STOPPING as soon as the next block's bound cannot beat
+    the partition's current k-th value (ties cannot change the result
+    multiset, so `bound <= threshold` stops). Blob bytes are fetched
+    per block on demand — pruned blocks are never read. Partition
+    partials (≤ k values each) merge with one tiny global sort.
+
+    Integer-family columns only (string zone bounds are prefix-
+    truncated; a prefix is not an upper bound). Doubles compare in the
+    order-preserving key domain (bits.float_order_keys). Nulls are
+    excluded (SQL ORDER BY semantics for a LIMIT k of non-null
+    values)."""
+    from arcade_spark.bits import float_order_keys
+    from arcade_spark.core import decode_int_block
+    from arcade_spark.schema import spark_type_for
+
+    all_cols, parts = load_manifest(out_dir)
+    vt = dict(all_cols).get(column)
+    if vt is None:
+        raise KeyError(f"no such column: {column}")
+    if vt in ("str", "binary"):
+        raise NotImplementedError(
+            "column_topk prunes on zone bounds, which are prefix-truncated "
+            "for strings — decode via scan() and sort for string columns"
+        )
+    is_float = vt in ("double", "float")
+    sign = 1 if descending else -1
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                cf = _ColFile(out_dir, int(pid), column)
+                cm = cf.meta()
+                hz = np.nonzero(cm.has_zone)[0]
+                if len(hz) == 0:
+                    continue
+                bound = (cm.max_int if descending else cm.min_int)[hz] * sign
+                order = hz[np.argsort(-bound, kind="stable")]
+                best = np.empty(0, dtype=np.int64)  # key-domain, ascending
+                scanned = 0
+                for b in order:
+                    b = int(b)
+                    bnd = int((cm.max_int if descending else cm.min_int)[b]) * sign
+                    if len(best) >= k and bnd <= int(best[0]):
+                        break
+                    blob = cf.payloads(np.array([b], dtype=np.int64), "blob")[b]
+                    iblock = decode_int_block(blob, cm.meta_dict(b))
+                    v = iblock.values
+                    if iblock.validity is not None:
+                        v = v[iblock.validity]
+                    if len(v) == 0:
+                        continue
+                    scanned += 1
+                    keys = (float_order_keys(v) if is_float else v) * sign
+                    best = np.sort(np.concatenate([best, keys]))[-k:]
+                # emit the partition partial in the STORED domain
+                keys = best * sign
+                if is_float:
+                    bits = np.where(keys >= 0, keys, keys ^ np.int64(0x7FFFFFFFFFFFFFFF))
+                    out = bits.view(np.float64)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(out, type=pa.float64())], names=["v"]
+                    )
+                else:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(keys, type=pa.int64())], names=["v"]
+                    )
+
+    from pyspark.sql import functions as F
+
+    ddl = "v double" if is_float else "v long"
+    partial = _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl)
+    ordered = partial.orderBy(F.col("v").desc() if descending else F.col("v").asc())
+    out = ordered.limit(k)
+    if is_float:
+        return out.select(F.col("v").cast(spark_type_for(vt)).alias("v"))
+    if vt in ("ts", "tsntz"):
+        col = F.timestamp_micros(F.col("v"))
+        if vt == "tsntz":
+            col = col.cast("timestamp_ntz")
+        return out.select(col.alias("v"))
+    return out.select(F.col("v").cast(spark_type_for(vt)).alias("v"))
+
+
+def column_agg_parts(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
+    """``SELECT sum(col), count(*), count(col), avg(col)`` for integer
+    columns: per-partition exact integer partials (nulls excluded from
+    sum/avg, SQL semantics), one-row driver fold. Integer sums are
+    exact in any order, and avg is a single IEEE division of exact
+    integers — every engine reproduces the bytes. Doubles are excluded
+    on purpose: float sums are order-dependent, so a cross-engine
+    hash-exact contract would be a lie."""
+    from arcade_spark.core import decode_int_block
+    from arcade_spark.schema import spark_type_for  # noqa: F401
+
+    all_cols, parts = load_manifest(out_dir)
+    vt = dict(all_cols).get(column)
+    if vt is None:
+        raise KeyError(f"no such column: {column}")
+    if vt not in ("int", "i32", "i16", "i8"):
+        raise NotImplementedError(
+            "column_agg sums integer columns only (float sums are "
+            "summation-order-dependent; ts sums are meaningless)"
+        )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from arcade_spark.decode import _binary_views
+
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                cf = _ColFile(out_dir, int(pid), column)
+                total = 0
+                cnt_all = 0
+                cnt_col = 0
+                for rg in range(cf.pf.metadata.num_row_groups):
+                    tbl = cf.pf.read_row_group(rg, columns=_META_COLS + ["blob"])
+                    cm = _ColMeta(tbl)
+                    b_off, b_mv = _binary_views(tbl.column("blob").combine_chunks())
+                    for i in range(cm.n):
+                        iblock = decode_int_block(
+                            b_mv[b_off[i]: b_off[i + 1]], cm.meta_dict(i)
+                        )
+                        v = iblock.values
+                        if iblock.validity is not None:
+                            v = v[iblock.validity]
+                        total += int(v.sum()) if len(v) else 0
+                        cnt_all += int(cm.n_values[i])
+                        cnt_col += len(v)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([total], type=pa.int64()),
+                     pa.array([cnt_all], type=pa.int64()),
+                     pa.array([cnt_col], type=pa.int64())],
+                    names=["s", "ca", "cc"],
+                )
+
+    rows = (
+        _assign_df(spark, [p for p, _ in parts])
+        .mapInArrow(kernel, schema="s long, ca long, cc long")
+        .collect()
+    )
+    s = sum(r["s"] for r in rows)
+    ca = sum(r["ca"] for r in rows)
+    cc = sum(r["cc"] for r in rows)
+    avg = (float(s) / float(cc)) if cc else None
+    return spark.createDataFrame(
+        [(s, ca, cc, avg)], "sum_v long, cnt_all long, cnt_col long, avg_v double"
+    )
+
+
 def column_minmax_parts(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
     """Files-mode ``SELECT min(col), max(col), count(*)``.
 

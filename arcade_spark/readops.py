@@ -911,6 +911,27 @@ def _str_chunk_counts(gdec: GlobalDictDecoder, blob, meta: dict):
     )
 
 
+def column_topk(
+    spark: SparkSession, out_dir: str, column: str, k: int, descending: bool = True
+) -> DataFrame:
+    """``SELECT col FROM t ORDER BY col [DESC] LIMIT k`` with zone-map
+    block pruning: blocks decode in zone-bound order and stop at the
+    first block that cannot beat the k-th value; pruned blocks' blobs
+    are never read. See partread.column_topk_parts."""
+    from arcade_spark.partread import column_topk_parts
+
+    return column_topk_parts(spark, out_dir, column, k, descending)
+
+
+def column_agg(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
+    """``SELECT sum(col), count(*), count(col), avg(col)`` for integer
+    columns — exact integer partials per partition, one-row fold. See
+    partread.column_agg_parts."""
+    from arcade_spark.partread import column_agg_parts
+
+    return column_agg_parts(spark, out_dir, column)
+
+
 def group_count(
     spark: SparkSession, out_dir: str, column: str, mode: str = "files"
 ) -> DataFrame:

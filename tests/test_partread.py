@@ -203,6 +203,39 @@ def test_encode_rejects_reserved_column_names(spark, tmp_path_factory):
         encode_job(spark, src, out, num_parts=1)
 
 
+def test_column_topk_desc_asc_int_and_float(spark, table):
+    from arcade_spark.readops import column_topk
+
+    out, pdf = table
+    for k in (7, 40):
+        got = [r["v"] for r in column_topk(spark, out, "x", k, descending=True).collect()]
+        want = sorted(pdf["x"].tolist(), reverse=True)[:k]
+        assert sorted(got, reverse=True) == want
+        got = [r["v"] for r in column_topk(spark, out, "x", k, descending=False).collect()]
+        assert sorted(got) == sorted(pdf["x"].tolist())[:k]
+        got = [r["v"] for r in column_topk(spark, out, "v", k, descending=True).collect()]
+        want = sorted(pdf["v"].tolist(), reverse=True)[:k]
+        assert sorted(got, reverse=True) == pytest.approx(want)
+
+
+def test_column_agg_with_nulls(spark, tmp_path_factory):
+    """sum/avg exclude nulls; count(*) includes them (SQL semantics)."""
+    import pyspark.sql.types as T
+
+    from arcade_spark.readops import column_agg
+
+    src = spark.createDataFrame(
+        [("a", 5), ("b", None), ("c", -2), ("d", 9)],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("x", T.LongType(), True)]),
+    )
+    out = str(tmp_path_factory.mktemp("agg") / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=8)
+    row = column_agg(spark, out, "x").collect()[0]
+    assert (row["sum_v"], row["cnt_all"], row["cnt_col"]) == (12, 4, 3)
+    assert row["avg_v"] == pytest.approx(4.0)
+
+
 def test_crosscheck_or_trees_random(spark, table):
     """Randomized OR trees (mixed columns/kinds) against pandas."""
     out, pdf = table
