@@ -77,8 +77,13 @@ def load_manifest(out_dir: str) -> tuple[list[tuple[str, str]], list[tuple[int, 
             f"FORMAT_REV {FORMAT_REV} — re-encode the table"
         )
     cols = [tuple(c) for c in json.loads(t.column("columns")[0].as_py())]
+    # zero-row partitions commit a manifest marker but no column files
+    # (an empty source file in files mode) — they carry no data and no
+    # dictionary state, so every reader skips them
     parts = sorted(
-        zip(t.column("part_id").to_pylist(), t.column("n_rows").to_pylist())
+        (p, n)
+        for p, n in zip(t.column("part_id").to_pylist(), t.column("n_rows").to_pylist())
+        if n > 0
     )
     return cols, parts
 

@@ -67,3 +67,74 @@ def encode_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    buckets: int = 64,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact dedup with CROSS-MICRO-BATCH state
+    (``applyInPandasWithState`` — the custom-stateful-operator path the
+    build mandate names): documents whose text fingerprint was already
+    seen in ANY earlier micro-batch are dropped; first occurrences pass
+    through to a parquet sink.
+
+    State layout: one group per fingerprint hash bucket (``buckets``
+    controls state-shuffle fan-out and per-group state size), each
+    holding the bucket's seen-fingerprint list. On a real cluster the
+    state lives in the checkpointed state store (RocksDB-backed when
+    configured) — exactly how Spark intends unbounded keyed state to
+    scale; for a bounded-memory variant at 10^12 docs you would swap
+    the exact set for a per-bucket Bloom filter in the same state slot.
+
+    Returns the started StreamingQuery; output rows: (doc_id, fp)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    keyed = (
+        stream.withColumn("fp", F.md5(F.col("text")))
+        .withColumn("bucket", F.pmod(F.xxhash64(F.col("fp")), F.lit(buckets)))
+        .select("bucket", "doc_id", "fp")
+    )
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            keep = []
+            for doc_id, fp in zip(pdf["doc_id"], pdf["fp"]):
+                if fp not in seen:
+                    seen.add(fp)
+                    keep.append((int(doc_id), fp))
+            if keep:
+                yield pd.DataFrame(keep, columns=["doc_id", "fp"])
+        state.update((sorted(seen),))
+
+    result = keyed.groupBy("bucket").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="doc_id long, fp string",
+        stateStructType="fps array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -236,6 +236,33 @@ def test_column_agg_with_nulls(spark, tmp_path_factory):
     assert row["avg_v"] == pytest.approx(4.0)
 
 
+def test_empty_source_file_part_is_skipped(spark, tmp_path_factory):
+    """A zero-row source file commits a manifest marker but no column
+    files — the files-mode readers must skip it, not crash opening
+    missing files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcade_spark.decode import scan
+    from arcade_spark.encode import encode_files_job
+
+    src_dir = str(tmp_path_factory.mktemp("esrc"))
+    schema = pa.schema([("url", pa.string()), ("x", pa.int64())])
+    pq.write_table(
+        pa.table({"url": [f"u{i}" for i in range(20)],
+                  "x": list(range(20))}, schema=schema),
+        f"{src_dir}/a.parquet",
+    )
+    pq.write_table(pa.table({"url": [], "x": []}, schema=schema),
+                   f"{src_dir}/b.parquet")
+    out = str(tmp_path_factory.mktemp("eenc") / "enc")
+    m = encode_files_job(spark, src_dir, out, resume=False)
+    assert m["rows"] == 20
+    assert scan(spark, out).count() == 20
+    got = equi_filter(spark, out, "url", "u3", project=["x"]).collect()
+    assert [r["x"] for r in got] == [3]
+
+
 def test_crosscheck_or_trees_random(spark, table):
     """Randomized OR trees (mixed columns/kinds) against pandas."""
     out, pdf = table

@@ -34,3 +34,45 @@ def test_stream_encode_roundtrip(spark, tmp_path_factory):
                        parts_per_batch=4, block_rows=512)
     q2.awaitTermination(120)
     assert completed_parts(out) == before
+
+
+def test_dedup_stream_cross_batch_state(spark, tmp_path_factory):
+    """applyInPandasWithState dedup: duplicates arriving in LATER
+    micro-batches (maxFilesPerTrigger=1 → one batch per file) are
+    dropped by the carried state; first occurrences survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcade_spark.streaming import dedup_stream
+
+    src_dir = str(tmp_path_factory.mktemp("dstream") / "in")
+    import os
+
+    os.makedirs(src_dir)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    # file 1: docs 0-9 (text t0..t9); file 2: docs 10-14 repeat t0-t4,
+    # docs 15-17 are new
+    pq.write_table(
+        pa.table({"doc_id": list(range(10)),
+                  "text": [f"t{i}" for i in range(10)]}, schema=schema),
+        f"{src_dir}/f1.parquet",
+    )
+    pq.write_table(
+        pa.table({"doc_id": list(range(10, 18)),
+                  "text": [f"t{i % 5}" for i in range(5)] + ["t15", "t16", "t17"]},
+                 schema=schema),
+        f"{src_dir}/f2.parquet",
+    )
+    out = str(tmp_path_factory.mktemp("dstream") / "out")
+    ckpt = str(tmp_path_factory.mktemp("dstream") / "ckpt")
+    q = dedup_stream(spark, src_dir, out, ckpt,
+                     "doc_id long, text string", buckets=8)
+    q.awaitTermination(240)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == set(range(10)) | {15, 16, 17}
+
+    # restart on the same checkpoint: no new input, no new rows
+    q2 = dedup_stream(spark, src_dir, out, ckpt,
+                      "doc_id long, text string", buckets=8)
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == got
