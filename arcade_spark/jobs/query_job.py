@@ -1,0 +1,152 @@
+"""spark-submit entry point for the READ operators — the analogue of
+the reference's runner CLI (runner.cpp: scan / equi-filter / random
+access driven from main), covering every read surface of the engine:
+
+    spark-submit --py-files arcade_spark.zip arcade_spark/jobs/query_job.py \
+        --encoded /data/encoded scan --columns url,lang --limit 20
+
+Subcommands:
+
+    scan          [--columns a,b]
+    filter        --column c (--value v | --lo x --hi y | --in v1,v2)
+                  [--project a,b] [--count-only]
+    random-access --ids 1,2,3 [--project a,b]
+    group-count   --column c
+    minmax        --column c
+    topk          --column c -k 10 [--asc]
+    agg           --column c
+
+Output: ``df.show()`` (the reference's print sink, R9) or
+``--out <dir>`` to write parquet. Locally, plain
+``python arcade_spark/jobs/query_job.py ...`` works too — get_spark
+ships the package to workers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def build_query(spark, args):
+    from arcade_spark.decode import scan
+    from arcade_spark.readops import (
+        column_agg,
+        column_minmax,
+        column_topk,
+        equi_filter,
+        filter_in,
+        filter_range,
+        group_count,
+        random_access,
+    )
+
+    from arcade_spark.partread import load_manifest
+
+    def coerce(v: str, column: str):
+        """CLI literals arrive as strings — coerce to the column's
+        logical type (the manifest is authoritative)."""
+        vt = dict(load_manifest(args.encoded)[0]).get(column)
+        if vt in ("int", "i32", "i16", "i8"):
+            return int(v)
+        if vt in ("double", "float"):
+            return float(v)
+        if vt in ("ts", "tsntz"):
+            # ISO date/datetime → epoch micros (the stored int64 lane)
+            import datetime as _dt
+
+            dt = _dt.datetime.fromisoformat(v)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return (dt - epoch) // _dt.timedelta(microseconds=1)
+        return v
+
+    proj = args.project.split(",") if getattr(args, "project", None) else None
+    if args.cmd == "scan":
+        cols = args.columns.split(",") if args.columns else None
+        return scan(spark, args.encoded, columns=cols)
+    if args.cmd == "filter":
+        given = [x is not None for x in (args.value, args.lo, args.in_list)]
+        if sum(given) != 1:
+            raise SystemExit("filter needs exactly one of --value / --lo+--hi / --in")
+        if args.value is not None:
+            return equi_filter(spark, args.encoded, args.column,
+                               coerce(args.value, args.column),
+                               project=proj, count_only=args.count_only)
+        if args.in_list is not None:
+            return filter_in(spark, args.encoded, args.column,
+                             [coerce(v, args.column) for v in args.in_list.split(",")],
+                             project=proj, count_only=args.count_only)
+        if args.hi is None:
+            raise SystemExit("--lo requires --hi")
+        return filter_range(spark, args.encoded, args.column,
+                            coerce(args.lo, args.column), coerce(args.hi, args.column),
+                            project=proj, count_only=args.count_only)
+    if args.cmd == "random-access":
+        ids = [int(x) for x in args.ids.split(",")]
+        return random_access(spark, args.encoded, ids, project=proj)
+    if args.cmd == "group-count":
+        return group_count(spark, args.encoded, args.column)
+    if args.cmd == "minmax":
+        return column_minmax(spark, args.encoded, args.column)
+    if args.cmd == "topk":
+        return column_topk(spark, args.encoded, args.column, args.k,
+                           descending=not args.asc)
+    if args.cmd == "agg":
+        return column_agg(spark, args.encoded, args.column)
+    raise SystemExit(f"unknown command {args.cmd!r}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="arcade-spark query job")
+    p.add_argument("--encoded", required=True, help="encoded table out_dir")
+    p.add_argument("--cores", default=None)
+    p.add_argument("--out", default=None, help="write result parquet here instead of show()")
+    p.add_argument("--limit", type=int, default=50, help="rows for show()")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("scan")
+    s.add_argument("--columns", default=None)
+
+    f = sub.add_parser("filter")
+    f.add_argument("--column", required=True)
+    f.add_argument("--value", default=None)
+    f.add_argument("--lo", default=None)
+    f.add_argument("--hi", default=None)
+    f.add_argument("--in", dest="in_list", default=None, help="comma-separated IN list")
+    f.add_argument("--project", default=None)
+    f.add_argument("--count-only", action="store_true")
+
+    r = sub.add_parser("random-access")
+    r.add_argument("--ids", required=True, help="comma-separated global row ids")
+    r.add_argument("--project", default=None)
+
+    for name in ("group-count", "minmax", "agg"):
+        g = sub.add_parser(name)
+        g.add_argument("--column", required=True)
+
+    t = sub.add_parser("topk")
+    t.add_argument("--column", required=True)
+    t.add_argument("-k", type=int, default=10)
+    t.add_argument("--asc", action="store_true")
+
+    args = p.parse_args(argv)
+
+    from arcade_spark.session import get_spark
+
+    spark = get_spark(app="arcade-query", cores=args.cores)
+    df = build_query(spark, args)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=80)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,69 @@
+"""Query CLI (arcade_spark/jobs/query_job.py) — the read-side
+spark-submit surface (the reference's runner CLI analogue)."""
+
+from __future__ import annotations
+
+import argparse
+
+from arcade_spark.encode import encode_job
+
+
+def _ns(**kw):
+    return argparse.Namespace(**kw)
+
+
+def test_query_job_subcommands(spark, tmp_path_factory):
+    import arcade_spark.jobs.query_job as qj
+
+    src = spark.createDataFrame(
+        [(f"u{i:03d}", ["en", "de", "fr"][i % 3], i) for i in range(90)],
+        "url string, lang string, x long",
+    )
+    out = str(tmp_path_factory.mktemp("qj") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=16)
+
+    df = qj.build_query(spark, _ns(cmd="scan", encoded=out, columns="url,lang"))
+    assert df.count() == 90 and df.columns == ["url", "lang"]
+
+    df = qj.build_query(spark, _ns(cmd="filter", encoded=out, column="lang",
+                                   value="de", lo=None, hi=None, in_list=None,
+                                   project="url", count_only=False))
+    assert df.count() == 30
+
+    # CLI literals coerce to the column's type (x is long)
+    df = qj.build_query(spark, _ns(cmd="filter", encoded=out, column="x",
+                                   value=None, lo="10", hi="19", in_list=None,
+                                   project="url", count_only=False))
+    assert df.count() == 10
+
+    df = qj.build_query(spark, _ns(cmd="random-access", encoded=out,
+                                   ids="0,5,89", project="url"))
+    assert sorted(r["row_id"] for r in df.collect()) == [0, 5, 89]
+
+    df = qj.build_query(spark, _ns(cmd="group-count", encoded=out, column="lang"))
+    assert {r["lang"]: r["cnt"] for r in df.collect()} == {"en": 30, "de": 30, "fr": 30}
+
+    df = qj.build_query(spark, _ns(cmd="minmax", encoded=out, column="x"))
+    row = df.collect()[0]
+    assert (row["min_v"], row["max_v"], row["cnt"]) == (0, 89, 90)
+
+    df = qj.build_query(spark, _ns(cmd="topk", encoded=out, column="x", k=3, asc=False))
+    assert sorted(r["v"] for r in df.collect()) == [87, 88, 89]
+
+    df = qj.build_query(spark, _ns(cmd="agg", encoded=out, column="x"))
+    row = df.collect()[0]
+    assert (row["sum_v"], row["cnt_all"]) == (sum(range(90)), 90)
+
+
+def test_query_job_main_out(spark, tmp_path_factory):
+    import arcade_spark.jobs.query_job as qj
+
+    src = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(20)], "url string, x long"
+    )
+    out = str(tmp_path_factory.mktemp("qjm") / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=8)
+    res = str(tmp_path_factory.mktemp("qjm") / "res")
+    rc = qj.main(["--encoded", out, "--out", res, "topk", "--column", "x", "-k", "5"])
+    assert rc == 0
+    assert sorted(r["v"] for r in spark.read.parquet(res).collect()) == [15, 16, 17, 18, 19]
