@@ -89,10 +89,16 @@ def load_manifest(out_dir: str) -> tuple[list[tuple[str, str]], list[tuple[int, 
 
 
 def _assign_df(spark: SparkSession, part_ids: list[int]) -> DataFrame:
-    """One Spark partition per part id — exact 1:1 (parallelize slicing),
-    never hash-repartition (balls-in-bins leaves slots empty)."""
+    """Deterministic part→task assignment via parallelize slicing (never
+    hash-repartition — balls-in-bins leaves slots empty). Slice count is
+    capped at 4× the cluster parallelism: with millions of encoded
+    partitions each task sequentially works a contiguous run of parts,
+    amortizing the constant per-task overhead (python-worker handshake,
+    scheduling) exactly like encode's files_per_task; with few parts it
+    stays 1:1."""
     items = [(int(p),) for p in part_ids]
-    rdd = spark.sparkContext.parallelize(items, max(len(items), 1))
+    slices = max(1, min(len(items), 4 * spark.sparkContext.defaultParallelism))
+    rdd = spark.sparkContext.parallelize(items, slices)
     return spark.createDataFrame(rdd, "part_id int")
 
 
