@@ -263,6 +263,68 @@ def test_empty_source_file_part_is_skipped(spark, tmp_path_factory):
     assert [r["x"] for r in got] == [3]
 
 
+def test_predicate_column_in_projection(spark, table):
+    """Projecting the filter column itself: the projection pass replays
+    its own dictionary state independently of the predicate pass."""
+    out, pdf = table
+    got = equi_filter(
+        spark, out, "lang", "fr", project=["lang", "url"]
+    ).toPandas().sort_values("url").reset_index(drop=True)
+    want = (
+        pdf.loc[pdf["lang"] == "fr", ["lang", "url"]]
+        .sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_files_mode_on_reset_heavy_corpus(spark, tmp_path_factory):
+    """Blocks alternating low/high cardinality force dict resets and
+    local-dict seeds mid-partition; files-mode filter and scan must
+    replay the same dictionary lineage as plan mode."""
+    import numpy as np
+
+    from arcade_spark.decode import scan
+
+    rng = np.random.default_rng(99)
+    n = 4000
+    # alternate runs of repeated short values and unique long values so
+    # consecutive blocks flip between dict and plain codecs
+    texts = []
+    for i in range(n):
+        if (i // 200) % 2 == 0:
+            texts.append(f"rep{int(rng.integers(0, 5))}")
+        else:
+            texts.append("uniq-" + rng.bytes(24).hex())
+    pdf = pd.DataFrame({
+        "url": [f"https://h{i % 7}.x/{i}" for i in range(n)],
+        "tag": texts,
+    })
+    src = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("reset") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=128, order_col="url")
+    # codec mix sanity: both dict and plain/fsst paths present
+    codecs = {r["codec"] for r in
+              spark.read.parquet(f"{out}/blocks").filter("column='tag'")
+              .select("codec").distinct().collect()}
+    assert len(codecs) >= 2, codecs
+    a = scan(spark, out, mode="files").toPandas().sort_values("url").reset_index(drop=True)
+    b = scan(spark, out, mode="plan").toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    for mk in ("files", "plan"):
+        got = equi_filter(spark, out, "tag", "rep3", project=["url"], mode=mk)
+        assert sorted(r["url"] for r in got.collect()) == sorted(
+            pdf.loc[pdf["tag"] == "rep3", "url"]
+        )
+
+
+def test_random_access_duplicate_ids_files_mode(spark, table):
+    out, pdf = table
+    ra = random_access(spark, out, [5, 5, 700, 5], project=["url"]).collect()
+    assert sorted(r["row_id"] for r in ra) == [5, 5, 5, 700]
+    urls = {r["row_id"]: r["url"] for r in ra}
+    assert len({r["url"] for r in ra if r["row_id"] == 5}) == 1
+
+
 def test_crosscheck_or_trees_random(spark, table):
     """Randomized OR trees (mixed columns/kinds) against pandas."""
     out, pdf = table
