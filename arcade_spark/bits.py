@@ -154,11 +154,14 @@ def zigzag_decode(a: np.ndarray) -> np.ndarray:
 
 
 def pack_sections(*sections: bytes) -> bytes:
-    """Frame N byte sections: u32 count, u32 sizes, then payloads."""
-    head = struct.pack("<I", len(sections)) + b"".join(
-        struct.pack("<I", len(s)) for s in sections
+    """Frame N byte sections: u32 count, u32 sizes, then payloads.
+    Single-join assembly — one output allocation, one pass over the
+    payload bytes (these frames wrap multi-MB plain payloads twice per
+    block, so a second head+body concat pass was measurable)."""
+    head = struct.pack(
+        f"<I{len(sections)}I", len(sections), *(len(s) for s in sections)
     )
-    return head + b"".join(sections)
+    return b"".join((head, *sections))
 
 
 def unpack_sections(buf: bytes | memoryview) -> list[memoryview]:
