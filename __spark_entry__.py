@@ -184,6 +184,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             project=["doc_id", "n_chars"],
         )
 
+    def arcade_filter_dnf(spark, sf_dir):
+        """Full DNF: OR of conjunctions, columns repeating across
+        conjuncts; per-conjunct zone aliveness, position intersection
+        within / union across conjuncts."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_dnf
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return filter_dnf(
+            spark, out,
+            [
+                [("eq", "lang", "de"), ("range", "n_chars", 100, 200)],
+                [("eq", "lang", "fr"), ("range", "n_chars", 150, 400)],
+            ],
+            project=["doc_id", "lang", "n_chars"],
+        )
+
     def arcade_minmax_str(spark, sf_dir):
         """Metadata min/max on a STRING column: exact zone bounds (short
         values) answer without reading any payload bytes; truncated
@@ -313,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_and": arcade_filter_and,
         "arcade_filter_in": arcade_filter_in,
         "arcade_filter_or": arcade_filter_or,
+        "arcade_filter_dnf": arcade_filter_dnf,
         "arcade_minmax": arcade_minmax,
         "arcade_minmax_double": arcade_minmax_double,
         "arcade_minmax_str": arcade_minmax_str,
@@ -585,6 +603,11 @@ def oracle_sql() -> dict[str, str]:
         "arcade_filter_or": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE lang = 'el' OR (n_chars >= 100 AND n_chars <= 160)"
+        ),
+        "arcade_filter_dnf": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE (lang = 'de' AND n_chars BETWEEN 100 AND 200) "
+            "   OR (lang = 'fr' AND n_chars BETWEEN 150 AND 400)"
         ),
         "arcade_minmax": (
             "SELECT min(n_chars) AS min_v, max(n_chars) AS max_v, "

@@ -220,14 +220,23 @@ _EMPTY = np.empty(0, dtype=np.int64)
 def _filter_part_batches(
     out_dir: str,
     pid: int,
-    preds: list,
+    conjuncts: list[list],
     proj_items: list[tuple[str, str]],
     count_only: bool,
-    combine: str,
 ) -> Iterator[pa.RecordBatch]:
     """Run the whole filter for ONE partition: predicate pass (zone
     prune → kernel match on kept blocks, dict replay on the rest) then
-    match-level projection decode. All IO is row-group-pruned pyarrow."""
+    match-level projection decode. All IO is row-group-pruned pyarrow.
+
+    The predicate tree is DISJUNCTIVE NORMAL FORM: ``conjuncts`` is an
+    OR of AND-lists of compiled _Pred objects (a plain conjunction is
+    one conjunct; a flat disjunction is singleton conjuncts). Per
+    block: a conjunct is ALIVE iff every one of its predicates' zones
+    admits the block; a block is scanned for a column iff any alive
+    conjunct has a predicate on it; match positions intersect within a
+    conjunct and union across conjuncts. Each predicate occurrence owns
+    an independent dictionary-replay state, so repeated columns across
+    conjuncts are fine."""
     from arcade_spark.convert import block_to_arrow
     from arcade_spark.core import (
         decode_int_block,
@@ -237,108 +246,110 @@ def _filter_part_batches(
     from arcade_spark.decode import _out_arrow_type
     from arcade_spark.gdict import GlobalDictDecoder
 
-    # ---- group predicates by column, zone verdicts ----
-    col_preds: dict[str, list] = {}
-    for p in preds:
-        col_preds.setdefault(p.column, []).append(p)
+    # ---- group predicate OCCURRENCES by column, zone verdicts ----
+    occs: list[tuple[int, object]] = [
+        (j, p) for j, conj in enumerate(conjuncts) for p in conj
+    ]
+    col_occs: dict[str, list[tuple[int, object]]] = {}
+    for j, p in occs:
+        col_occs.setdefault(p.column, []).append((j, p))
     cfs: dict[str, _ColFile] = {}
     cms: dict[str, _ColMeta] = {}
     zk: dict[int, np.ndarray] = {}
     nb = None
-    for c, plist in col_preds.items():
+    for c, plist in col_occs.items():
         cfs[c] = _ColFile(out_dir, pid, c)
         cms[c] = cfs[c].meta()
         if nb is None:
             nb = cms[c].n
         elif cms[c].n != nb:
             raise ValueError(f"column {c!r}: block count mismatch in part {pid}")
-        for p in plist:
-            zk[id(p)] = _zone_keep_np(p, cms[c])
+        for _, p in plist:
+            if id(p) not in zk:
+                zk[id(p)] = _zone_keep_np(p, cms[c])
     assert nb is not None
-    if combine == "and":
-        blk = np.ones(nb, dtype=bool)
-        for p in preds:
-            blk &= zk[id(p)]
-    else:
-        blk = np.zeros(nb, dtype=bool)
-        for p in preds:
-            blk |= zk[id(p)]
+    # conjunct alive per block = AND of its predicates' zone verdicts
+    alive = np.ones((len(conjuncts), nb), dtype=bool)
+    for j, conj in enumerate(conjuncts):
+        for p in conj:
+            alive[j] &= zk[id(p)]
+    blk = alive.any(axis=0)
 
-    # ---- predicate pass: positions per block ----
-    acc: list[np.ndarray | None] = [None] * nb  # None = no pred applied yet
+    # ---- predicate pass: per-(conjunct, block) position intersections ----
+    acc: list[list[np.ndarray | None]] = [
+        [None] * nb for _ in conjuncts
+    ]  # None = no pred folded yet
 
-    def fold(b: int, pos_c: np.ndarray) -> None:
-        cur = acc[b]
+    def fold(j: int, b: int, pos_c: np.ndarray) -> None:
+        cur = acc[j][b]
         if cur is None:
-            acc[b] = pos_c
-        elif combine == "and":
-            acc[b] = (
+            acc[j][b] = pos_c
+        else:
+            acc[j][b] = (
                 np.intersect1d(cur, pos_c, assume_unique=True)
                 if len(cur) and len(pos_c)
                 else _EMPTY
             )
-        else:
-            acc[b] = np.union1d(cur, pos_c)
 
-    for c, plist in col_preds.items():
+    for c, plist in col_occs.items():
         cm, cf = cms[c], cfs[c]
-        if combine == "and":
-            scan = blk
-        else:
-            scan = np.zeros(nb, dtype=bool)
-            for p in plist:
-                scan |= zk[id(p)]
+        # scan a block for this column iff any conjunct with a pred on
+        # it is alive there
+        scan = np.zeros(nb, dtype=bool)
+        for j, _p in plist:
+            scan |= alive[j]
         idxs = np.nonzero(scan)[0]
         last = int(idxs[-1]) if len(idxs) else -1
-        is_str = plist[0].is_str
+        is_str = plist[0][1].is_str
         if is_str:
             rng = np.arange(nb)
             seg_rows = np.nonzero((cm.stateful | scan) & (rng <= last))[0]
             blobs = cf.payloads(idxs, "blob")
             segs = cf.payloads(seg_rows, "seg")
-            states = [(p, p.new_state()) for p in plist]
+            states = [(j, p, p.new_state()) for j, p in plist]
             for b in range(last + 1):
                 meta = cm.meta_dict(b, segs.get(b, b""))
                 blob = blobs.get(b)
-                for p, st in states:
+                for j, p, st in states:
                     # each state owns an independent replay decoder, so
-                    # every predicate consumes every block exactly once
-                    if scan[b] and zk[id(p)][b] and blob is not None:
+                    # every occurrence consumes every block exactly once
+                    if alive[j][b] and blob is not None:
                         pos_c = st.match_positions(blob, meta)
                     else:
                         st.replay(meta)
                         pos_c = _EMPTY
-                    fold(b, pos_c)
+                    fold(j, b, pos_c)
         else:
             blobs = cf.payloads(idxs, "blob")
             for b in idxs:
                 iblock = decode_int_block(blobs[int(b)], cm.meta_dict(int(b)))
-                for p in plist:
-                    if zk[id(p)][int(b)]:
-                        fold(int(b), p.int_positions(iblock))
+                for j, p in plist:
+                    if alive[j][int(b)]:
+                        fold(j, int(b), p.int_positions(iblock))
                     else:
-                        fold(int(b), _EMPTY)
-        # blocks this column never scanned contribute empty (AND) /
-        # nothing (OR)
-        if combine == "and":
-            for b in np.nonzero(~scan)[0]:
-                acc[int(b)] = _EMPTY
+                        fold(j, int(b), _EMPTY)
+        # dead-conjunct blocks contribute empty for this column
+        for j, _p in plist:
+            for b in np.nonzero(~alive[j])[0]:
+                fold(j, int(b), _EMPTY)
 
-    pos_of = [
-        (a if a is not None else _EMPTY) for a in acc
-    ]
+    # union across conjuncts per block
+    pos_of: list[np.ndarray] = []
+    for b in range(nb):
+        parts_b = [a[b] for a in acc if a[b] is not None and len(a[b])]
+        if not parts_b:
+            pos_of.append(_EMPTY)
+        elif len(parts_b) == 1:
+            pos_of.append(parts_b[0])
+        else:
+            pos_of.append(np.unique(np.concatenate(parts_b)))
 
     if count_only:
-        if combine == "and":
-            zskip = np.zeros(nb, dtype=bool)
-            for p in preds:
-                zskip |= ~zk[id(p)]
-        else:
-            zskip = ~blk
+        zskip = ~blk
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(np.full(nb, pid, dtype=np.int32)),
-                pa.array(cms[next(iter(col_preds))].block_id.astype(np.int32)),
+                pa.array(cms[next(iter(col_occs))].block_id.astype(np.int32)),
                 pa.array(np.array([len(p) for p in pos_of], dtype=np.int64)),
                 pa.array(zskip.astype(np.int32)),
             ],
@@ -401,30 +412,58 @@ def _filter_part_batches(
 def filter_parts(
     spark: SparkSession,
     out_dir: str,
-    preds_spec: list[tuple[str, tuple]],
+    preds_spec: list[tuple[str, tuple]] | None = None,
     project: list[str] | None = None,
     count_only: bool = False,
     combine: str = "and",
+    dnf_spec: list[list[tuple[str, tuple]]] | None = None,
 ) -> DataFrame:
-    """Files-mode filter driver over a conjunction (``combine="and"``,
-    at most one predicate per column) or disjunction (``combine="or"``,
-    repeats allowed) of per-column predicates."""
+    """Files-mode filter driver. Predicate forms:
+
+    - ``preds_spec`` + ``combine="and"``: conjunction (at most one
+      predicate per column);
+    - ``preds_spec`` + ``combine="or"``: flat disjunction (repeats
+      allowed);
+    - ``dnf_spec``: full disjunctive normal form — OR of AND-lists
+      (each inner list is a conjunction; columns may repeat anywhere).
+
+    All three lower to the same DNF kernel."""
     from arcade_spark.readops import _Pred
     from arcade_spark.schema import spark_type_for
 
+    if (preds_spec is None) == (dnf_spec is None):
+        raise ValueError("pass exactly one of preds_spec / dnf_spec")
     if combine not in ("and", "or"):
         raise ValueError(f"combine must be 'and' or 'or': {combine!r}")
     columns, parts = load_manifest(out_dir)
     all_cols = dict(columns)
-    preds: list[_Pred] = []
+
+    if dnf_spec is not None:
+        raw_conjs = dnf_spec
+    elif combine == "and":
+        raw_conjs = [preds_spec]
+    else:
+        raw_conjs = [[pc] for pc in preds_spec]
+
     seen: set[str] = set()
-    for column, pred in preds_spec:
-        if column not in all_cols:
-            raise KeyError(f"no such column: {column}")
-        if combine == "and" and column in seen:
-            raise ValueError(f"multiple predicates on {column!r} not supported")
-        seen.add(column)
-        preds.append(_Pred(column, all_cols[column], pred))
+    conjuncts: list[list[_Pred]] = []
+    for conj in raw_conjs:
+        if not conj:
+            raise ValueError("empty conjunct")
+        conj_cols: set[str] = set()
+        compiled = []
+        for column, pred in conj:
+            if column not in all_cols:
+                raise KeyError(f"no such column: {column}")
+            if column in conj_cols:
+                raise ValueError(
+                    f"multiple predicates on {column!r} within one conjunct "
+                    "not supported"
+                )
+            conj_cols.add(column)
+            seen.add(column)
+            compiled.append(_Pred(column, all_cols[column], pred))
+        conjuncts.append(compiled)
 
     if count_only:
         proj_items: list[tuple[str, str]] = []
@@ -438,7 +477,7 @@ def filter_parts(
         for batch in batches:
             for pid in batch.column("part_id").to_pylist():
                 yield from _filter_part_batches(
-                    out_dir, int(pid), preds, proj_items, count_only, combine
+                    out_dir, int(pid), conjuncts, proj_items, count_only
                 )
 
     if count_only:

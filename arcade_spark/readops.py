@@ -412,6 +412,33 @@ def filter_and(
     )
 
 
+def filter_dnf(
+    spark: SparkSession,
+    out_dir: str,
+    conjuncts: list[list[tuple]],
+    project: list[str] | None = None,
+    count_only: bool = False,
+    mode: str = "files",
+) -> DataFrame:
+    """Full disjunctive-normal-form filter: ``WHERE (p11 AND p12 ...)
+    OR (p21 AND ...) OR ...`` — each inner list is a conjunction of
+    ("eq", col, v) / ("range", col, lo, hi) / ("in", col, vals);
+    columns may repeat across conjuncts. Zone semantics: a conjunct is
+    alive for a block iff every one of its predicates' zones admits it;
+    a block is scanned iff any conjunct is alive; positions intersect
+    within a conjunct and union across conjuncts (partread kernel).
+    ``filter_and`` / ``filter_or`` are the one-conjunct / singleton-
+    conjunct special cases."""
+    if mode != "files":
+        raise NotImplementedError("filter_dnf is files-mode only")
+    from arcade_spark.partread import filter_parts
+
+    return filter_parts(
+        spark, out_dir, project=project, count_only=count_only,
+        dnf_spec=[_preds_to_spec(c) for c in conjuncts],
+    )
+
+
 def filter_or(
     spark: SparkSession,
     out_dir: str,

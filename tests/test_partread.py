@@ -325,6 +325,54 @@ def test_random_access_duplicate_ids_files_mode(spark, table):
     assert len({r["url"] for r in ra if r["row_id"] == 5}) == 1
 
 
+def test_filter_dnf_or_of_ands(spark, table):
+    from arcade_spark.readops import filter_dnf
+
+    out, pdf = table
+    got = filter_dnf(
+        spark, out,
+        [
+            [("eq", "lang", "el"), ("range", "x", -10, 10)],
+            [("eq", "lang", "de"), ("range", "v", 0.0, 5.0)],
+        ],
+        project=["url"],
+    ).toPandas()
+    want = pdf.loc[
+        ((pdf["lang"] == "el") & (pdf["x"] >= -10) & (pdf["x"] <= 10))
+        | ((pdf["lang"] == "de") & (pdf["v"] >= 0.0) & (pdf["v"] <= 5.0)),
+        "url",
+    ]
+    assert sorted(got["url"]) == sorted(want)
+
+
+def test_crosscheck_dnf_random(spark, table):
+    """Randomized DNF trees (repeated columns across conjuncts) against
+    pandas."""
+    from arcade_spark.readops import filter_dnf
+
+    out, pdf = table
+    rng = np.random.default_rng(17)
+    langs = ["en", "de", "fr", "es", "el"]
+    for _ in range(4):
+        l1, l2 = rng.choice(langs, 2, replace=False)
+        a_lo, a_hi = sorted(rng.integers(-40, 40, 2).tolist())
+        b_lo, b_hi = sorted(rng.integers(-40, 40, 2).tolist())
+        got = filter_dnf(
+            spark, out,
+            [
+                [("eq", "lang", str(l1)), ("range", "x", int(a_lo), int(a_hi))],
+                [("eq", "lang", str(l2)), ("range", "x", int(b_lo), int(b_hi))],
+                [("in", "lang", [str(l1), str(l2)]), ("range", "v", -1.0, 1.0)],
+            ],
+            project=["url"],
+        ).toPandas()
+        m1 = (pdf["lang"] == l1) & (pdf["x"] >= a_lo) & (pdf["x"] <= a_hi)
+        m2 = (pdf["lang"] == l2) & (pdf["x"] >= b_lo) & (pdf["x"] <= b_hi)
+        m3 = pdf["lang"].isin([l1, l2]) & (pdf["v"] >= -1.0) & (pdf["v"] <= 1.0)
+        want = pdf.loc[m1 | m2 | m3, "url"]
+        assert sorted(got["url"]) == sorted(want)
+
+
 def test_crosscheck_or_trees_random(spark, table):
     """Randomized OR trees (mixed columns/kinds) against pandas."""
     out, pdf = table
