@@ -143,6 +143,11 @@ def intblock_from_arrow(arr: pa.Array) -> IntBlock:
     elif pa.types.is_floating(t):
         # lossless bitcast for doubles
         arr = arr.cast(pa.float64()).view(pa.int64())
+    elif pa.types.is_date(t):
+        # date32 = days since epoch → int lane
+        arr = arr.cast(pa.int32()).cast(pa.int64())
+    elif pa.types.is_boolean(t):
+        arr = arr.cast(pa.int64())
     elif not pa.types.is_int64(t):
         arr = arr.cast(pa.int64())
     validity = _arrow_validity(arr)

@@ -41,6 +41,12 @@ def series_to_block(series: pd.Series, vtype: str):
     if vtype in ("double", "float"):
         arr = pa.Array.from_pandas(series, type=pa.float64())
         return intblock_from_arrow(arr)
+    if vtype == "date":
+        arr = pa.Array.from_pandas(series, type=pa.date32())
+        return intblock_from_arrow(arr)
+    if vtype == "bool":
+        arr = pa.Array.from_pandas(series, type=pa.bool_())
+        return intblock_from_arrow(arr)
     raise TypeError(vtype)
 
 
@@ -64,6 +70,12 @@ def block_to_arrow(block, vtype: str) -> pa.Array:
         floats = block.values.view(np.float64)
         arr = pa.Array.from_pandas(floats, mask=validity_mask, type=pa.float64())
         return arr.cast(pa.float32()) if vtype == "float" else arr
+    if vtype == "date":
+        arr = pa.Array.from_pandas(block.values, mask=validity_mask, type=pa.int64())
+        return arr.cast(pa.int32()).cast(pa.date32())
+    if vtype == "bool":
+        arr = pa.Array.from_pandas(block.values, mask=validity_mask, type=pa.int64())
+        return arr.cast(pa.bool_())
     raise TypeError(vtype)
 
 

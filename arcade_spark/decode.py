@@ -42,6 +42,8 @@ def _out_arrow_type(vtype: str) -> pa.DataType:
         "i8": pa.int8(),
         "double": pa.float64(),
         "float": pa.float32(),
+        "date": pa.date32(),
+        "bool": pa.bool_(),
     }[vtype]
 
 def _binary_views(arr: pa.Array):

@@ -356,6 +356,7 @@ def encode_files_job(
         "string": "str", "large_string": "str", "binary": "binary",
         "large_binary": "binary", "int64": "int", "int32": "i32",
         "int16": "i16", "int8": "i8", "double": "double", "float": "float",
+        "date32[day]": "date", "bool": "bool",
     }
 
     def vtype_of(field: pa.Field) -> str:

@@ -820,6 +820,8 @@ def column_topk_parts(
         if vt == "tsntz":
             col = col.cast("timestamp_ntz")
         return out.select(col.alias("v"))
+    if vt == "date":
+        return out.select(F.date_from_unix_date(F.col("v").cast("int")).alias("v"))
     return out.select(F.col("v").cast(spark_type_for(vt)).alias("v"))
 
 
@@ -1037,6 +1039,17 @@ def column_minmax_parts(spark: SparkSession, out_dir: str, column: str) -> DataF
             return base + _dt.timedelta(microseconds=int(us))
 
         return spark.createDataFrame([(to_dt(lo), to_dt(hi), cnt)], ddl_out)
+    if vt == "date":
+        import datetime as _dt
+
+        def to_date(days: int | None):
+            return None if days is None else _dt.date(1970, 1, 1) + _dt.timedelta(days=int(days))
+
+        return spark.createDataFrame([(to_date(lo), to_date(hi), cnt)], ddl_out)
+    if vt == "bool":
+        lo_b = bool(lo) if lo is not None else None
+        hi_b = bool(hi) if hi is not None else None
+        return spark.createDataFrame([(lo_b, hi_b, cnt)], ddl_out)
     lo_i = int(lo) if lo is not None else None
     hi_i = int(hi) if hi is not None else None
     return spark.createDataFrame([(lo_i, hi_i, cnt)], ddl_out)

@@ -481,6 +481,24 @@ def _encode_bound(v):
     return v.encode() if isinstance(v, str) else v
 
 
+def _int_literal(v) -> int:
+    """Query literal → the stored int64 lane: bools → 0/1, dates →
+    epoch days, datetimes → epoch micros (UTC when naive), ints pass
+    through."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return int(v)
+
+
 class _Pred:
     """Compiled per-column predicate: zone expression, kernel matcher,
     replay-state factory."""
@@ -502,7 +520,7 @@ class _Pred:
             if self.is_str:
                 self.lob, self.hib = min(self.in_vals), max(self.in_vals)
             else:
-                fv = [float(v) if self.is_float else int(v) for v in self.in_vals]
+                fv = [float(v) if self.is_float else _int_literal(v) for v in self.in_vals]
                 self.lob, self.hib = min(fv), max(fv)
         else:
             self.lob, self.hib = _encode_bound(pred[1]), _encode_bound(pred[2])
@@ -526,7 +544,7 @@ class _Pred:
                     ]
                     self.zone_lo, self.zone_hi = min(keys), max(keys)
                 else:
-                    self.target_int = int(self.lob)
+                    self.target_int = _int_literal(self.lob)
                     self.zone_lo = self.zone_hi = self.target_int
             elif self.kind == "in":
                 if self.is_float:
@@ -544,7 +562,7 @@ class _Pred:
                     self.zone_lo, self.zone_hi = min(keys), max(keys)
                 else:
                     self.targets = np.array(
-                        [int(v) for v in self.in_vals], dtype=np.int64
+                        [_int_literal(v) for v in self.in_vals], dtype=np.int64
                     )
                     self.zone_lo, self.zone_hi = int(self.lob), int(self.hib)
             else:
@@ -563,7 +581,7 @@ class _Pred:
                         else float_order_key(self.fhi)
                     )
                 else:
-                    self.ilo, self.ihi = int(self.lob), int(self.hib)
+                    self.ilo, self.ihi = _int_literal(self.lob), _int_literal(self.hib)
                     self.zone_lo, self.zone_hi = self.ilo, self.ihi
 
     def zone_keep_expr(self):
@@ -1051,7 +1069,10 @@ def group_count(
         out_col = F.timestamp_micros(F.col(key_col))
         if fvt == "tsntz":
             out_col = out_col.cast("timestamp_ntz")
+    elif fvt == "date":
+        out_col = F.date_from_unix_date(F.col(key_col).cast("int"))
     else:
+        # bool/ints: bigint lane casts directly (0/1 → boolean)
         out_col = F.col(key_col).cast(spark_type_for(fvt))
     return agg.select(out_col.alias(column), F.col("cnt"))
 

@@ -96,6 +96,10 @@ def spark_vtype(dt: T.DataType) -> str:
         return "double"
     if isinstance(dt, T.FloatType):
         return "float"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
     raise TypeError(f"unsupported column type: {dt}")
 
 
@@ -111,6 +115,8 @@ def arrow_type_for(vtype: str) -> pa.DataType:
         "i8": pa.int8(),
         "double": pa.float64(),
         "float": pa.float32(),
+        "date": pa.date32(),
+        "bool": pa.bool_(),
     }[vtype]
 
 
@@ -126,4 +132,6 @@ def spark_type_for(vtype: str) -> str:
         "i8": "tinyint",
         "double": "double",
         "float": "float",
+        "date": "date",
+        "bool": "boolean",
     }[vtype]
