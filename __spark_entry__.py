@@ -184,6 +184,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             project=["doc_id", "n_chars"],
         )
 
+    def arcade_filter_neq(spark, sf_dir):
+        """Negated predicates: complement within valid rows (SQL
+        three-valued logic — nulls match neither side); constant blocks
+        equal to the target prune via the all-match zone proof."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_and
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return filter_and(
+            spark, out,
+            [("neq", "event_type", "click"), ("range", "value", 10.0, 60.0)],
+            project=["event_id", "event_type"],
+        )
+
     def arcade_filter_dnf(spark, sf_dir):
         """Full DNF: OR of conjunctions, columns repeating across
         conjuncts; per-conjunct zone aliveness, position intersection
@@ -331,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_in": arcade_filter_in,
         "arcade_filter_or": arcade_filter_or,
         "arcade_filter_dnf": arcade_filter_dnf,
+        "arcade_filter_neq": arcade_filter_neq,
         "arcade_minmax": arcade_minmax,
         "arcade_minmax_double": arcade_minmax_double,
         "arcade_minmax_str": arcade_minmax_str,
@@ -608,6 +623,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE (lang = 'de' AND n_chars BETWEEN 100 AND 200) "
             "   OR (lang = 'fr' AND n_chars BETWEEN 150 AND 400)"
+        ),
+        "arcade_filter_neq": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE event_type <> 'click' AND value BETWEEN 10.0 AND 60.0"
         ),
         "arcade_minmax": (
             "SELECT min(n_chars) AS min_v, max(n_chars) AS max_v, "

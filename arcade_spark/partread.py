@@ -192,7 +192,39 @@ class _ColFile:
 def _zone_keep_np(pred, cm: _ColMeta) -> np.ndarray:
     """Per-block zone verdict for one compiled predicate (numpy twin of
     readops._Pred.zone_keep_expr). Missing zone info ⇒ keep (pruning is
-    an optimization, never a correctness gate)."""
+    an optimization, never a correctness gate).
+
+    Negated predicates prune only when the zone PROVES every valid row
+    matches the inner predicate (complement = empty): a single-key zone
+    equal to an eq/IN target, or a zone contained in the inner range.
+    Zones exclude nulls (FORMAT_REV 8), and nulls never satisfy a
+    negation either, so the proof covers exactly the candidate rows."""
+    if pred.negated:
+        if pred.is_str:
+            keep = np.ones(cm.n, dtype=bool)
+            for i in range(cm.n):
+                mb, xb = cm.min_bin[i], cm.max_bin[i]
+                if mb is None or xb is None:
+                    continue
+                if pred.kind in ("eq", "in"):
+                    targets = (
+                        [pred.lob] if pred.kind == "eq" else pred.in_vals
+                    )
+                    if (cm.min_exact[i] and cm.max_exact[i]
+                            and mb == xb and mb in targets):
+                        keep[i] = False
+                else:  # range containment: true min ≥ lo even when the
+                    # min prefix is truncated (prefix ≤ true min); the
+                    # max side needs exactness
+                    if mb >= pred.lob and cm.max_exact[i] and xb <= pred.hib:
+                        keep[i] = False
+            return keep
+        if pred.kind in ("eq", "in"):
+            keys = np.array(pred.target_keys(), dtype=np.int64)
+            prune = (cm.min_int == cm.max_int) & np.isin(cm.min_int, keys)
+        else:
+            prune = (cm.min_int >= pred.zone_lo) & (cm.max_int <= pred.zone_hi)
+        return ~(prune & cm.has_zone)
     if pred.is_str:
         keep = np.ones(cm.n, dtype=bool)
         for i in range(cm.n):
@@ -307,6 +339,8 @@ def _filter_part_batches(
             blobs = cf.payloads(idxs, "blob")
             segs = cf.payloads(seg_rows, "seg")
             states = [(j, p, p.new_state()) for j, p in plist]
+            from arcade_spark.readops import _complement_positions
+
             for b in range(last + 1):
                 meta = cm.meta_dict(b, segs.get(b, b""))
                 blob = blobs.get(b)
@@ -315,6 +349,10 @@ def _filter_part_batches(
                     # every occurrence consumes every block exactly once
                     if alive[j][b] and blob is not None:
                         pos_c = st.match_positions(blob, meta)
+                        if p.negated:
+                            pos_c = _complement_positions(
+                                pos_c, blob, meta["n_values"]
+                            )
                     else:
                         st.replay(meta)
                         pos_c = _EMPTY

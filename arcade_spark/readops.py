@@ -383,15 +383,29 @@ def filter_range(
 def _preds_to_spec(preds: list[tuple]) -> list[tuple[str, tuple]]:
     spec = []
     for p in preds:
-        if p[0] == "eq":
-            spec.append((p[1], ("eq", p[2])))
-        elif p[0] == "range":
-            spec.append((p[1], ("range", p[2], p[3])))
-        elif p[0] == "in":
-            spec.append((p[1], ("in", list(p[2]))))
+        if p[0] in ("eq", "neq"):
+            spec.append((p[1], (p[0], p[2])))
+        elif p[0] in ("range", "not_range"):
+            spec.append((p[1], (p[0], p[2], p[3])))
+        elif p[0] in ("in", "not_in"):
+            spec.append((p[1], (p[0], list(p[2]))))
         else:
             raise ValueError(f"unknown predicate kind: {p[0]!r}")
     return spec
+
+
+def _complement_positions(pos: np.ndarray, blob, n: int) -> np.ndarray:
+    """VALID positions of a block not in ``pos`` — the negated-predicate
+    complement (nulls satisfy neither the inner predicate nor its
+    negation, per SQL three-valued logic)."""
+    validity_sec = unpack_sections(blob)[0]
+    validity = unpack_validity(validity_sec, n)
+    allp = (
+        np.arange(n, dtype=np.int64)
+        if validity is None
+        else np.nonzero(validity)[0].astype(np.int64)
+    )
+    return np.setdiff1d(allp, pos, assume_unique=True)
 
 
 def filter_and(
@@ -510,6 +524,13 @@ class _Pred:
         self.vtype = vtype
         self.is_str = vtype in ("str", "binary")
         self.is_float = vtype in ("double", "float")
+        # negated forms wrap the positive predicate: the kernel matches
+        # the inner predicate and complements within VALID rows (SQL:
+        # nulls satisfy neither x = v nor x <> v)
+        self.negated = pred[0] in ("neq", "not_in", "not_range")
+        if self.negated:
+            pred = ({"neq": "eq", "not_in": "in", "not_range": "range"}[pred[0]],
+                    *pred[1:])
         self.kind = pred[0]
         if self.kind == "eq":
             self.lob = self.hib = _encode_bound(pred[1])
@@ -584,7 +605,27 @@ class _Pred:
                     self.ilo, self.ihi = _int_literal(self.lob), _int_literal(self.hib)
                     self.zone_lo, self.zone_hi = self.ilo, self.ihi
 
+    def target_keys(self) -> list[int]:
+        """Zone-key(s) of the inner eq/IN targets — used by the negated
+        all-match prune (a block whose zone is a single key equal to a
+        target provably matches everywhere → its complement is empty)."""
+        from arcade_spark.bits import float_order_key
+
+        if self.kind == "eq":
+            if self.is_float:
+                return [float_order_key(float(np.int64(p).view(np.float64)))
+                        for p in self.targets]
+            return [self.target_int]
+        if self.kind == "in":
+            if self.is_float:
+                return [float_order_key(float(np.int64(p).view(np.float64)))
+                        for p in self.targets]
+            return [int(t) for t in self.targets]
+        return []
+
     def zone_keep_expr(self):
+        if self.negated:
+            raise NotImplementedError("negated predicates are files-mode only")
         if self.is_str:
             lo_lit, hi_lit = F.lit(bytearray(self.lob)), F.lit(bytearray(self.hib))
             prune = (hi_lit < F.col("min_bin")) | (
@@ -617,6 +658,8 @@ class _Pred:
             m = (v >= self.flo) & (v <= self.fhi)
         else:
             m = (iblock.values >= self.ilo) & (iblock.values <= self.ihi)
+        if self.negated:
+            m = ~m
         pos = np.nonzero(m)[0]
         if iblock.validity is not None and len(pos):
             pos = pos[iblock.validity[pos]]

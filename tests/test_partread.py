@@ -373,6 +373,76 @@ def test_crosscheck_dnf_random(spark, table):
         assert sorted(got["url"]) == sorted(want)
 
 
+def test_negated_predicates(spark, table):
+    """neq / not_in / not_range — complement within valid rows, usable
+    anywhere in the DNF tree."""
+    from arcade_spark.readops import filter_and, filter_dnf
+
+    out, pdf = table
+    got = filter_and(spark, out, [("neq", "lang", "en")], project=["url"]).toPandas()
+    want = pdf.loc[pdf["lang"] != "en", "url"]
+    assert sorted(got["url"]) == sorted(want)
+
+    got = filter_and(
+        spark, out, [("not_in", "lang", ["en", "de"]), ("range", "x", -20, 20)],
+        project=["url"],
+    ).toPandas()
+    want = pdf.loc[~pdf["lang"].isin(["en", "de"]) & pdf["x"].between(-20, 20), "url"]
+    assert sorted(got["url"]) == sorted(want)
+
+    got = filter_and(
+        spark, out, [("not_range", "x", -25, 25)], project=["url"]
+    ).toPandas()
+    want = pdf.loc[(pdf["x"] < -25) | (pdf["x"] > 25), "url"]
+    assert sorted(got["url"]) == sorted(want)
+
+    got = filter_dnf(
+        spark, out,
+        [[("neq", "lang", "en"), ("range", "x", 0, 15)],
+         [("eq", "lang", "en"), ("not_range", "v", -3.0, 3.0)]],
+        project=["url"],
+    ).toPandas()
+    want = pdf.loc[
+        ((pdf["lang"] != "en") & pdf["x"].between(0, 15))
+        | ((pdf["lang"] == "en") & ~pdf["v"].between(-3.0, 3.0)),
+        "url",
+    ]
+    assert sorted(got["url"]) == sorted(want)
+
+
+def test_negated_with_nulls_excluded(spark, tmp_path_factory):
+    """SQL three-valued logic: NULL rows satisfy neither x = v nor
+    x <> v."""
+    import pyspark.sql.types as T
+
+    from arcade_spark.readops import filter_and
+
+    src = spark.createDataFrame(
+        [("a", "x"), ("b", None), ("c", "y"), ("d", "x"), ("e", None)],
+        T.StructType([T.StructField("url", T.StringType()),
+                      T.StructField("s", T.StringType(), True)]),
+    )
+    out = str(tmp_path_factory.mktemp("neg") / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=8)
+    got = filter_and(spark, out, [("neq", "s", "x")], project=["url"]).collect()
+    assert sorted(r["url"] for r in got) == ["c"]
+
+
+def test_negated_all_match_zone_prune(spark, tmp_path_factory):
+    """A constant block equal to the neq target prunes entirely (the
+    zone proves every valid row matches → empty complement)."""
+    from arcade_spark.readops import filter_and
+
+    src = spark.createDataFrame(
+        [(f"u{i:02d}", "const" if i < 64 else f"v{i}") for i in range(96)],
+        "url string, s string",
+    )
+    out = str(tmp_path_factory.mktemp("negz") / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=32, order_col="url")
+    got = filter_and(spark, out, [("neq", "s", "const")], project=["url"]).collect()
+    assert sorted(r["url"] for r in got) == [f"u{i:02d}" for i in range(64, 96)]
+
+
 def test_crosscheck_or_trees_random(spark, table):
     """Randomized OR trees (mixed columns/kinds) against pandas."""
     out, pdf = table
