@@ -35,9 +35,11 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from arcade_spark.encode import encode_files_job, encode_job
     from arcade_spark.readops import (
         column_minmax,
+        column_topk,
         equi_filter,
         filter_and,
         filter_count,
+        filter_dnf,
         filter_in,
         filter_or,
         filter_range,
@@ -115,6 +117,13 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             spark, enc_dir,
             [("eq", "lang", "el"), ("eq", "lang", "sv")],
             project=["url"]).count())
+        timed("filter_dnf_mixed", lambda: filter_dnf(
+            spark, enc_dir,
+            [[("eq", "lang", "de"), ("range", "url", "https://a", "https://m")],
+             [("neq", "lang", "en"), ("range", "url", "https://x", "https://zz")]],
+            project=["url"]).count())
+        timed("topk_ts", lambda: column_topk(
+            spark, enc_dir, "warc_ts", 100).count())
         timed("group_count_lang", lambda: group_count(spark, enc_dir, "lang").count())
         timed("minmax_metadata_only", lambda: column_minmax(
             spark, enc_dir, "warc_ts").collect())
