@@ -314,7 +314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_ngram_jaccard,
         dedup_simhash,
     )
-    from arcade_spark.multimodal import media_meta
+    from arcade_spark.multimodal import (
+        media_frame_sample,
+        media_meta,
+        media_resize_meta,
+    )
     from arcade_spark.simsearch import (
         ann_cosine_topk,
         ann_lsh_recall,
@@ -371,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_recall": _wrap(ann_sq_recall),
         "embedding_cosine_pairs": _wrap(embedding_cosine_pairs),
         "media_meta": _wrap(media_meta),
+        "media_resize_meta": _wrap(media_resize_meta),
+        "media_frame_sample": _wrap(media_frame_sample),
     }
 
 
@@ -769,6 +775,34 @@ def oracle_sql() -> dict[str, str]:
                        % 1024 + 16 AS BIGINT) AS height,
                    CAST((octet_length(CAST(text AS BLOB)) + 4095) // 4096 AS BIGINT) AS n_frames
             FROM documents
+        """,
+        "media_resize_meta": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST((CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END * 256
+                         + CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END)
+                         % 1024 + 16 AS BIGINT) AS width,
+                     CAST((CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END * 256
+                         + CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END)
+                         % 1024 + 16 AS BIGINT) AS height
+              FROM documents
+            )
+            SELECT doc_id, width, height,
+                   CAST(floor(width * 224 / greatest(width, height)) AS BIGINT) AS out_w,
+                   CAST(floor(height * 224 / greatest(width, height)) AS BIGINT) AS out_h
+            FROM m
+        """,
+        "media_frame_sample": """
+            WITH f AS (
+              SELECT doc_id, text,
+                     unnest(range(0, CAST(ceil(length(text) / 128.0) AS BIGINT), 2))
+                       AS frame_idx
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   md5(substring(text, CAST(frame_idx * 128 + 1 AS INT), 128))
+                     AS frame_md5
+            FROM f
         """,
         # ann_lsh_topk: approximate by construction — rows-only check
     }

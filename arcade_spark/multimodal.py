@@ -99,3 +99,54 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_meta_kernel,
         schema="doc_id long, n_bytes long, width long, height long, n_frames long",
     )
+
+
+RESIZE_TARGET = 224  # fake resize: fit the longer side to this
+
+
+def media_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-plumbing: compute the aspect-preserving target dimensions
+    (longer side → RESIZE_TARGET, floor arithmetic) for every payload —
+    the metadata half of a real resize kernel; the pixel transform is
+    the stubbed decode step (decode_media). Pure integer math so the
+    DuckDB oracle reproduces it exactly."""
+    meta = media_meta(spark, sf_dir)
+    t = F.lit(RESIZE_TARGET)
+    longer = F.greatest("width", "height")
+    return meta.select(
+        "doc_id", "width", "height",
+        F.floor(F.col("width") * t / longer).cast("long").alias("out_w"),
+        F.floor(F.col("height") * t / longer).cast("long").alias("out_h"),
+    )
+
+
+FRAME_CHARS = 128  # frame-sample window (characters of the payload) —
+# small enough that driver documents span several frames
+
+
+def media_frame_sample(
+    spark: SparkSession, sf_dir: str, every_n: int = 2
+) -> DataFrame:
+    """Frame-sampling plumbing: emit every ``every_n``-th fake frame
+    (FRAME_CHARS-character payload window) per document as
+    (doc_id, frame_idx, frame_md5) — the row-explosion contract of a
+    real video frame sampler, engine-reproducible (md5 of the window's
+    UTF-8 bytes) so the DuckDB oracle replays it exactly. Expressed
+    with built-in functions (sequence → explode → substring → md5):
+    frame enumeration is a JVM-side explode, exactly how a real sampler
+    fans out; the binary per-frame decode would be the mapInPandas
+    kernel media_meta already demonstrates."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text")
+    ).filter(F.length("text") > 0)
+    n_frames = F.ceil(F.length("text") / F.lit(FRAME_CHARS)).cast("long")
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1,
+                               F.lit(int(every_n)).cast("long")))
+    frames = d.select("doc_id", "text", idx.alias("frame_idx"))
+    frame = F.substring(
+        F.col("text"), (F.col("frame_idx") * FRAME_CHARS + 1).cast("int"),
+        FRAME_CHARS,
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.md5(F.encode(frame, "utf-8")).alias("frame_md5")
+    )

@@ -130,6 +130,27 @@ def test_media_meta_plumbing(spark):
         assert (meta["width"], meta["height"], meta["n_frames"]) == (1, 1, 1)
 
 
+def test_media_resize_and_frame_sample(spark):
+    from arcade_spark.multimodal import (
+        FRAME_CHARS,
+        RESIZE_TARGET,
+        media_frame_sample,
+        media_resize_meta,
+    )
+
+    rows = media_resize_meta(spark, SF).collect()
+    assert all(max(r.out_w, r.out_h) == RESIZE_TARGET for r in rows)
+    assert all(r.out_w <= RESIZE_TARGET and r.out_h <= RESIZE_TARGET for r in rows)
+
+    frames = media_frame_sample(spark, SF).collect()
+    assert len(frames) > len(rows)  # multi-frame docs exist
+    n_chars = {r["doc_id"]: r["n_chars"] for r in
+               spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    for r in frames[:50]:
+        assert 0 <= r.frame_idx * FRAME_CHARS < n_chars[r.doc_id] + FRAME_CHARS
+        assert len(r.frame_md5) == 32
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
