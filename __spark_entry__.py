@@ -215,6 +215,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             project=["doc_id", "lang", "n_chars"],
         )
 
+    def arcade_filter_prefix(spark, sf_dir):
+        """LIKE 'p%' evaluated once per dictionary ENTRY (Arrow
+        starts_with) — O(dict) string work, O(rows) code gather; zone
+        maps prune blocks outside [p, next_prefix(p))."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_prefix
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return filter_prefix(
+            spark, out, "source", "src1", project=["doc_id", "lang"]
+        )
+
+    def arcade_filter_contains(spark, sf_dir):
+        """Substring search (LIKE '%s%') over the high-cardinality text
+        column — exercises the plain/fsst materialize fallback where
+        dictionaries lost the codec race."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_contains
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return filter_contains(
+            spark, out, "text", "the", project=["doc_id", "n_chars"]
+        )
+
+    def arcade_filter_suffix(spark, sf_dir):
+        """LIKE '%s' via Arrow ends_with over dictionary entries."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_suffix
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return filter_suffix(
+            spark, out, "event_type", "iew", project=["event_id", "user_id"]
+        )
+
     def arcade_minmax_str(spark, sf_dir):
         """Metadata min/max on a STRING column: exact zone bounds (short
         values) answer without reading any payload bytes; truncated
@@ -350,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_or": arcade_filter_or,
         "arcade_filter_dnf": arcade_filter_dnf,
         "arcade_filter_neq": arcade_filter_neq,
+        "arcade_filter_prefix": arcade_filter_prefix,
+        "arcade_filter_contains": arcade_filter_contains,
+        "arcade_filter_suffix": arcade_filter_suffix,
         "arcade_minmax": arcade_minmax,
         "arcade_minmax_double": arcade_minmax_double,
         "arcade_minmax_str": arcade_minmax_str,
@@ -633,6 +670,15 @@ def oracle_sql() -> dict[str, str]:
         "arcade_filter_neq": (
             "SELECT event_id, event_type FROM events "
             "WHERE event_type <> 'click' AND value BETWEEN 10.0 AND 60.0"
+        ),
+        "arcade_filter_prefix": (
+            "SELECT doc_id, lang FROM documents WHERE source LIKE 'src1%'"
+        ),
+        "arcade_filter_contains": (
+            "SELECT doc_id, n_chars FROM documents WHERE text LIKE '%the%'"
+        ),
+        "arcade_filter_suffix": (
+            "SELECT event_id, user_id FROM events WHERE event_type LIKE '%iew'"
         ),
         "arcade_minmax": (
             "SELECT min(n_chars) AS min_v, max(n_chars) AS max_v, "

@@ -199,6 +199,24 @@ def _zone_keep_np(pred, cm: _ColMeta) -> np.ndarray:
     equal to an eq/IN target, or a zone contained in the inner range.
     Zones exclude nulls (FORMAT_REV 8), and nulls never satisfy a
     negation either, so the proof covers exactly the candidate rows."""
+    if pred.kind in ("contains", "suffix") or (
+        pred.negated and pred.kind == "prefix"
+    ):
+        # contains/suffix: any value can match regardless of zone
+        # bounds; negated prefix: the all-match proof over truncated
+        # prefixes is subtle — never prune
+        return np.ones(cm.n, dtype=bool)
+    if pred.kind == "prefix":
+        keep = np.ones(cm.n, dtype=bool)
+        for i in range(cm.n):
+            mb, xb = cm.min_bin[i], cm.max_bin[i]
+            # hib = exclusive upper bound of the prefix range (None for
+            # an all-0xFF pattern: unbounded above)
+            if pred.hib is not None and mb is not None and pred.hib < mb:
+                keep[i] = False
+            elif xb is not None and cm.max_exact[i] and pred.lob > xb:
+                keep[i] = False
+        return keep
     if pred.negated:
         if pred.is_str:
             keep = np.ones(cm.n, dtype=bool)

@@ -150,117 +150,24 @@ class _StrFilterState:
             self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
 
 
-class _StrInState:
-    """Per-(part, column) IN-list state: the memoized global codes of
-    every target value (the multi-value generalization of
-    _StrFilterState's carried offset)."""
+class _MaskState:
+    """Shared replay skeleton for dictionary-mask string predicates (IN,
+    BETWEEN, prefix/contains/suffix). A concrete class supplies
+    ``_flags(arr) -> bool[n]`` evaluating the predicate over dictionary
+    ENTRIES (Arrow C-side — no Python objects per entry); blocks then
+    match through their bit-packed codes against a growing per-entry
+    bitmask of the running global dictionary — O(dict) string work total,
+    O(n) integer mask-gather per block, no string materialization. This
+    is the dictionary-encoding payoff ARCADE's code-compare exploits for
+    equality (process.cpp:241), generalized to any per-value predicate.
+    plain/fsst blocks (where dictionaries lost) materialize and run the
+    same Arrow kernel over the block values."""
 
-    def __init__(self, values: list[bytes]):
-        self.values = sorted(set(values))
-        self.gdec_len = 0
-        self.gids: set[int] = set()
-        self._mask = np.zeros(0, dtype=bool)
-
-    def _flags(self, arr) -> np.ndarray:
-        # Arrow C-side membership test — no Python objects per entry
-        # (round-3 fix of the to_pylist path flagged in VERDICT r2)
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        if len(arr) == 0:
-            return np.zeros(0, dtype=bool)
-        vals = pa.array(self.values, type=pa.large_binary())
-        return pc.is_in(arr, value_set=vals).to_numpy(zero_copy_only=False).astype(bool)
-
-    def _absorb_segment(self, segment) -> None:
-        if len(segment):
-            self._mask = np.concatenate([self._mask, self._flags(segment)])
-
-    def match_positions(self, blob, meta: dict) -> np.ndarray:
-        validity_sec, payload = unpack_sections(blob)
-        payload = unpost(payload, meta.get("post"))
-        codec = meta["codec"]
-        if meta.get("gdict_reset"):
-            self._mask = np.zeros(0, dtype=bool)
-        n = meta["n_values"]
-
-        if codec == "dict_global":
-            self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
-            if not self._mask.any():
-                return np.empty(0, dtype=np.int64)
-            codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
-            pos = np.nonzero(self._mask[codes])[0]
-        elif codec == "dict_local":
-            uniques = sc._deserialize_values_arrow(meta["seg"])
-            if meta.get("gdict_seed"):
-                self._absorb_segment(uniques)
-            flags = self._flags(uniques)
-            if not flags.any():
-                return np.empty(0, dtype=np.int64)
-            codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
-            pos = np.nonzero(flags[codes])[0]
-        elif codec == "rle_str":
-            dict_sec, codes_sec, lens_sec = unpack_sections(payload)
-            uniques = sc._deserialize_values_arrow(dict_sec)
-            flags = self._flags(uniques)
-            if not flags.any():
-                return np.empty(0, dtype=np.int64)
-            import struct
-
-            (nruns,) = struct.unpack_from("<I", codes_sec, 0)
-            run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
-            run_lens = decode_for_int(lens_sec, {"n_values": nruns})
-            pos = np.nonzero(np.repeat(flags[run_codes], run_lens))[0]
-        else:  # plain / fsst
-            if codec == "plain":
-                block = sc.decode_plain(payload, meta)
-            else:
-                block = sc.decode_fsst(payload, meta)
-            obj = block.to_object_array()
-            obj = np.where(obj == None, b"", obj)  # noqa: E711
-            m = np.zeros(len(obj), dtype=bool)
-            for v in self.values:
-                m |= obj == v
-            pos = np.nonzero(m)[0]
-
-        validity = unpack_validity(validity_sec, n)
-        if validity is not None and len(pos):
-            pos = pos[validity[pos]]
-        return pos
-
-    def replay(self, meta: dict) -> None:
-        if meta.get("gdict_reset"):
-            self._mask = np.zeros(0, dtype=bool)
-        codec = meta["codec"]
-        if codec == "dict_global" or (codec == "dict_local" and meta.get("gdict_seed")):
-            self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
-
-
-class _StrRangeState:
-    """Per-(part, column) BETWEEN state for string columns. Local and
-    rle dictionaries are sorted, so the in-range code set is a
-    contiguous [searchsorted(lo), searchsorted(hi, right)) interval;
-    the running global dictionary is a concatenation of sorted diff
-    segments (not globally sorted), so we keep a growing per-entry
-    in-range bitmask, extended once per absorbed segment — O(dict)
-    total, O(n) mask-gather per block, no string materialization."""
-
-    def __init__(self, lo: bytes, hi: bytes):
-        self.lo = lo
-        self.hi = hi
+    def __init__(self):
         self.mask = np.zeros(0, dtype=bool)
 
-    def _flags(self, arr) -> np.ndarray:
-        # Arrow C-side bound compares — no Python objects per entry
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        if len(arr) == 0:
-            return np.zeros(0, dtype=bool)
-        lo = pa.scalar(self.lo, type=pa.large_binary())
-        hi = pa.scalar(self.hi, type=pa.large_binary())
-        m = pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi))
-        return m.to_numpy(zero_copy_only=False).astype(bool)
+    def _flags(self, arr) -> np.ndarray:  # pragma: no cover - abstract
+        raise NotImplementedError
 
     def _absorb_segment(self, segment) -> None:
         if len(segment):
@@ -301,16 +208,19 @@ class _StrRangeState:
             run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
             run_lens = decode_for_int(lens_sec, {"n_values": nruns})
             pos = np.nonzero(np.repeat(flags[run_codes], run_lens))[0]
-        else:  # plain / fsst: materialize then byte-compare both bounds
+        else:  # plain / fsst: materialize, same Arrow kernel on values
+            import pyarrow as pa
+
             if codec == "plain":
                 block = sc.decode_plain(payload, meta)
             else:
                 block = sc.decode_fsst(payload, meta)
             obj = block.to_object_array()
             # null slots decode to None — substitute b"" (validity
-            # gating below removes them); bytes-vs-None compare raises
+            # gating below removes them)
             obj = np.where(obj == None, b"", obj)  # noqa: E711
-            pos = np.nonzero((obj >= self.lo) & (obj <= self.hi))[0]
+            arr = pa.array(obj, type=pa.large_binary())
+            pos = np.nonzero(self._flags(arr))[0]
 
         validity = unpack_validity(validity_sec, n)
         if validity is not None and len(pos):
@@ -323,6 +233,70 @@ class _StrRangeState:
         codec = meta["codec"]
         if codec == "dict_global" or (codec == "dict_local" and meta.get("gdict_seed")):
             self._absorb_segment(sc._deserialize_values_arrow(meta["seg"]))
+
+
+class _StrInState(_MaskState):
+    """IN-list: Arrow C-side set membership over dictionary entries (the
+    multi-value generalization of _StrFilterState's carried offset)."""
+
+    def __init__(self, values: list[bytes]):
+        super().__init__()
+        self.values = sorted(set(values))
+
+    def _flags(self, arr) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        vals = pa.array(self.values, type=pa.large_binary())
+        return pc.is_in(arr, value_set=vals).to_numpy(zero_copy_only=False).astype(bool)
+
+
+class _StrRangeState(_MaskState):
+    """BETWEEN: Arrow C-side bound compares over dictionary entries."""
+
+    def __init__(self, lo: bytes, hi: bytes):
+        super().__init__()
+        self.lo = lo
+        self.hi = hi
+
+    def _flags(self, arr) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        lo = pa.scalar(self.lo, type=pa.large_binary())
+        hi = pa.scalar(self.hi, type=pa.large_binary())
+        m = pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi))
+        return m.to_numpy(zero_copy_only=False).astype(bool)
+
+
+class _StrMatchState(_MaskState):
+    """prefix / contains / suffix (``LIKE 'p%'`` / ``'%s%'`` / ``'%s'``):
+    Arrow C-side ``starts_with`` / ``match_substring`` / ``ends_with``
+    over dictionary entries — the predicate runs once per DISTINCT
+    value, then O(rows) integer code-gather, which is exactly why
+    substring search over a dict-encoded web corpus is cheap."""
+
+    _FNS = {"prefix": "starts_with", "contains": "match_substring",
+            "suffix": "ends_with"}
+
+    def __init__(self, kind: str, pattern: bytes):
+        super().__init__()
+        if not pattern:
+            raise ValueError(f"{kind} pattern must be non-empty")
+        self.kind = kind
+        self.pattern = pattern
+
+    def _flags(self, arr) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        fn = getattr(pc, self._FNS[self.kind])
+        return fn(arr, pattern=self.pattern).to_numpy(zero_copy_only=False).astype(bool)
 
 
 def _dispatch_filter(
@@ -383,7 +357,8 @@ def filter_range(
 def _preds_to_spec(preds: list[tuple]) -> list[tuple[str, tuple]]:
     spec = []
     for p in preds:
-        if p[0] in ("eq", "neq"):
+        if p[0] in ("eq", "neq", "prefix", "not_prefix", "contains",
+                    "not_contains", "suffix", "not_suffix"):
             spec.append((p[1], (p[0], p[2])))
         elif p[0] in ("range", "not_range"):
             spec.append((p[1], (p[0], p[2], p[3])))
@@ -491,8 +466,75 @@ def filter_in(
     )
 
 
+def filter_prefix(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    pattern,
+    project: list[str] | None = None,
+    count_only: bool = False,
+    mode: str = "files",
+) -> DataFrame:
+    """``WHERE column LIKE 'pattern%'`` (string/binary columns). The
+    predicate is evaluated once per dictionary ENTRY (Arrow
+    ``starts_with``) and rows match through their bit-packed codes;
+    zone maps prune blocks outside [pattern, next_prefix(pattern)) —
+    prefix-truncated bounds stay safe because a truncated min is ≤ the
+    true min."""
+    return _dispatch_filter(
+        spark, out_dir, [(column, ("prefix", pattern))], project, count_only, mode
+    )
+
+
+def filter_contains(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    pattern,
+    project: list[str] | None = None,
+    count_only: bool = False,
+    mode: str = "files",
+) -> DataFrame:
+    """``WHERE column LIKE '%pattern%'`` — substring search. Dictionary
+    paths run Arrow ``match_substring`` once per DISTINCT value (the
+    dict-encoding payoff: O(dict) string work, O(rows) code gather);
+    plain/fsst blocks materialize and run the same kernel. No zone
+    pruning is possible (a substring says nothing about value order)."""
+    return _dispatch_filter(
+        spark, out_dir, [(column, ("contains", pattern))], project, count_only, mode
+    )
+
+
+def filter_suffix(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    pattern,
+    project: list[str] | None = None,
+    count_only: bool = False,
+    mode: str = "files",
+) -> DataFrame:
+    """``WHERE column LIKE '%pattern'`` (Arrow ``ends_with`` over
+    dictionary entries; no zone pruning)."""
+    return _dispatch_filter(
+        spark, out_dir, [(column, ("suffix", pattern))], project, count_only, mode
+    )
+
+
 def _encode_bound(v):
     return v.encode() if isinstance(v, str) else v
+
+
+def _prefix_upper(p: bytes) -> bytes | None:
+    """Smallest byte string greater than EVERY value with prefix ``p``
+    (exclusive upper bound of the prefix range): the rightmost byte
+    < 0xFF incremented, tail dropped. None when p is all 0xFF (the
+    prefix range is unbounded above)."""
+    b = bytearray(p)
+    for i in range(len(b) - 1, -1, -1):
+        if b[i] != 0xFF:
+            return bytes(b[:i]) + bytes([b[i] + 1])
+    return None
 
 
 def _int_literal(v) -> int:
@@ -527,11 +569,30 @@ class _Pred:
         # negated forms wrap the positive predicate: the kernel matches
         # the inner predicate and complements within VALID rows (SQL:
         # nulls satisfy neither x = v nor x <> v)
-        self.negated = pred[0] in ("neq", "not_in", "not_range")
+        _neg_map = {"neq": "eq", "not_in": "in", "not_range": "range",
+                    "not_prefix": "prefix", "not_contains": "contains",
+                    "not_suffix": "suffix"}
+        self.negated = pred[0] in _neg_map
         if self.negated:
-            pred = ({"neq": "eq", "not_in": "in", "not_range": "range"}[pred[0]],
-                    *pred[1:])
+            pred = (_neg_map[pred[0]], *pred[1:])
         self.kind = pred[0]
+        if self.kind in ("prefix", "contains", "suffix"):
+            if not self.is_str:
+                raise ValueError(
+                    f"{self.kind} predicates apply to string/binary "
+                    f"columns only; {column!r} is {vtype}"
+                )
+            self.pattern = _encode_bound(pred[1])
+            if not self.pattern:
+                raise ValueError(f"{self.kind} pattern must be non-empty")
+            # zone envelope: every value with prefix p lies in
+            # [p, _prefix_upper(p)); contains/suffix admit any value —
+            # no zone pruning (lob/hib None ⇒ keep)
+            if self.kind == "prefix":
+                self.lob, self.hib = self.pattern, _prefix_upper(self.pattern)
+            else:
+                self.lob = self.hib = None
+            return
         if self.kind == "eq":
             self.lob = self.hib = _encode_bound(pred[1])
         elif self.kind == "in":
@@ -626,11 +687,17 @@ class _Pred:
     def zone_keep_expr(self):
         if self.negated:
             raise NotImplementedError("negated predicates are files-mode only")
+        if self.kind in ("contains", "suffix"):
+            # any value can match regardless of its zone bounds
+            return F.lit(True)
         if self.is_str:
-            lo_lit, hi_lit = F.lit(bytearray(self.lob)), F.lit(bytearray(self.hib))
-            prune = (hi_lit < F.col("min_bin")) | (
-                F.col("max_exact") & (lo_lit > F.col("max_bin"))
-            )
+            lo_lit = F.lit(bytearray(self.lob))
+            max_prune = F.col("max_exact") & (lo_lit > F.col("max_bin"))
+            if self.hib is None:  # all-0xFF prefix: unbounded above
+                prune = max_prune
+            else:
+                hi_lit = F.lit(bytearray(self.hib))
+                prune = (hi_lit < F.col("min_bin")) | max_prune
         else:
             prune = (F.lit(self.zone_hi) < F.col("min_int")) | (
                 F.lit(self.zone_lo) > F.col("max_int")
@@ -642,6 +709,8 @@ class _Pred:
             return _StrFilterState(self.lob)
         if self.kind == "in":
             return _StrInState(self.in_vals)
+        if self.kind in ("prefix", "contains", "suffix"):
+            return _StrMatchState(self.kind, self.pattern)
         return _StrRangeState(self.lob, self.hib)
 
     def int_positions(self, iblock) -> np.ndarray:

@@ -1,0 +1,175 @@
+"""prefix / contains / suffix predicates (LIKE 'p%' / '%s%' / '%s'):
+dictionary-entry evaluation (Arrow starts_with / match_substring /
+ends_with), prefix zone pruning, plain/fsst materialize fallback,
+negated forms, and DNF composition — all against pandas brute force on
+tables with nulls and mixed codecs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcade_spark.encode import encode_job
+from arcade_spark.readops import (
+    _prefix_upper,
+    filter_contains,
+    filter_dnf,
+    filter_prefix,
+    filter_suffix,
+)
+
+
+def test_prefix_upper():
+    assert _prefix_upper(b"src1") == b"src2"
+    assert _prefix_upper(b"a\xff") == b"b"
+    assert _prefix_upper(b"\xff\xff") is None
+    assert _prefix_upper(b"ab\xff\xff") == b"ac"
+
+
+@pytest.fixture(scope="module")
+def match_table(spark, tmp_path_factory):
+    rng = np.random.default_rng(31)
+    langs = np.array(["en", "en-GB", "de", "fr", "es", "el", "sv", "zz"])
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            # url is high-cardinality → plain/fsst codecs (fallback path)
+            "url": [
+                f"https://h{int(i)}.example.org/p/{j}"
+                for j, i in enumerate(rng.integers(0, 6, n))
+            ],
+            # lang is low-cardinality → dict codecs (mask path)
+            "lang": langs[rng.integers(0, len(langs), n)],
+            "x": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.06, "lang"] = None
+    src = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("match") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=200, order_col="url")
+    return out, pdf
+
+
+def _langs(pdf):
+    return pdf["lang"].fillna("")
+
+
+def test_prefix_dict_column(spark, match_table):
+    out, pdf = match_table
+    got = filter_prefix(spark, out, "lang", "en", project=["url"]).toPandas()
+    want = pdf.loc[_langs(pdf).str.startswith("en"), "url"]
+    assert sorted(got["url"]) == sorted(want)
+    assert len(got) > 0
+
+
+def test_prefix_plain_fsst_column(spark, match_table):
+    out, pdf = match_table
+    got = filter_prefix(
+        spark, out, "url", "https://h3.", project=["url", "lang"]
+    ).toPandas()
+    want = pdf.loc[pdf["url"].str.startswith("https://h3."), "url"]
+    assert sorted(got["url"]) == sorted(want)
+    assert len(got) > 0
+
+
+def test_contains(spark, match_table):
+    out, pdf = match_table
+    got = filter_contains(spark, out, "url", "h4.example", project=["url"]).toPandas()
+    want = pdf.loc[pdf["url"].str.contains("h4.example", regex=False), "url"]
+    assert sorted(got["url"]) == sorted(want)
+    assert len(got) > 0
+
+
+def test_suffix(spark, match_table):
+    out, pdf = match_table
+    got = filter_suffix(spark, out, "lang", "e", project=["url"]).toPandas()
+    want = pdf.loc[_langs(pdf).str.endswith("e"), "url"]
+    assert sorted(got["url"]) == sorted(want)
+    assert len(got) > 0
+
+
+def test_negated_forms_null_semantics(spark, match_table):
+    """NOT (lang LIKE 'en%'): null langs satisfy neither the predicate
+    nor its negation (SQL three-valued logic)."""
+    out, pdf = match_table
+    got = filter_dnf(
+        spark, out, [[("not_prefix", "lang", "en")]], project=["url"]
+    ).toPandas()
+    want = pdf.loc[
+        pdf["lang"].notna() & ~_langs(pdf).str.startswith("en"), "url"
+    ]
+    assert sorted(got["url"]) == sorted(want)
+
+    got = filter_dnf(
+        spark, out, [[("not_contains", "lang", "e")]], project=["url"]
+    ).toPandas()
+    want = pdf.loc[
+        pdf["lang"].notna() & ~_langs(pdf).str.contains("e", regex=False), "url"
+    ]
+    assert sorted(got["url"]) == sorted(want)
+
+
+def test_dnf_mixing_match_and_range(spark, match_table):
+    out, pdf = match_table
+    got = filter_dnf(
+        spark,
+        out,
+        [
+            [("prefix", "lang", "e"), ("range", "x", 0, 49)],
+            [("suffix", "url", "/p/7")],
+        ],
+        project=["url"],
+    ).toPandas()
+    w = (_langs(pdf).str.startswith("e") & (pdf["x"] >= 0) & (pdf["x"] <= 49)) | (
+        pdf["url"].str.endswith("/p/7")
+    )
+    want = pdf.loc[w, "url"]
+    assert sorted(got["url"]) == sorted(want)
+
+
+def test_prefix_zone_pruning_observable(spark, tmp_path):
+    """A table sorted by the filter column: a selective prefix must
+    zone-skip most blocks (count_only exposes the per-block verdict)."""
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "k": [f"key{i:06d}" for i in range(n)],
+            "x": np.arange(n, dtype=np.int64),
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    out = str(tmp_path / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=200, order_col="k")
+    rows = filter_prefix(
+        spark, out, "k", "key0001", count_only=True
+    ).toPandas()
+    # 10 matching rows (key000100..key000199 → wait: key0001xx = 100 rows)
+    assert int(rows["matches"].sum()) == len(
+        [k for k in pdf["k"] if k.startswith("key0001")]
+    )
+    assert int(rows["zone_skipped"].sum()) >= rows.shape[0] - 3
+
+
+def test_prefix_rejects_int_column(spark, match_table):
+    out, _pdf = match_table
+    with pytest.raises(Exception, match="string/binary"):
+        filter_prefix(spark, out, "x", "1").toPandas()
+
+
+def test_empty_pattern_rejected(spark, match_table):
+    out, _pdf = match_table
+    with pytest.raises(ValueError, match="non-empty"):
+        filter_contains(spark, out, "lang", "")
+
+
+def test_plan_mode_agrees(spark, match_table):
+    out, pdf = match_table
+    for fn, col, pat in [
+        (filter_prefix, "lang", "en"),
+        (filter_contains, "url", "h2.example"),
+        (filter_suffix, "lang", "v"),
+    ]:
+        a = fn(spark, out, col, pat, project=["url"]).toPandas()
+        b = fn(spark, out, col, pat, project=["url"], mode="plan").toPandas()
+        assert sorted(a["url"]) == sorted(b["url"])
