@@ -316,6 +316,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
         return group_count(spark, out, "lang")
 
+    def arcade_group_sum(spark, sf_dir):
+        """GROUP BY + integer SUM on the encoded table: group codes
+        stay bit-packed (no string materialization), agg column decodes
+        to its int64 lane, partials are O(distinct) per chunk — the
+        merge shuffle never sees row data."""
+        _ship_package(spark)
+        from arcade_spark.readops import group_sum
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return group_sum(spark, out, "lang", "n_chars")
+
+    def arcade_distinct(spark, sf_dir):
+        """SELECT DISTINCT over a dict column — rides the group_count
+        partials: chunks emit used dictionary entries only."""
+        _ship_package(spark)
+        from arcade_spark.readops import distinct_values
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return distinct_values(spark, out, "source")
+
+    def arcade_distinct_count(spark, sf_dir):
+        """COUNT(DISTINCT) on an integer column (exact, O(distinct)
+        shuffle)."""
+        _ship_package(spark)
+        from arcade_spark.readops import distinct_count
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return distinct_count(spark, out, "user_id")
+
+    def arcade_semijoin(spark, sf_dir):
+        """Semi-join pushdown (the DPP pattern): DISTINCT keys of a
+        filtered dimension table collected and pushed as an IN-set
+        predicate into the encoded fact — zone maps prune fact blocks
+        on the key envelope, dictionary paths match codes."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_semijoin
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        dim = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_totalprice") > 300000.0)
+            )
+            .select("o_orderkey")
+        )
+        return filter_semijoin(
+            spark, out, "l_orderkey", dim,
+            project=["l_orderkey", "l_quantity", "l_extendedprice"],
+        )
+
     def arcade_codec_report(spark, sf_dir):
         """Metadata queryability (the reference's struct D is opaque
         bytes; our chunk headers are rows): per-column codec histogram +
@@ -394,6 +445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_topk": arcade_topk,
         "arcade_sum_avg": arcade_sum_avg,
         "arcade_group_count": arcade_group_count,
+        "arcade_group_sum": arcade_group_sum,
+        "arcade_distinct": arcade_distinct,
+        "arcade_distinct_count": arcade_distinct_count,
+        "arcade_semijoin": arcade_semijoin,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
@@ -644,6 +699,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_group_count": (
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
+        ),
+        "arcade_group_sum": (
+            "SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_v, "
+            "count(*) AS cnt FROM documents GROUP BY lang"
+        ),
+        "arcade_distinct": "SELECT DISTINCT source FROM documents",
+        "arcade_distinct_count": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events"
+        ),
+        "arcade_semijoin": (
+            "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000.0)"
         ),
         "arcade_topk": (
             "SELECT n_chars AS v FROM documents ORDER BY n_chars DESC LIMIT 50"

@@ -790,6 +790,116 @@ def group_count_partials(
     return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl), vt
 
 
+def group_sum_partials(
+    spark: SparkSession, out_dir: str, group_col: str, agg_col: str
+) -> tuple[DataFrame, str]:
+    """Files-mode partials for ``GROUP BY group_col: SUM(agg_col),
+    COUNT(*)``: per chunk the GROUP column contributes its bit-packed
+    codes (no string materialization on dict/rle paths) and the agg
+    column decodes to its int64 lane; sums/counts accumulate per code
+    (np.add.at — one pass), and only the few USED codes resolve through
+    the dictionary. Partials are O(distinct per chunk); the caller's
+    merge keeps the only shuffle at O(distinct), not O(rows).
+
+    Exactness contract (same as column_agg): integer agg columns only —
+    int64 partial sums are exact in any order, so the DuckDB oracle
+    hash-matches. Null group values form no group (group_count's
+    documented contract); null agg values are excluded from the sum but
+    rows still count (SQL SUM/COUNT semantics)."""
+    all_cols, parts = load_manifest(out_dir)
+    cols = dict(all_cols)
+    gvt = cols.get(group_col)
+    avt = cols.get(agg_col)
+    if gvt is None:
+        raise KeyError(f"no such column: {group_col}")
+    if avt is None:
+        raise KeyError(f"no such column: {agg_col}")
+    if avt not in ("int", "i32", "i16", "i8"):
+        raise NotImplementedError(
+            "group_sum aggregates integer columns only (float sums are "
+            "summation-order-dependent; see column_agg)"
+        )
+    g_str = gvt in ("str", "binary")
+    g_float = gvt in ("double", "float")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from arcade_spark.core import decode_int_block
+        from arcade_spark.gdict import GlobalDictDecoder
+        from arcade_spark.readops import _str_chunk_codes
+
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                gcf = _ColFile(out_dir, int(pid), group_col)
+                acf = _ColFile(out_dir, int(pid), agg_col)
+                gcm, acm = gcf.meta(), acf.meta()
+                if gcm.n != acm.n:
+                    raise ValueError(
+                        f"part {pid}: block count mismatch "
+                        f"({group_col} {gcm.n} vs {agg_col} {acm.n})"
+                    )
+                nb = gcm.n
+                rows = np.arange(nb, dtype=np.int64)
+                gblobs = gcf.payloads(rows, "blob")
+                ablobs = acf.payloads(rows, "blob")
+                gsegs = gcf.payloads(rows, "seg") if g_str else {}
+                gdec = GlobalDictDecoder()
+                for b in range(nb):
+                    gmeta = gcm.meta_dict(b, gsegs.get(b, b""))
+                    if g_str:
+                        codes, gvalid, resolve = _str_chunk_codes(
+                            gdec, gblobs[b], gmeta
+                        )
+                    else:
+                        giblock = decode_int_block(gblobs[b], gmeta)
+                        gv = giblock.values
+                        if g_float:
+                            gv = gv.copy()
+                            f = gv.view(np.float64)
+                            gv[f == 0.0] = 0  # both ±0.0
+                            gv[np.isnan(f)] = np.int64(0x7FF8000000000000)
+                        uniq, codes = np.unique(gv, return_inverse=True)
+                        gvalid = giblock.validity
+                        resolve = lambda used, u=uniq: u[used]  # noqa: E731
+                    aiblock = decode_int_block(ablobs[b], acm.meta_dict(b))
+                    av, avalid = aiblock.values, aiblock.validity
+                    n = len(codes)
+                    cmask = (
+                        np.ones(n, dtype=bool) if gvalid is None else gvalid
+                    )
+                    smask = cmask if avalid is None else (cmask & avalid)
+                    if not cmask.any():
+                        continue
+                    width = int(codes[cmask].max()) + 1
+                    cnt = np.bincount(codes[cmask], minlength=width)
+                    sums = np.zeros(width, dtype=np.int64)
+                    np.add.at(sums, codes[smask], av[smask])
+                    used = np.nonzero(cnt)[0]
+                    vals = resolve(used)
+                    if g_str:
+                        key = pa.array(list(vals), type=pa.binary())
+                        names = ["value_bin", "s", "c"]
+                    elif g_float:
+                        key = pa.array(vals.view(np.float64), type=pa.float64())
+                        names = ["value_dbl", "s", "c"]
+                    else:
+                        key = pa.array(vals.astype(np.int64), type=pa.int64())
+                        names = ["value_int", "s", "c"]
+                    yield pa.RecordBatch.from_arrays(
+                        [key,
+                         pa.array(sums[used].astype(np.int64)),
+                         pa.array(cnt[used].astype(np.int64))],
+                        names=names,
+                    )
+
+    if g_str:
+        ddl = "value_bin binary, s long, c long"
+    elif g_float:
+        ddl = "value_dbl double, s long, c long"
+    else:
+        ddl = "value_int long, s long, c long"
+    return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl), gvt
+
+
 def column_topk_parts(
     spark: SparkSession, out_dir: str, column: str, k: int, descending: bool = True
 ) -> DataFrame:

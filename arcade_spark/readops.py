@@ -999,12 +999,13 @@ def _int_chunk_counts(blob, meta: dict, is_float: bool):
     return vals, cnts
 
 
-def _str_chunk_counts(gdec: GlobalDictDecoder, blob, meta: dict):
-    """Per-chunk (values, counts) partial for string group counts —
-    decode-free on dict/rle paths: bincount the bit-packed codes and
-    resolve only the few used codes through the (running) dictionary."""
-    import pyarrow.compute as pc
-
+def _str_chunk_codes(gdec: GlobalDictDecoder, blob, meta: dict):
+    """Per-chunk (codes, validity, resolve) for string group-by kernels:
+    ``codes`` is an int64 per-row code array, ``resolve(used_codes)``
+    maps code ids to value bytes (object array). Dict/RLE paths hand
+    back the stored codes without materializing any strings; plain/fsst
+    blocks factorize the materialized values (dictionaries lost the
+    codec race there, so the strings exist anyway)."""
     validity_sec, payload = unpack_sections(blob)
     payload = unpost(payload, meta.get("post"))
     codec = meta["codec"]
@@ -1022,17 +1023,13 @@ def _str_chunk_counts(gdec: GlobalDictDecoder, blob, meta: dict):
             if meta.get("gdict_seed"):
                 gdec.append(dictionary)
         codes = unpack_uints(payload, meta["code_width"], n).view(np.int64)
-        if validity is not None:
-            codes = codes[validity]
-        if len(codes) == 0:
-            return None
-        cnt = np.bincount(codes)
-        used = np.nonzero(cnt)[0]
-        if dictionary is None:
-            vals = gdec.take_block(used).to_object_array()
-        else:
-            vals = sc._take_to_block(dictionary, used).to_object_array()
-        return vals, cnt[used]
+
+        def resolve(used: np.ndarray) -> np.ndarray:
+            if dictionary is None:
+                return gdec.take_block(used).to_object_array()
+            return sc._take_to_block(dictionary, used).to_object_array()
+
+        return codes, validity, resolve
     if codec == "rle_str":
         import struct
 
@@ -1042,30 +1039,36 @@ def _str_chunk_counts(gdec: GlobalDictDecoder, blob, meta: dict):
         run_codes = unpack_uints(codes_sec[4:], meta["code_width"], nruns).view(np.int64)
         run_lens = np.asarray(decode_for_int(lens_sec, {"n_values": nruns}),
                               dtype=np.int64)
-        if validity is not None:
-            expanded = np.repeat(run_codes, run_lens)[validity]
-            if len(expanded) == 0:
-                return None
-            cnt = np.bincount(expanded)
-        else:
-            cnt = np.bincount(run_codes, weights=run_lens).astype(np.int64)
-        used = np.nonzero(cnt)[0]
-        vals = sc._take_to_block(uniques, used).to_object_array()
-        return vals, cnt[used]
-    # plain / fsst: dictionaries lost for this block — count via
-    # Arrow's C value_counts on the materialized values
+        codes = np.repeat(run_codes, run_lens)
+
+        def resolve(used: np.ndarray) -> np.ndarray:
+            return sc._take_to_block(uniques, used).to_object_array()
+
+        return codes, validity, resolve
+    # plain / fsst: factorize the materialized values
     block = sc.decode_plain(payload, meta) if codec == "plain" else sc.decode_fsst(payload, meta)
-    block.validity = validity
-    arr = block.to_arrow(binary=True)
+    obj = block.to_object_array()
+    obj = np.where(obj == None, b"", obj)  # noqa: E711 (masked by validity)
+    uniq, codes = np.unique(obj, return_inverse=True)
+
+    def resolve(used: np.ndarray) -> np.ndarray:
+        return uniq[used]
+
+    return codes.astype(np.int64), validity, resolve
+
+
+def _str_chunk_counts(gdec: GlobalDictDecoder, blob, meta: dict):
+    """Per-chunk (values, counts) partial for string group counts —
+    decode-free on dict/rle paths: bincount the bit-packed codes and
+    resolve only the few used codes through the (running) dictionary."""
+    codes, validity, resolve = _str_chunk_codes(gdec, blob, meta)
     if validity is not None:
-        arr = arr.drop_null()
-    if len(arr) == 0:
+        codes = codes[validity]
+    if len(codes) == 0:
         return None
-    vc = pc.value_counts(arr)
-    return (
-        np.asarray(vc.field("values").to_pylist(), dtype=object),
-        np.asarray(vc.field("counts").to_pylist(), dtype=np.int64),
-    )
+    cnt = np.bincount(codes)
+    used = np.nonzero(cnt)[0]
+    return resolve(used), cnt[used]
 
 
 def column_topk(
@@ -1187,6 +1190,129 @@ def group_count(
         # bool/ints: bigint lane casts directly (0/1 → boolean)
         out_col = F.col(key_col).cast(spark_type_for(fvt))
     return agg.select(out_col.alias(column), F.col("cnt"))
+
+
+def group_sum(
+    spark: SparkSession, out_dir: str, group_col: str, agg_col: str
+) -> DataFrame:
+    """``SELECT group_col, sum(agg_col), count(*) GROUP BY group_col``
+    on the ENCODED table: the group column contributes bit-packed codes
+    (dict/rle paths never materialize strings), the agg column decodes
+    to its int64 lane, and per-chunk code-indexed accumulators produce
+    O(distinct) partials — one O(distinct) merge shuffle, never O(rows).
+
+    Integer agg columns only (the column_agg exactness contract: int64
+    partial sums are exact in any order → cross-engine hash-identical).
+    Null group values form no group; null agg values are excluded from
+    the sum but their rows still count (SQL semantics). Doubles as the
+    GROUP key canonicalize like group_count (-0.0 = 0.0, NaN payloads
+    collapsed). See partread.group_sum_partials."""
+    from arcade_spark.partread import group_sum_partials
+
+    partial, gvt = group_sum_partials(spark, out_dir, group_col, agg_col)
+    is_str = gvt in ("str", "binary")
+    is_float = gvt in ("double", "float")
+    if is_str:
+        agg = partial.groupBy("value_bin").agg(
+            F.sum("s").alias("sum_v"), F.sum("c").alias("cnt")
+        )
+        key = (
+            F.col("value_bin").cast("string") if gvt == "str" else F.col("value_bin")
+        )
+        return agg.select(key.alias(group_col), "sum_v", "cnt")
+    key_col = "value_dbl" if is_float else "value_int"
+    agg = partial.groupBy(key_col).agg(
+        F.sum("s").alias("sum_v"), F.sum("c").alias("cnt")
+    )
+    if is_float:
+        out_col = F.col(key_col).cast(spark_type_for(gvt))
+    elif gvt in ("ts", "tsntz"):
+        out_col = F.timestamp_micros(F.col(key_col))
+        if gvt == "tsntz":
+            out_col = out_col.cast("timestamp_ntz")
+    elif gvt == "date":
+        out_col = F.date_from_unix_date(F.col(key_col).cast("int"))
+    else:
+        out_col = F.col(key_col).cast(spark_type_for(gvt))
+    return agg.select(out_col.alias(group_col), "sum_v", "cnt")
+
+
+def distinct_values(
+    spark: SparkSession, out_dir: str, column: str, mode: str = "files"
+) -> DataFrame:
+    """``SELECT DISTINCT column`` over NON-NULL values (COUNT(DISTINCT)
+    semantics). Rides the group_count partials: dict/rle chunks emit
+    their few used dictionary entries (no payload materialization), so
+    the merge shuffle is O(distinct), never O(rows)."""
+    return group_count(spark, out_dir, column, mode).select(column)
+
+
+def distinct_count(
+    spark: SparkSession, out_dir: str, column: str, mode: str = "files"
+) -> DataFrame:
+    """``SELECT count(DISTINCT column)`` (nulls excluded, SQL
+    semantics) — one row."""
+    return (
+        group_count(spark, out_dir, column, mode)
+        .agg(F.count("*").cast("long").alias("n_distinct"))
+    )
+
+
+# IN-lists beyond this size stop being a sane task-closure payload; at
+# that scale use a bloom/IN-set pushed via a join instead (documented
+# in filter_semijoin)
+_SEMIJOIN_MAX_KEYS = 4_000_000
+
+
+def filter_semijoin(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    keys_df: DataFrame,
+    project: list[str] | None = None,
+    count_only: bool = False,
+    mode: str = "files",
+) -> DataFrame:
+    """``WHERE column IN (SELECT key FROM dim)`` — semi-join pushdown
+    into the encoded table (the dynamic-partition-pruning pattern):
+    the dim side's DISTINCT keys are collected (it is the SMALL side by
+    construction — a filtered dimension table) and pushed as an IN-set
+    predicate, so zone maps prune fact blocks on the key envelope and
+    dictionary paths match codes, never materializing fact strings.
+
+    ``keys_df`` must have exactly one column. At 100 TB the dim side of
+    a selective semi-join is still thousands-to-millions of keys (the
+    classic TPC-H/star-schema shape) — the collected set ships once per
+    task via the closure, exactly like Spark's own broadcast DPP
+    filter. Beyond _SEMIJOIN_MAX_KEYS we raise rather than silently
+    building a multi-GB closure: that regime wants a shuffle join over
+    decoded row-ids instead."""
+    if len(keys_df.columns) != 1:
+        raise ValueError(
+            f"keys_df must have exactly one column, got {keys_df.columns}"
+        )
+    rows = keys_df.distinct().limit(_SEMIJOIN_MAX_KEYS + 1).collect()
+    if len(rows) > _SEMIJOIN_MAX_KEYS:
+        raise ValueError(
+            f"semi-join key set exceeds {_SEMIJOIN_MAX_KEYS} keys — "
+            "use a decoded join instead"
+        )
+    keys = [r[0] for r in rows if r[0] is not None]
+    if not keys:
+        # empty key set: nothing matches; run the filter with a typed
+        # dummy key and drop every row, keeping the output schema
+        vt = dict(table_columns(spark, out_dir)).get(column)
+        if vt is None:
+            raise KeyError(f"no such column: {column}")
+        dummy = "" if vt in ("str", "binary") else 0
+        return filter_in(
+            spark, out_dir, column, [dummy],
+            project=project, count_only=count_only, mode=mode,
+        ).limit(0)
+    return filter_in(
+        spark, out_dir, column, keys, project=project,
+        count_only=count_only, mode=mode,
+    )
 
 
 def _random_access_targets(out_dir: str, row_ids: list[int]):

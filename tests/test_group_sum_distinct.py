@@ -1,0 +1,150 @@
+"""group_sum (GROUP BY + integer SUM on the encoded table),
+distinct_values / distinct_count, and filter_semijoin — checked against
+pandas brute force on tables with nulls in both the group and agg
+columns, across dict/rle/plain codecs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcade_spark.encode import encode_job
+from arcade_spark.readops import (
+    distinct_count,
+    distinct_values,
+    filter_semijoin,
+    group_sum,
+)
+
+
+@pytest.fixture(scope="module")
+def gs_table(spark, tmp_path_factory):
+    rng = np.random.default_rng(23)
+    langs = np.array(["en", "de", "fr", "es", "el", "sv", "zz"])
+    n = 2500
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                f"https://h{int(i)}.ex/{j}"
+                for j, i in enumerate(rng.integers(0, 5, n))
+            ],
+            "lang": langs[rng.integers(0, len(langs), n)],
+            "x": rng.integers(-50, 50, n).astype(np.int64),
+            "v": np.round(rng.normal(0, 10, n), 2),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.05, "lang"] = None
+    pdf["xn"] = pd.array(pdf["x"], dtype="Int64")
+    pdf.loc[rng.random(n) < 0.04, "xn"] = pd.NA
+    src = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("gs") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=200, order_col="url")
+    return out, pdf
+
+
+def test_group_sum_str_key(spark, gs_table):
+    out, pdf = gs_table
+    got = group_sum(spark, out, "lang", "x").toPandas()
+    got = got.sort_values("lang").reset_index(drop=True)
+    want = (
+        pdf.dropna(subset=["lang"])
+        .groupby("lang")
+        .agg(sum_v=("x", "sum"), cnt=("x", "size"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+        .astype({"sum_v": "int64", "cnt": "int64"})
+    )
+    assert got.equals(want)
+
+
+def test_group_sum_nullable_agg(spark, gs_table):
+    """Null agg values: excluded from the sum, rows still counted."""
+    out, pdf = gs_table
+    got = group_sum(spark, out, "lang", "xn").toPandas()
+    got = got.sort_values("lang").reset_index(drop=True)
+    want = (
+        pdf.dropna(subset=["lang"])
+        .groupby("lang")
+        .agg(sum_v=("xn", "sum"), cnt=("xn", "size"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    want["sum_v"] = want["sum_v"].astype("int64")
+    want["cnt"] = want["cnt"].astype("int64")
+    assert got.equals(want)
+
+
+def test_group_sum_int_and_float_keys(spark, gs_table):
+    out, pdf = gs_table
+    got = group_sum(spark, out, "x", "x").toPandas().sort_values("x").reset_index(drop=True)
+    want = (
+        pdf.groupby("x").agg(sum_v=("x", "sum"), cnt=("x", "size")).reset_index()
+        .sort_values("x").reset_index(drop=True)
+        .astype({"sum_v": "int64", "cnt": "int64"})
+    )
+    assert got.equals(want)
+
+    got = group_sum(spark, out, "v", "x").toPandas().sort_values("v").reset_index(drop=True)
+    want = (
+        pdf.groupby("v").agg(sum_v=("x", "sum"), cnt=("x", "size")).reset_index()
+        .sort_values("v").reset_index(drop=True)
+    )
+    assert np.allclose(got["v"], want["v"])
+    assert (got["sum_v"].to_numpy() == want["sum_v"].to_numpy()).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+
+def test_group_sum_rejects_float_agg(spark, gs_table):
+    out, _ = gs_table
+    with pytest.raises(NotImplementedError, match="integer"):
+        group_sum(spark, out, "lang", "v")
+
+
+def test_distinct_values_and_count(spark, gs_table):
+    out, pdf = gs_table
+    got = sorted(distinct_values(spark, out, "lang").toPandas()["lang"])
+    want = sorted(pdf["lang"].dropna().unique())
+    assert got == want
+
+    got = distinct_count(spark, out, "x").collect()[0]["n_distinct"]
+    assert got == pdf["x"].nunique()
+
+
+def test_filter_semijoin(spark, gs_table):
+    out, pdf = gs_table
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": ["en", "fr", "nope"]})
+    )
+    got = filter_semijoin(spark, out, "lang", dim, project=["url"]).toPandas()
+    want = pdf.loc[pdf["lang"].isin(["en", "fr"]), "url"]
+    assert sorted(got["url"]) == sorted(want)
+
+
+def test_filter_semijoin_int_keys(spark, gs_table):
+    out, pdf = gs_table
+    wanted = sorted(pdf["x"].unique())[:5]
+    dim = spark.createDataFrame(pd.DataFrame({"k": wanted}))
+    got = filter_semijoin(spark, out, "x", dim, project=["url"]).toPandas()
+    want = pdf.loc[pdf["x"].isin(wanted), "url"]
+    assert sorted(got["url"]) == sorted(want)
+
+
+def test_filter_semijoin_empty_and_null_keys(spark, gs_table):
+    out, pdf = gs_table
+    empty = spark.createDataFrame([], "k long")
+    got = filter_semijoin(spark, out, "x", empty, project=["url"]).toPandas()
+    assert len(got) == 0 and list(got.columns) == ["url"]
+
+    nulls = spark.createDataFrame([(None,), (None,)], "k long")
+    got = filter_semijoin(spark, out, "x", nulls, project=["url"]).toPandas()
+    assert len(got) == 0
+
+
+def test_filter_semijoin_rejects_multicol(spark, gs_table):
+    out, _ = gs_table
+    dim = spark.createDataFrame(pd.DataFrame({"a": [1], "b": [2]}))
+    with pytest.raises(ValueError, match="exactly one column"):
+        filter_semijoin(spark, out, "x", dim)

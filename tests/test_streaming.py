@@ -20,7 +20,7 @@ def test_stream_encode_roundtrip(spark, tmp_path_factory):
 
     q = encode_stream(spark, src_dir, out, ckpt, CORPUS_SPARK_SCHEMA,
                       parts_per_batch=4, block_rows=512)
-    q.awaitTermination(240)
+    assert q.awaitTermination(600), "stream did not terminate in 600s"
     assert completed_parts(out), "no partitions committed by the stream"
 
     src = spark.read.parquet(src_dir)
@@ -32,7 +32,7 @@ def test_stream_encode_roundtrip(spark, tmp_path_factory):
     before = completed_parts(out)
     q2 = encode_stream(spark, src_dir, out, ckpt, CORPUS_SPARK_SCHEMA,
                        parts_per_batch=4, block_rows=512)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), "restarted stream did not terminate in 600s"
     assert completed_parts(out) == before
 
 
@@ -67,12 +67,14 @@ def test_dedup_stream_cross_batch_state(spark, tmp_path_factory):
     ckpt = str(tmp_path_factory.mktemp("dstream") / "ckpt")
     q = dedup_stream(spark, src_dir, out, ckpt,
                      "doc_id long, text string", buckets=8)
-    q.awaitTermination(240)
+    # availableNow terminates on its own; assert it actually did (a
+    # silent timeout under suite load reads partial output otherwise)
+    assert q.awaitTermination(600), "stream did not terminate in 600s"
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == set(range(10)) | {15, 16, 17}
 
     # restart on the same checkpoint: no new input, no new rows
     q2 = dedup_stream(spark, src_dir, out, ckpt,
                       "doc_id long, text string", buckets=8)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), "restarted stream did not terminate in 600s"
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == got
