@@ -38,12 +38,15 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         column_topk,
         equi_filter,
         filter_and,
+        filter_contains,
         filter_count,
         filter_dnf,
         filter_in,
         filter_or,
+        filter_prefix,
         filter_range,
         group_count,
+        group_sum,
         random_access,
     )
     from arcade_spark.session import get_spark
@@ -122,6 +125,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             [[("eq", "lang", "de"), ("range", "url", "https://a", "https://m")],
              [("neq", "lang", "en"), ("range", "url", "https://x", "https://zz")]],
             project=["url"]).count())
+        timed("filter_prefix_url", lambda: filter_prefix(
+            spark, enc_dir, "url", "https://h1", project=["url"]).count())
+        timed("filter_contains_text", lambda: filter_contains(
+            spark, enc_dir, "text", "zophi", project=["url"]).count())
         timed("topk_ts", lambda: column_topk(
             spark, enc_dir, "warc_ts", 100).count())
         timed("group_count_lang", lambda: group_count(spark, enc_dir, "lang").count())
@@ -133,6 +140,19 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         shutil.rmtree(enc_dir, ignore_errors=True)
         shutil.rmtree(enc_dir2, ignore_errors=True)
         shutil.rmtree(enc_tmp, ignore_errors=True)
+
+    # grouped integer aggregate over an encoded testdata table (the
+    # corpus has no int column by design — input_hint shape); resume
+    # makes the one-time encode free on repeat runs
+    docs_enc = os.path.join(
+        tempfile.gettempdir(), f"arcade_bench_docs_{sf}_{n_cores}"
+    )
+    from arcade_spark.encode import encode_job as _ej
+
+    _ej(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), docs_enc,
+        num_parts=n_cores, order_col="doc_id")
+    timed("group_sum_docs", lambda: group_sum(
+        spark, docs_enc, "lang", "n_chars").count())
 
     from arcade_spark.dedup import dedup_minhash_lsh
     from arcade_spark.simsearch import (
