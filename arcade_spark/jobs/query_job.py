@@ -8,10 +8,13 @@ access driven from main), covering every read surface of the engine:
 Subcommands:
 
     scan          [--columns a,b]
-    filter        --column c (--value v | --lo x --hi y | --in v1,v2)
+    filter        --column c (--value v | --lo x --hi y | --in v1,v2 |
+                  --prefix p | --contains s | --suffix s)
                   [--project a,b] [--count-only]
     random-access --ids 1,2,3 [--project a,b]
     group-count   --column c
+    group-sum     --column c --agg-column n
+    distinct      --column c [--count]
     minmax        --column c
     topk          --column c -k 10 [--asc]
     agg           --column c
@@ -37,10 +40,16 @@ def build_query(spark, args):
         column_agg,
         column_minmax,
         column_topk,
+        distinct_count,
+        distinct_values,
         equi_filter,
+        filter_contains,
         filter_in,
+        filter_prefix,
         filter_range,
+        filter_suffix,
         group_count,
+        group_sum,
         random_access,
     )
 
@@ -70,9 +79,15 @@ def build_query(spark, args):
         cols = args.columns.split(",") if args.columns else None
         return scan(spark, args.encoded, columns=cols)
     if args.cmd == "filter":
-        given = [x is not None for x in (args.value, args.lo, args.in_list)]
+        given = [x is not None for x in (
+            args.value, args.lo, args.in_list,
+            args.prefix, args.contains, args.suffix,
+        )]
         if sum(given) != 1:
-            raise SystemExit("filter needs exactly one of --value / --lo+--hi / --in")
+            raise SystemExit(
+                "filter needs exactly one of --value / --lo+--hi / --in "
+                "/ --prefix / --contains / --suffix"
+            )
         if args.value is not None:
             return equi_filter(spark, args.encoded, args.column,
                                coerce(args.value, args.column),
@@ -81,6 +96,15 @@ def build_query(spark, args):
             return filter_in(spark, args.encoded, args.column,
                              [coerce(v, args.column) for v in args.in_list.split(",")],
                              project=proj, count_only=args.count_only)
+        if args.prefix is not None:
+            return filter_prefix(spark, args.encoded, args.column, args.prefix,
+                                 project=proj, count_only=args.count_only)
+        if args.contains is not None:
+            return filter_contains(spark, args.encoded, args.column, args.contains,
+                                   project=proj, count_only=args.count_only)
+        if args.suffix is not None:
+            return filter_suffix(spark, args.encoded, args.column, args.suffix,
+                                 project=proj, count_only=args.count_only)
         if args.hi is None:
             raise SystemExit("--lo requires --hi")
         return filter_range(spark, args.encoded, args.column,
@@ -91,6 +115,12 @@ def build_query(spark, args):
         return random_access(spark, args.encoded, ids, project=proj)
     if args.cmd == "group-count":
         return group_count(spark, args.encoded, args.column)
+    if args.cmd == "group-sum":
+        return group_sum(spark, args.encoded, args.column, args.agg_column)
+    if args.cmd == "distinct":
+        if args.count:
+            return distinct_count(spark, args.encoded, args.column)
+        return distinct_values(spark, args.encoded, args.column)
     if args.cmd == "minmax":
         return column_minmax(spark, args.encoded, args.column)
     if args.cmd == "topk":
@@ -118,6 +148,9 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--lo", default=None)
     f.add_argument("--hi", default=None)
     f.add_argument("--in", dest="in_list", default=None, help="comma-separated IN list")
+    f.add_argument("--prefix", default=None, help="LIKE 'p%%'")
+    f.add_argument("--contains", default=None, help="LIKE '%%s%%'")
+    f.add_argument("--suffix", default=None, help="LIKE '%%s'")
     f.add_argument("--project", default=None)
     f.add_argument("--count-only", action="store_true")
 
@@ -128,6 +161,14 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("group-count", "minmax", "agg"):
         g = sub.add_parser(name)
         g.add_argument("--column", required=True)
+
+    gs = sub.add_parser("group-sum")
+    gs.add_argument("--column", required=True)
+    gs.add_argument("--agg-column", required=True)
+
+    d = sub.add_parser("distinct")
+    d.add_argument("--column", required=True)
+    d.add_argument("--count", action="store_true")
 
     t = sub.add_parser("topk")
     t.add_argument("--column", required=True)

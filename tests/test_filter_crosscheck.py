@@ -11,7 +11,15 @@ import pandas as pd
 import pytest
 
 from arcade_spark.encode import encode_job
-from arcade_spark.readops import equi_filter, filter_and, filter_in, filter_range
+from arcade_spark.readops import (
+    equi_filter,
+    filter_and,
+    filter_contains,
+    filter_in,
+    filter_prefix,
+    filter_range,
+    filter_suffix,
+)
 
 
 def _table(rng: np.random.Generator, n: int) -> pd.DataFrame:
@@ -69,3 +77,33 @@ def test_crosscheck_eq_range_in_and(spark, rand_tables):
                 (pdf["lang"] == lang) & (pdf["x"] >= lo) & (pdf["x"] <= hi), "url"
             ]
             assert sorted(got["url"]) == sorted(want)
+
+
+def test_crosscheck_match_kinds(spark, rand_tables):
+    """prefix / contains / suffix with randomized patterns drawn from
+    actual substrings of the data (so matches are non-vacuous), on both
+    the dict column (lang) and the high-cardinality column (url)."""
+    rng = np.random.default_rng(11)
+    for out, pdf in rand_tables:
+        for col in ("lang", "url"):
+            vals = pdf[col].unique()
+            for _ in range(3):
+                v = str(rng.choice(vals))
+                a = rng.integers(0, max(len(v) - 1, 1) + 1)
+                b = rng.integers(int(a) + 1, len(v) + 1)
+                pat = v[int(a): int(b)]
+
+                got = filter_prefix(spark, out, col, v[: int(b)],
+                                    project=["url"]).toPandas()
+                want = pdf.loc[pdf[col].str.startswith(v[: int(b)]), "url"]
+                assert sorted(got["url"]) == sorted(want), (col, v[: int(b)])
+
+                got = filter_contains(spark, out, col, pat,
+                                      project=["url"]).toPandas()
+                want = pdf.loc[pdf[col].str.contains(pat, regex=False), "url"]
+                assert sorted(got["url"]) == sorted(want), (col, pat)
+
+                got = filter_suffix(spark, out, col, v[int(a):],
+                                    project=["url"]).toPandas()
+                want = pdf.loc[pdf[col].str.endswith(v[int(a):]), "url"]
+                assert sorted(got["url"]) == sorted(want), (col, v[int(a):])

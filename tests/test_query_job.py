@@ -9,6 +9,9 @@ from arcade_spark.encode import encode_job
 
 
 def _ns(**kw):
+    if kw.get("cmd") == "filter":
+        for k in ("value", "lo", "hi", "in_list", "prefix", "contains", "suffix"):
+            kw.setdefault(k, None)
     return argparse.Namespace(**kw)
 
 
@@ -53,6 +56,31 @@ def test_query_job_subcommands(spark, tmp_path_factory):
     df = qj.build_query(spark, _ns(cmd="agg", encoded=out, column="x"))
     row = df.collect()[0]
     assert (row["sum_v"], row["cnt_all"]) == (sum(range(90)), 90)
+
+    df = qj.build_query(spark, _ns(cmd="filter", encoded=out, column="url",
+                                   prefix="u00", project="url", count_only=False))
+    assert df.count() == 10
+
+    df = qj.build_query(spark, _ns(cmd="filter", encoded=out, column="url",
+                                   contains="08", project="url", count_only=False))
+    assert df.count() == 11  # u008 + u080..u089
+
+    df = qj.build_query(spark, _ns(cmd="filter", encoded=out, column="url",
+                                   suffix="7", project="url", count_only=False))
+    assert df.count() == 9
+
+    df = qj.build_query(spark, _ns(cmd="group-sum", encoded=out,
+                                   column="lang", agg_column="x"))
+    got = {r["lang"]: (r["sum_v"], r["cnt"]) for r in df.collect()}
+    assert got["en"] == (sum(range(0, 90, 3)), 30)
+
+    df = qj.build_query(spark, _ns(cmd="distinct", encoded=out,
+                                   column="lang", count=False))
+    assert sorted(r["lang"] for r in df.collect()) == ["de", "en", "fr"]
+
+    df = qj.build_query(spark, _ns(cmd="distinct", encoded=out,
+                                   column="lang", count=True))
+    assert df.collect()[0]["n_distinct"] == 3
 
 
 def test_query_job_main_out(spark, tmp_path_factory):
