@@ -327,6 +327,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
         return group_sum(spark, out, "lang", "n_chars")
 
+    def arcade_group_by(spark, sf_dir):
+        """Multi-column GROUP BY with SUM: composite code-tuple keys,
+        O(distinct tuples) partials and merge shuffle."""
+        _ship_package(spark)
+        from arcade_spark.readops import group_by
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return group_by(spark, out, ["lang", "source"], "n_chars")
+
     def arcade_distinct(spark, sf_dir):
         """SELECT DISTINCT over a dict column — rides the group_count
         partials: chunks emit used dictionary entries only."""
@@ -446,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_sum_avg": arcade_sum_avg,
         "arcade_group_count": arcade_group_count,
         "arcade_group_sum": arcade_group_sum,
+        "arcade_group_by": arcade_group_by,
         "arcade_distinct": arcade_distinct,
         "arcade_distinct_count": arcade_distinct_count,
         "arcade_semijoin": arcade_semijoin,
@@ -703,6 +713,10 @@ def oracle_sql() -> dict[str, str]:
         "arcade_group_sum": (
             "SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_v, "
             "count(*) AS cnt FROM documents GROUP BY lang"
+        ),
+        "arcade_group_by": (
+            "SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS sum_v, "
+            "count(*) AS cnt FROM documents GROUP BY lang, source"
         ),
         "arcade_distinct": "SELECT DISTINCT source FROM documents",
         "arcade_distinct_count": (

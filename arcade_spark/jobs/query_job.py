@@ -14,6 +14,7 @@ Subcommands:
     random-access --ids 1,2,3 [--project a,b]
     group-count   --column c
     group-sum     --column c --agg-column n
+    group-by      --columns a,b [--agg-column n]
     distinct      --column c [--count]
     minmax        --column c
     topk          --column c -k 10 [--asc]
@@ -48,6 +49,7 @@ def build_query(spark, args):
         filter_prefix,
         filter_range,
         filter_suffix,
+        group_by,
         group_count,
         group_sum,
         random_access,
@@ -117,6 +119,9 @@ def build_query(spark, args):
         return group_count(spark, args.encoded, args.column)
     if args.cmd == "group-sum":
         return group_sum(spark, args.encoded, args.column, args.agg_column)
+    if args.cmd == "group-by":
+        return group_by(spark, args.encoded, args.columns.split(","),
+                        agg_col=args.agg_column)
     if args.cmd == "distinct":
         if args.count:
             return distinct_count(spark, args.encoded, args.column)
@@ -165,6 +170,10 @@ def main(argv: list[str] | None = None) -> int:
     gs = sub.add_parser("group-sum")
     gs.add_argument("--column", required=True)
     gs.add_argument("--agg-column", required=True)
+
+    gb = sub.add_parser("group-by")
+    gb.add_argument("--columns", required=True, help="comma-separated group keys")
+    gb.add_argument("--agg-column", default=None)
 
     d = sub.add_parser("distinct")
     d.add_argument("--column", required=True)

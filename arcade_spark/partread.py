@@ -900,6 +900,147 @@ def group_sum_partials(
     return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl), gvt
 
 
+def group_by_partials(
+    spark: SparkSession, out_dir: str, group_cols: list[str],
+    agg_col: str | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Files-mode partials for MULTI-COLUMN ``GROUP BY g1, g2, ...
+    [SUM(agg)], COUNT(*)``: per chunk every group column contributes a
+    per-row code array (bit-packed codes on dict/rle paths — no string
+    materialization; int lanes factorize), the composite key is the
+    code TUPLE (np.unique over the stacked code matrix), and counts /
+    integer sums accumulate per composite key. Only USED per-column
+    codes resolve through their dictionaries. Partials and the merge
+    shuffle are O(distinct tuples), never O(rows).
+
+    Returns (partials_df, vtypes) where partials_df has columns
+    k0..k{n-1} (binary for str lanes, double for canonicalized float
+    keys, long otherwise), plus ``s`` (int64 sum, 0s when agg_col is
+    None) and ``c`` (count). Null semantics: a row joins a group iff
+    EVERY group column is non-null (the group_count contract applied
+    tuple-wise); null agg values are excluded from the sum."""
+    all_cols, parts = load_manifest(out_dir)
+    cols = dict(all_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if len(set(group_cols)) != len(group_cols):
+        raise ValueError("duplicate group columns")
+    vts = []
+    for g in group_cols:
+        if g not in cols:
+            raise KeyError(f"no such column: {g}")
+        vts.append(cols[g])
+    if agg_col is not None:
+        avt = cols.get(agg_col)
+        if avt is None:
+            raise KeyError(f"no such column: {agg_col}")
+        if avt not in ("int", "i32", "i16", "i8"):
+            raise NotImplementedError(
+                "group_by aggregates integer columns only (the "
+                "column_agg exactness contract)"
+            )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from arcade_spark.core import decode_int_block
+        from arcade_spark.gdict import GlobalDictDecoder
+        from arcade_spark.readops import _str_chunk_codes
+
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                cfs = {g: _ColFile(out_dir, int(pid), g) for g in group_cols}
+                cms = {g: cfs[g].meta() for g in group_cols}
+                nb = cms[group_cols[0]].n
+                if any(cms[g].n != nb for g in group_cols):
+                    raise ValueError(f"part {pid}: block count mismatch")
+                rows = np.arange(nb, dtype=np.int64)
+                blobs = {g: cfs[g].payloads(rows, "blob") for g in group_cols}
+                segs = {
+                    g: (cfs[g].payloads(rows, "seg")
+                        if cols[g] in ("str", "binary") else {})
+                    for g in group_cols
+                }
+                if agg_col is not None:
+                    acf = _ColFile(out_dir, int(pid), agg_col)
+                    acm = acf.meta()
+                    if acm.n != nb:
+                        raise ValueError(f"part {pid}: block count mismatch")
+                    ablobs = acf.payloads(rows, "blob")
+                gdecs = {g: GlobalDictDecoder() for g in group_cols}
+                for b in range(nb):
+                    key_codes, resolvers = [], []
+                    cmask = None
+                    for g, vt in zip(group_cols, vts):
+                        meta = cms[g].meta_dict(b, segs[g].get(b, b""))
+                        if vt in ("str", "binary"):
+                            codes, gvalid, resolve = _str_chunk_codes(
+                                gdecs[g], blobs[g][b], meta
+                            )
+                        else:
+                            ib = decode_int_block(blobs[g][b], meta)
+                            gv = ib.values
+                            if vt in ("double", "float"):
+                                gv = gv.copy()
+                                f = gv.view(np.float64)
+                                gv[f == 0.0] = 0
+                                gv[np.isnan(f)] = np.int64(0x7FF8000000000000)
+                            uniq, codes = np.unique(gv, return_inverse=True)
+                            gvalid = ib.validity
+                            resolve = (lambda used, u=uniq: u[used])
+                        key_codes.append(codes.astype(np.int64))
+                        resolvers.append(resolve)
+                        if gvalid is not None:
+                            cmask = gvalid if cmask is None else (cmask & gvalid)
+                    n = len(key_codes[0])
+                    if cmask is None:
+                        cmask = np.ones(n, dtype=bool)
+                    if not cmask.any():
+                        continue
+                    stack = np.stack(key_codes)  # (k, n)
+                    tuples, inv = np.unique(stack, axis=1, return_inverse=True)
+                    width = tuples.shape[1]
+                    cnt = np.bincount(inv[cmask], minlength=width)
+                    sums = np.zeros(width, dtype=np.int64)
+                    if agg_col is not None:
+                        aib = decode_int_block(ablobs[b], acm.meta_dict(b))
+                        smask = (
+                            cmask if aib.validity is None
+                            else (cmask & aib.validity)
+                        )
+                        np.add.at(sums, inv[smask], aib.values[smask])
+                    used = np.nonzero(cnt)[0]
+                    arrays = []
+                    for i, vt in enumerate(vts):
+                        vals = resolvers[i](tuples[i, used])
+                        if vt in ("str", "binary"):
+                            arrays.append(pa.array(list(vals), type=pa.binary()))
+                        elif vt in ("double", "float"):
+                            arrays.append(pa.array(
+                                vals.view(np.float64), type=pa.float64()))
+                        else:
+                            arrays.append(pa.array(
+                                vals.astype(np.int64), type=pa.int64()))
+                    arrays += [
+                        pa.array(sums[used].astype(np.int64)),
+                        pa.array(cnt[used].astype(np.int64)),
+                    ]
+                    yield pa.RecordBatch.from_arrays(
+                        arrays,
+                        names=[f"k{i}" for i in range(len(group_cols))] + ["s", "c"],
+                    )
+
+    def lane(vt: str) -> str:
+        if vt in ("str", "binary"):
+            return "binary"
+        if vt in ("double", "float"):
+            return "double"
+        return "long"
+
+    ddl = ", ".join(
+        [f"k{i} {lane(vt)}" for i, vt in enumerate(vts)] + ["s long", "c long"]
+    )
+    return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl), vts
+
+
 def column_topk_parts(
     spark: SparkSession, out_dir: str, column: str, k: int, descending: bool = True
 ) -> DataFrame:

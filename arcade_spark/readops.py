@@ -1237,6 +1237,51 @@ def group_sum(
     return agg.select(out_col.alias(group_col), "sum_v", "cnt")
 
 
+def _group_key_out(col_expr, vt: str):
+    """Partial-lane value → the column's logical Spark type."""
+    if vt == "str":
+        return col_expr.cast("string")
+    if vt == "binary":
+        return col_expr
+    if vt in ("double", "float"):
+        return col_expr.cast(spark_type_for(vt))
+    if vt in ("ts", "tsntz"):
+        out = F.timestamp_micros(col_expr)
+        return out.cast("timestamp_ntz") if vt == "tsntz" else out
+    if vt == "date":
+        return F.date_from_unix_date(col_expr.cast("int"))
+    return col_expr.cast(spark_type_for(vt))
+
+
+def group_by(
+    spark: SparkSession,
+    out_dir: str,
+    group_cols: list[str],
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Multi-column ``SELECT g1, g2, ..., [sum(agg) AS sum_v,]
+    count(*) AS cnt GROUP BY g1, g2, ...`` on the encoded table: group
+    columns contribute bit-packed codes, the composite key is the code
+    TUPLE, partials and the merge shuffle are O(distinct tuples). A row
+    joins a group iff every group column is non-null; null agg values
+    are excluded from the sum (SQL semantics). Integer agg columns only
+    (the column_agg exactness contract). See partread.group_by_partials."""
+    from arcade_spark.partread import group_by_partials
+
+    partial, vts = group_by_partials(spark, out_dir, group_cols, agg_col)
+    keys = [f"k{i}" for i in range(len(group_cols))]
+    aggs = [F.sum("c").alias("cnt")]
+    if agg_col is not None:
+        aggs.insert(0, F.sum("s").alias("sum_v"))
+    merged = partial.groupBy(*keys).agg(*aggs)
+    out_keys = [
+        _group_key_out(F.col(k), vt).alias(name)
+        for k, vt, name in zip(keys, vts, group_cols)
+    ]
+    tail = (["sum_v"] if agg_col is not None else []) + ["cnt"]
+    return merged.select(*out_keys, *tail)
+
+
 def distinct_values(
     spark: SparkSession, out_dir: str, column: str, mode: str = "files"
 ) -> DataFrame:

@@ -14,6 +14,7 @@ from arcade_spark.readops import (
     distinct_count,
     distinct_values,
     filter_semijoin,
+    group_by,
     group_sum,
 )
 
@@ -101,6 +102,54 @@ def test_group_sum_rejects_float_agg(spark, gs_table):
     out, _ = gs_table
     with pytest.raises(NotImplementedError, match="integer"):
         group_sum(spark, out, "lang", "v")
+
+
+def test_group_by_multi_key_sum(spark, gs_table):
+    """Composite key (str, str-ish int) with SUM: a row joins a group
+    iff EVERY key column is non-null."""
+    out, pdf = gs_table
+    got = (
+        group_by(spark, out, ["lang", "x"], "x").toPandas()
+        .sort_values(["lang", "x"]).reset_index(drop=True)
+    )
+    want = (
+        pdf.dropna(subset=["lang"])
+        .groupby(["lang", "x"])
+        .agg(sum_v=("x", "sum"), cnt=("x", "size"))
+        .reset_index()
+        .sort_values(["lang", "x"])
+        .reset_index(drop=True)
+    )
+    assert (got["lang"] == want["lang"]).all()
+    assert (got["x"].to_numpy() == want["x"].to_numpy()).all()
+    assert (got["sum_v"].to_numpy() == want["sum_v"].to_numpy()).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+
+def test_group_by_count_only_and_float_key(spark, gs_table):
+    out, pdf = gs_table
+    got = (
+        group_by(spark, out, ["lang", "v"]).toPandas()
+        .sort_values(["lang", "v"]).reset_index(drop=True)
+    )
+    want = (
+        pdf.dropna(subset=["lang"])
+        .groupby(["lang", "v"])
+        .agg(cnt=("v", "size"))
+        .reset_index()
+        .sort_values(["lang", "v"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["lang", "v", "cnt"]
+    assert (got["lang"] == want["lang"]).all()
+    assert np.allclose(got["v"], want["v"])
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+
+def test_group_by_rejects_duplicates(spark, gs_table):
+    out, _ = gs_table
+    with pytest.raises(ValueError, match="duplicate"):
+        group_by(spark, out, ["lang", "lang"])
 
 
 def test_distinct_values_and_count(spark, gs_table):

@@ -82,6 +82,10 @@ def test_query_job_subcommands(spark, tmp_path_factory):
                                    column="lang", count=True))
     assert df.collect()[0]["n_distinct"] == 3
 
+    df = qj.build_query(spark, _ns(cmd="group-by", encoded=out,
+                                   columns="lang,url", agg_column="x"))
+    assert df.count() == 90 and df.columns == ["lang", "url", "sum_v", "cnt"]
+
 
 def test_query_job_main_out(spark, tmp_path_factory):
     import arcade_spark.jobs.query_job as qj
