@@ -402,6 +402,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return inner
 
+    def _ann_sq_indexed(spark, sf_dir):
+        """Quantized-scan ANN against a PERSISTED int8 code index (the
+        at-scale shape: the scan reads 1/8 the bytes and vectors join
+        in only for the re-rank pool). Same oracle as ann_sq_topk —
+        the indexed path returns identical rows by construction."""
+        _ship_package(spark)
+        from arcade_spark.manifest import FORMAT_REV
+        from arcade_spark.simsearch import ann_sq_topk as _sq, build_sq_index
+
+        key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        idx = os.path.join(
+            tempfile.gettempdir(), f"arcade_entry_cache_v{FORMAT_REV}", key,
+            "sq_index",
+        )
+        if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+            build_sq_index(spark, sf_dir, idx)
+        return _sq(spark, sf_dir, index_dir=idx)
+
     from arcade_spark.dedup import (
         dedup_exact,
         dedup_minhash_lsh,
@@ -474,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _wrap(ann_lsh_topk),
         "ann_lsh_recall": _wrap(ann_lsh_recall),
         "ann_sq_topk": _wrap(ann_sq_topk),
+        "ann_sq_indexed": _ann_sq_indexed,
         "ann_sq_recall": _wrap(ann_sq_recall),
         "embedding_cosine_pairs": _wrap(embedding_cosine_pairs),
         "media_meta": _wrap(media_meta),
@@ -892,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_recall": _ann_lsh_recall_oracle(),
         "ann_sq_topk": _ann_sq_topk_oracle(),
+        "ann_sq_indexed": _ann_sq_topk_oracle(),
         "ann_sq_recall": _ann_sq_recall_oracle(),
         "media_meta": """
             SELECT doc_id,

@@ -289,28 +289,53 @@ def _sq_codes(df: DataFrame, src_col: str = "embedding"):
     )
 
 
-def ann_sq_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+def build_sq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> str:
+    """Persist the scalar-quantization index: (vec_id, code8
+    array<tinyint>) parquet — 1/8 the bytes of the fp64 vectors. At
+    100 TB this is the table the ANN scan actually reads; the full
+    vectors are fetched only for the tiny re-rank pool (late
+    materialization, same philosophy as the encoded table's match-level
+    projection decode). Codes fit int8 by construction (|code| ≤ 127,
+    see _sq_codes), so the cast is lossless."""
+    codes = _sq_codes(_embeddings(spark, sf_dir)).select(
+        "vec_id",
+        F.transform(F.col("code"), lambda x: x.cast("tinyint")).alias("code8"),
+    )
+    codes.write.mode("overwrite").parquet(index_dir)
+    return index_dir
+
+
+def ann_sq_topk(
+    spark: SparkSession, sf_dir: str, dim: int = 64, index_dir: str | None = None
+) -> DataFrame:
     """Quantized-scan ANN — the ≥0.9-recall scale path for corpora
     whose neighbors are NOT close (where LSH/IVF pruning provably can't
     reach high recall at a bounded probe budget; see _lsh_candidates):
 
-    1. store int8-range codes per vector (8× fewer bytes than fp64 —
-       at 100 TB the scan reads codes only);
+    1. int8-range codes per vector (8× fewer bytes than fp64 — pass
+       ``index_dir`` from build_sq_index to scan a PERSISTED code table
+       and never touch the vectors until re-rank);
     2. scan ALL codes with integer dot products against the query's
        codes, keep the top SQ_CAND_FACTOR·TOPK candidates by
-       norm-corrected approximate score;
-    3. exact-cosine re-rank of the candidate pool only.
+       norm-corrected approximate score — only (vec_id, query_id,
+       approx) enters the top-k shuffle, vectors never ride along;
+    3. exact-cosine re-rank of the candidate pool only (vectors joined
+       in for ≤ SQ_CAND_FACTOR·TOPK·N_QUERIES rows).
 
     Measured recall vs exact top-10: 1.0 at sf0.001 and sf0.01 (the
-    oracle-verified ``ann_sq_recall``). Scan cost = 12.5% of the raw
-    bytes — under the 25% budget the probed-fraction rule sets for the
-    LSH path. The candidate ordering is integer-exact (see _sq_codes),
-    so the DuckDB oracle reproduces the same pool bit-for-bit."""
-    emb = _sq_codes(_embeddings(spark, sf_dir))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qv"),
-        F.col("code").alias("qcode"),
+    oracle-verified ``ann_sq_recall``). The candidate ordering is
+    integer-exact (see _sq_codes), so the DuckDB oracle reproduces the
+    same pool bit-for-bit; the indexed and on-the-fly paths return
+    identical rows."""
+    if index_dir is not None:
+        codes = spark.read.parquet(index_dir).select(
+            "vec_id",
+            F.transform(F.col("code8"), lambda x: x.cast("long")).alias("code"),
+        )
+    else:
+        codes = _sq_codes(_embeddings(spark, sf_dir)).select("vec_id", "code")
+    qcodes = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
     )
     intdot = F.aggregate(
         F.zip_with(F.col("code"), F.col("qcode"), lambda x, y: x * y),
@@ -323,21 +348,31 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
         lambda acc, v: acc + v,
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        codes.crossJoin(F.broadcast(qcodes))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "approx",
             intdot.cast("double") / F.sqrt(F.greatest(n2.cast("double"), F.lit(1.0))),
         )
+        .select("query_id", "vec_id", "approx")
     )
     wc = Window.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("vec_id").asc())
     pool = (
         scored.withColumn("crank", F.row_number().over(wc))
         .filter(F.col("crank") <= SQ_CAND_FACTOR * TOPK)
+        .select("query_id", "vec_id")
+    )
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        pool.withColumn("cos", _cosine(F.col("e"), F.col("qv")))
+        pool.join(vecs, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", _cosine(F.col("e"), F.col("qv")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))

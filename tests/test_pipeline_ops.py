@@ -92,6 +92,24 @@ def test_ann_sq_matches_brute_force(spark):
     assert sq == brute
 
 
+def test_ann_sq_index_persisted(spark, tmp_path):
+    """The persisted int8 code index returns IDENTICAL rows to the
+    on-the-fly path, and the stored codes are tinyint (1/8 the vector
+    bytes at scale)."""
+    from arcade_spark.simsearch import ann_sq_topk, build_sq_index
+
+    idx = str(tmp_path / "sqidx")
+    build_sq_index(spark, SF, idx)
+    stored = spark.read.parquet(idx)
+    assert dict(stored.dtypes)["code8"] == "array<tinyint>"
+    direct = {(r.query_id, r.rank, r.neighbor_id) for r in ann_sq_topk(spark, SF).collect()}
+    indexed = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ann_sq_topk(spark, SF, index_dir=idx).collect()
+    }
+    assert indexed == direct
+
+
 def test_pair_candidates_shuffle_ids_only(spark):
     """Round-3 plan audit: the LSH banding/candidate stage of
     embedding_cosine_pairs must not carry the embedding vectors —
