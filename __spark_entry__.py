@@ -735,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_group_by": (
             "SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS sum_v, "
+            "min(n_chars) AS min_v, max(n_chars) AS max_v, "
             "count(*) AS cnt FROM documents GROUP BY lang, source"
         ),
         "arcade_distinct": "SELECT DISTINCT source FROM documents",

@@ -915,10 +915,11 @@ def group_by_partials(
 
     Returns (partials_df, vtypes) where partials_df has columns
     k0..k{n-1} (binary for str lanes, double for canonicalized float
-    keys, long otherwise), plus ``s`` (int64 sum, 0s when agg_col is
-    None) and ``c`` (count). Null semantics: a row joins a group iff
-    EVERY group column is non-null (the group_count contract applied
-    tuple-wise); null agg values are excluded from the sum."""
+    keys, long otherwise), plus ``s``/``mn``/``mx`` (int64 sum/min/max,
+    null mn/mx when a group has no valid agg values in the chunk) and
+    ``c`` (count). Null semantics: a row joins a group iff EVERY group
+    column is non-null (the group_count contract applied tuple-wise);
+    null agg values are excluded from sum/min/max."""
     all_cols, parts = load_manifest(out_dir)
     cols = dict(all_cols)
     if not group_cols:
@@ -1000,6 +1001,9 @@ def group_by_partials(
                     width = tuples.shape[1]
                     cnt = np.bincount(inv[cmask], minlength=width)
                     sums = np.zeros(width, dtype=np.int64)
+                    mins = np.full(width, np.iinfo(np.int64).max, dtype=np.int64)
+                    maxs = np.full(width, np.iinfo(np.int64).min, dtype=np.int64)
+                    acnt = np.zeros(width, dtype=np.int64)
                     if agg_col is not None:
                         aib = decode_int_block(ablobs[b], acm.meta_dict(b))
                         smask = (
@@ -1007,6 +1011,9 @@ def group_by_partials(
                             else (cmask & aib.validity)
                         )
                         np.add.at(sums, inv[smask], aib.values[smask])
+                        np.minimum.at(mins, inv[smask], aib.values[smask])
+                        np.maximum.at(maxs, inv[smask], aib.values[smask])
+                        acnt = np.bincount(inv[smask], minlength=width)
                     used = np.nonzero(cnt)[0]
                     arrays = []
                     for i, vt in enumerate(vts):
@@ -1019,13 +1026,17 @@ def group_by_partials(
                         else:
                             arrays.append(pa.array(
                                 vals.astype(np.int64), type=pa.int64()))
+                    has_agg = acnt[used] > 0
                     arrays += [
                         pa.array(sums[used].astype(np.int64)),
+                        pa.array(mins[used].astype(np.int64), mask=~has_agg),
+                        pa.array(maxs[used].astype(np.int64), mask=~has_agg),
                         pa.array(cnt[used].astype(np.int64)),
                     ]
                     yield pa.RecordBatch.from_arrays(
                         arrays,
-                        names=[f"k{i}" for i in range(len(group_cols))] + ["s", "c"],
+                        names=[f"k{i}" for i in range(len(group_cols))]
+                        + ["s", "mn", "mx", "c"],
                     )
 
     def lane(vt: str) -> str:
@@ -1036,7 +1047,8 @@ def group_by_partials(
         return "long"
 
     ddl = ", ".join(
-        [f"k{i} {lane(vt)}" for i, vt in enumerate(vts)] + ["s long", "c long"]
+        [f"k{i} {lane(vt)}" for i, vt in enumerate(vts)]
+        + ["s long", "mn long", "mx long", "c long"]
     )
     return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl), vts
 

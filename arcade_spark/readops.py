@@ -1259,26 +1259,33 @@ def group_by(
     group_cols: list[str],
     agg_col: str | None = None,
 ) -> DataFrame:
-    """Multi-column ``SELECT g1, g2, ..., [sum(agg) AS sum_v,]
-    count(*) AS cnt GROUP BY g1, g2, ...`` on the encoded table: group
-    columns contribute bit-packed codes, the composite key is the code
-    TUPLE, partials and the merge shuffle are O(distinct tuples). A row
-    joins a group iff every group column is non-null; null agg values
-    are excluded from the sum (SQL semantics). Integer agg columns only
-    (the column_agg exactness contract). See partread.group_by_partials."""
+    """Multi-column ``SELECT g1, g2, ..., [sum(agg) AS sum_v, min(agg)
+    AS min_v, max(agg) AS max_v,] count(*) AS cnt GROUP BY g1, g2,
+    ...`` on the encoded table: group columns contribute bit-packed
+    codes, the composite key is the code TUPLE, partials and the merge
+    shuffle are O(distinct tuples). A row joins a group iff every group
+    column is non-null; null agg values are excluded from sum/min/max
+    (SQL semantics — a group with no valid agg values reports null
+    min/max). Integer agg columns only (the column_agg exactness
+    contract; min/max of ints are trivially exact). See
+    partread.group_by_partials."""
     from arcade_spark.partread import group_by_partials
 
     partial, vts = group_by_partials(spark, out_dir, group_cols, agg_col)
     keys = [f"k{i}" for i in range(len(group_cols))]
     aggs = [F.sum("c").alias("cnt")]
     if agg_col is not None:
-        aggs.insert(0, F.sum("s").alias("sum_v"))
+        aggs = [
+            F.sum("s").alias("sum_v"),
+            F.min("mn").alias("min_v"),
+            F.max("mx").alias("max_v"),
+        ] + aggs
     merged = partial.groupBy(*keys).agg(*aggs)
     out_keys = [
         _group_key_out(F.col(k), vt).alias(name)
         for k, vt, name in zip(keys, vts, group_cols)
     ]
-    tail = (["sum_v"] if agg_col is not None else []) + ["cnt"]
+    tail = (["sum_v", "min_v", "max_v"] if agg_col is not None else []) + ["cnt"]
     return merged.select(*out_keys, *tail)
 
 

@@ -115,15 +115,17 @@ def test_group_by_multi_key_sum(spark, gs_table):
     want = (
         pdf.dropna(subset=["lang"])
         .groupby(["lang", "x"])
-        .agg(sum_v=("x", "sum"), cnt=("x", "size"))
+        .agg(sum_v=("x", "sum"), min_v=("x", "min"), max_v=("x", "max"),
+             cnt=("x", "size"))
         .reset_index()
         .sort_values(["lang", "x"])
         .reset_index(drop=True)
     )
+    assert list(got.columns) == ["lang", "x", "sum_v", "min_v", "max_v", "cnt"]
     assert (got["lang"] == want["lang"]).all()
     assert (got["x"].to_numpy() == want["x"].to_numpy()).all()
-    assert (got["sum_v"].to_numpy() == want["sum_v"].to_numpy()).all()
-    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    for c in ("sum_v", "min_v", "max_v", "cnt"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
 
 
 def test_group_by_count_only_and_float_key(spark, gs_table):
@@ -144,6 +146,25 @@ def test_group_by_count_only_and_float_key(spark, gs_table):
     assert (got["lang"] == want["lang"]).all()
     assert np.allclose(got["v"], want["v"])
     assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+
+def test_group_by_all_null_agg_group(spark, tmp_path):
+    """A group whose agg values are ALL null reports sum 0, null
+    min/max, and the full row count (SQL aggregate-over-empty rules)."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 50 + ["b"] * 50,
+            "n": pd.array([1] * 50 + [None] * 50, dtype="Int64"),
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    out = str(tmp_path / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=16, order_col="k")
+    got = {r["k"]: r for r in group_by(spark, out, ["k"], "n").collect()}
+    assert (got["a"]["sum_v"], got["a"]["min_v"], got["a"]["max_v"],
+            got["a"]["cnt"]) == (50, 1, 1, 50)
+    assert (got["b"]["sum_v"], got["b"]["min_v"], got["b"]["max_v"],
+            got["b"]["cnt"]) == (0, None, None, 50)
 
 
 def test_group_by_rejects_duplicates(spark, gs_table):

@@ -84,7 +84,8 @@ def test_query_job_subcommands(spark, tmp_path_factory):
 
     df = qj.build_query(spark, _ns(cmd="group-by", encoded=out,
                                    columns="lang,url", agg_column="x"))
-    assert df.count() == 90 and df.columns == ["lang", "url", "sum_v", "cnt"]
+    assert df.count() == 90
+    assert df.columns == ["lang", "url", "sum_v", "min_v", "max_v", "cnt"]
 
 
 def test_query_job_main_out(spark, tmp_path_factory):
