@@ -873,8 +873,12 @@ def group_sum_partials(
                     cnt = np.bincount(codes[cmask], minlength=width)
                     sums = np.zeros(width, dtype=np.int64)
                     np.add.at(sums, codes[smask], av[smask])
+                    acnt = np.bincount(codes[smask], minlength=width)
                     used = np.nonzero(cnt)[0]
                     vals = resolve(used)
+                    # SQL SUM over zero valid values is NULL — null-mask
+                    # chunk partials so the merge's sum skips them
+                    s_mask = acnt[used] == 0
                     if g_str:
                         key = pa.array(list(vals), type=pa.binary())
                         names = ["value_bin", "s", "c"]
@@ -886,7 +890,7 @@ def group_sum_partials(
                         names = ["value_int", "s", "c"]
                     yield pa.RecordBatch.from_arrays(
                         [key,
-                         pa.array(sums[used].astype(np.int64)),
+                         pa.array(sums[used].astype(np.int64), mask=s_mask),
                          pa.array(cnt[used].astype(np.int64))],
                         names=names,
                     )

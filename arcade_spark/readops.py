@@ -1276,7 +1276,9 @@ def group_by(
     aggs = [F.sum("c").alias("cnt")]
     if agg_col is not None:
         aggs = [
-            F.sum("s").alias("sum_v"),
+            # SQL SUM over zero valid values is NULL, not 0 — a group
+            # has valid agg values iff its min partial survived
+            F.when(F.min("mn").isNotNull(), F.sum("s")).alias("sum_v"),
             F.min("mn").alias("min_v"),
             F.max("mx").alias("max_v"),
         ] + aggs

@@ -149,8 +149,8 @@ def test_group_by_count_only_and_float_key(spark, gs_table):
 
 
 def test_group_by_all_null_agg_group(spark, tmp_path):
-    """A group whose agg values are ALL null reports sum 0, null
-    min/max, and the full row count (SQL aggregate-over-empty rules)."""
+    """A group whose agg values are ALL null reports null sum/min/max
+    and the full row count (SQL aggregate-over-empty rules)."""
     pdf = pd.DataFrame(
         {
             "k": ["a"] * 50 + ["b"] * 50,
@@ -164,7 +164,11 @@ def test_group_by_all_null_agg_group(spark, tmp_path):
     assert (got["a"]["sum_v"], got["a"]["min_v"], got["a"]["max_v"],
             got["a"]["cnt"]) == (50, 1, 1, 50)
     assert (got["b"]["sum_v"], got["b"]["min_v"], got["b"]["max_v"],
-            got["b"]["cnt"]) == (0, None, None, 50)
+            got["b"]["cnt"]) == (None, None, None, 50)
+
+    gs = {r["k"]: r for r in group_sum(spark, out, "k", "n").collect()}
+    assert (gs["a"]["sum_v"], gs["a"]["cnt"]) == (50, 50)
+    assert (gs["b"]["sum_v"], gs["b"]["cnt"]) == (None, 50)
 
 
 def test_group_by_rejects_duplicates(spark, gs_table):
