@@ -239,6 +239,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, out, "text", "the", project=["doc_id", "n_chars"]
         )
 
+    def arcade_filter_like(spark, sf_dir):
+        """Full SQL LIKE (% and _ wildcards): one anchored RE2 per
+        dictionary ENTRY, zone prune on the literal prefix."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_like
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return filter_like(
+            spark, out, "source", "src1_", project=["doc_id", "lang"]
+        )
+
     def arcade_filter_suffix(spark, sf_dir):
         """LIKE '%s' via Arrow ends_with over dictionary entries."""
         _ship_package(spark)
@@ -465,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_prefix": arcade_filter_prefix,
         "arcade_filter_contains": arcade_filter_contains,
         "arcade_filter_suffix": arcade_filter_suffix,
+        "arcade_filter_like": arcade_filter_like,
         "arcade_minmax": arcade_minmax,
         "arcade_minmax_double": arcade_minmax_double,
         "arcade_minmax_str": arcade_minmax_str,
@@ -782,6 +794,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_filter_suffix": (
             "SELECT event_id, user_id FROM events WHERE event_type LIKE '%iew'"
+        ),
+        "arcade_filter_like": (
+            "SELECT doc_id, lang FROM documents WHERE source LIKE 'src1_'"
         ),
         "arcade_minmax": (
             "SELECT min(n_chars) AS min_v, max(n_chars) AS max_v, "

@@ -9,7 +9,7 @@ Subcommands:
 
     scan          [--columns a,b]
     filter        --column c (--value v | --lo x --hi y | --in v1,v2 |
-                  --prefix p | --contains s | --suffix s)
+                  --prefix p | --contains s | --suffix s | --like pat)
                   [--project a,b] [--count-only]
     random-access --ids 1,2,3 [--project a,b]
     group-count   --column c
@@ -46,6 +46,7 @@ def build_query(spark, args):
         equi_filter,
         filter_contains,
         filter_in,
+        filter_like,
         filter_prefix,
         filter_range,
         filter_suffix,
@@ -83,12 +84,12 @@ def build_query(spark, args):
     if args.cmd == "filter":
         given = [x is not None for x in (
             args.value, args.lo, args.in_list,
-            args.prefix, args.contains, args.suffix,
+            args.prefix, args.contains, args.suffix, args.like,
         )]
         if sum(given) != 1:
             raise SystemExit(
                 "filter needs exactly one of --value / --lo+--hi / --in "
-                "/ --prefix / --contains / --suffix"
+                "/ --prefix / --contains / --suffix / --like"
             )
         if args.value is not None:
             return equi_filter(spark, args.encoded, args.column,
@@ -107,6 +108,9 @@ def build_query(spark, args):
         if args.suffix is not None:
             return filter_suffix(spark, args.encoded, args.column, args.suffix,
                                  project=proj, count_only=args.count_only)
+        if args.like is not None:
+            return filter_like(spark, args.encoded, args.column, args.like,
+                               project=proj, count_only=args.count_only)
         if args.hi is None:
             raise SystemExit("--lo requires --hi")
         return filter_range(spark, args.encoded, args.column,
@@ -156,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--prefix", default=None, help="LIKE 'p%%'")
     f.add_argument("--contains", default=None, help="LIKE '%%s%%'")
     f.add_argument("--suffix", default=None, help="LIKE '%%s'")
+    f.add_argument("--like", default=None, help="full LIKE pattern (%% and _)")
     f.add_argument("--project", default=None)
     f.add_argument("--count-only", action="store_true")
 

@@ -200,13 +200,16 @@ def _zone_keep_np(pred, cm: _ColMeta) -> np.ndarray:
     Zones exclude nulls (FORMAT_REV 8), and nulls never satisfy a
     negation either, so the proof covers exactly the candidate rows."""
     if pred.kind in ("contains", "suffix") or (
-        pred.negated and pred.kind == "prefix"
+        pred.negated and pred.kind in ("prefix", "like")
     ):
         # contains/suffix: any value can match regardless of zone
-        # bounds; negated prefix: the all-match proof over truncated
-        # prefixes is subtle — never prune
+        # bounds; negated prefix/like: the all-match proof over
+        # truncated prefixes is subtle — never prune
         return np.ones(cm.n, dtype=bool)
-    if pred.kind == "prefix":
+    if pred.kind == "like" and pred.lob is None:
+        # pattern starts with a wildcard: no literal prefix to prune on
+        return np.ones(cm.n, dtype=bool)
+    if pred.kind in ("prefix", "like"):
         keep = np.ones(cm.n, dtype=bool)
         for i in range(cm.n):
             mb, xb = cm.min_bin[i], cm.max_bin[i]

@@ -273,6 +273,56 @@ class _StrRangeState(_MaskState):
         return m.to_numpy(zero_copy_only=False).astype(bool)
 
 
+_RE2_META = set(b"\\+*?()|[]{}^$.#&~-")
+
+
+def _like_to_regex(pattern: bytes) -> bytes:
+    """SQL LIKE pattern → anchored RE2: ``%`` → ``.*``, ``_`` → ``.``,
+    everything else escaped byte-wise. ``(?s)`` so ``_``/``%`` match
+    newline bytes too (SQL wildcards are byte wildcards). No escape
+    character (``\\%``) — use filter_contains for literal percent
+    signs."""
+    out = bytearray(b"(?s)^")
+    for byte in pattern:
+        b = bytes([byte])
+        if b == b"%":
+            out += b".*"
+        elif b == b"_":
+            out += b"."
+        elif byte in _RE2_META:
+            out += b"\\" + b
+        else:
+            out += b
+    out += b"$"
+    return bytes(out)
+
+
+def _like_literal_prefix(pattern: bytes) -> bytes:
+    """The literal prefix of a LIKE pattern before the first wildcard
+    (may be empty) — the zone-prunable part."""
+    for i, byte in enumerate(pattern):
+        if byte in (0x25, 0x5F):  # % _
+            return pattern[:i]
+    return pattern
+
+
+class _StrLikeState(_MaskState):
+    """Full SQL LIKE: the translated RE2 runs once per dictionary
+    ENTRY (Arrow match_substring_regex); rows match through codes."""
+
+    def __init__(self, pattern: bytes):
+        super().__init__()
+        self.regex = _like_to_regex(pattern)
+
+    def _flags(self, arr) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        m = pc.match_substring_regex(arr, pattern=self.regex)
+        return m.to_numpy(zero_copy_only=False).astype(bool)
+
+
 class _StrMatchState(_MaskState):
     """prefix / contains / suffix (``LIKE 'p%'`` / ``'%s%'`` / ``'%s'``):
     Arrow C-side ``starts_with`` / ``match_substring`` / ``ends_with``
@@ -358,7 +408,7 @@ def _preds_to_spec(preds: list[tuple]) -> list[tuple[str, tuple]]:
     spec = []
     for p in preds:
         if p[0] in ("eq", "neq", "prefix", "not_prefix", "contains",
-                    "not_contains", "suffix", "not_suffix"):
+                    "not_contains", "suffix", "not_suffix", "like", "not_like"):
             spec.append((p[1], (p[0], p[2])))
         elif p[0] in ("range", "not_range"):
             spec.append((p[1], (p[0], p[2], p[3])))
@@ -505,6 +555,26 @@ def filter_contains(
     )
 
 
+def filter_like(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    pattern,
+    project: list[str] | None = None,
+    count_only: bool = False,
+    mode: str = "files",
+) -> DataFrame:
+    """Full SQL ``WHERE column LIKE pattern`` (``%`` and ``_``
+    wildcards, no escape character): the pattern translates to one
+    anchored RE2 evaluated once per dictionary ENTRY, rows match
+    through bit-packed codes, and zone maps prune on the literal prefix
+    before the first wildcard. ``filter_prefix`` / ``filter_contains``
+    / ``filter_suffix`` are the specialized fast forms."""
+    return _dispatch_filter(
+        spark, out_dir, [(column, ("like", pattern))], project, count_only, mode
+    )
+
+
 def filter_suffix(
     spark: SparkSession,
     out_dir: str,
@@ -571,11 +641,26 @@ class _Pred:
         # nulls satisfy neither x = v nor x <> v)
         _neg_map = {"neq": "eq", "not_in": "in", "not_range": "range",
                     "not_prefix": "prefix", "not_contains": "contains",
-                    "not_suffix": "suffix"}
+                    "not_suffix": "suffix", "not_like": "like"}
         self.negated = pred[0] in _neg_map
         if self.negated:
             pred = (_neg_map[pred[0]], *pred[1:])
         self.kind = pred[0]
+        if self.kind == "like":
+            if not self.is_str:
+                raise ValueError(
+                    f"like predicates apply to string/binary columns "
+                    f"only; {column!r} is {vtype}"
+                )
+            self.pattern = _encode_bound(pred[1])
+            if not self.pattern:
+                raise ValueError("like pattern must be non-empty")
+            # zone envelope from the literal prefix before the first
+            # wildcard: every match lies in [prefix, next_prefix(prefix))
+            lit = _like_literal_prefix(self.pattern)
+            self.lob = lit if lit else None
+            self.hib = _prefix_upper(lit) if lit else None
+            return
         if self.kind in ("prefix", "contains", "suffix"):
             if not self.is_str:
                 raise ValueError(
@@ -690,6 +775,9 @@ class _Pred:
         if self.kind in ("contains", "suffix"):
             # any value can match regardless of its zone bounds
             return F.lit(True)
+        if self.is_str and self.lob is None:
+            # LIKE starting with a wildcard: no literal prefix to prune on
+            return F.lit(True)
         if self.is_str:
             lo_lit = F.lit(bytearray(self.lob))
             max_prune = F.col("max_exact") & (lo_lit > F.col("max_bin"))
@@ -709,6 +797,8 @@ class _Pred:
             return _StrFilterState(self.lob)
         if self.kind == "in":
             return _StrInState(self.in_vals)
+        if self.kind == "like":
+            return _StrLikeState(self.pattern)
         if self.kind in ("prefix", "contains", "suffix"):
             return _StrMatchState(self.kind, self.pattern)
         return _StrRangeState(self.lob, self.hib)

@@ -10,7 +10,8 @@ from arcade_spark.encode import encode_job
 
 def _ns(**kw):
     if kw.get("cmd") == "filter":
-        for k in ("value", "lo", "hi", "in_list", "prefix", "contains", "suffix"):
+        for k in ("value", "lo", "hi", "in_list", "prefix", "contains",
+                  "suffix", "like"):
             kw.setdefault(k, None)
     return argparse.Namespace(**kw)
 
@@ -68,6 +69,10 @@ def test_query_job_subcommands(spark, tmp_path_factory):
     df = qj.build_query(spark, _ns(cmd="filter", encoded=out, column="url",
                                    suffix="7", project="url", count_only=False))
     assert df.count() == 9
+
+    df = qj.build_query(spark, _ns(cmd="filter", encoded=out, column="url",
+                                   like="u_1%", project="url", count_only=False))
+    assert df.count() == 10  # u010..u019
 
     df = qj.build_query(spark, _ns(cmd="group-sum", encoded=out,
                                    column="lang", agg_column="x"))

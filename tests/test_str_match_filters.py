@@ -12,9 +12,11 @@ import pytest
 
 from arcade_spark.encode import encode_job
 from arcade_spark.readops import (
+    _like_to_regex,
     _prefix_upper,
     filter_contains,
     filter_dnf,
+    filter_like,
     filter_prefix,
     filter_suffix,
 )
@@ -148,6 +150,62 @@ def test_prefix_zone_pruning_observable(spark, tmp_path):
     assert int(rows["matches"].sum()) == len(
         [k for k in pdf["k"] if k.startswith("key0001")]
     )
+    assert int(rows["zone_skipped"].sum()) >= rows.shape[0] - 3
+
+
+def test_like_to_regex():
+    assert _like_to_regex(b"a%b_c.d") == b"(?s)^a.*b.c\\.d$"
+    assert _like_to_regex(b"%") == b"(?s)^.*$"
+    assert _like_to_regex(b"[x](y)") == b"(?s)^\\[x\\]\\(y\\)$"
+
+
+def _like_re(pat: str) -> str:
+    import re as _re
+
+    return "^" + "".join(
+        ".*" if c == "%" else "." if c == "_" else _re.escape(c) for c in pat
+    ) + "$"
+
+
+def test_like_patterns(spark, match_table):
+    """Full LIKE with both wildcards on dict and plain/fsst columns,
+    including a wildcard-leading pattern (no zone prune possible)."""
+    out, pdf = match_table
+    cases = [
+        ("lang", "e_"),            # matches en/es/el, not en-GB
+        ("lang", "en%"),
+        ("lang", "%-__"),          # wildcard-leading
+        ("url", "https://h_.example.org/p/1%"),
+        ("url", "%/p/4_"),
+    ]
+    for col, pat in cases:
+        got = filter_like(spark, out, col, pat, project=["url"]).toPandas()
+        base = pdf[col].fillna("") if col == "lang" else pdf[col]
+        want = pdf.loc[base.str.match(_like_re(pat)), "url"]
+        assert sorted(got["url"]) == sorted(want), (col, pat)
+
+
+def test_not_like_null_semantics(spark, match_table):
+    out, pdf = match_table
+    got = filter_dnf(
+        spark, out, [[("not_like", "lang", "e%")]], project=["url"]
+    ).toPandas()
+    want = pdf.loc[
+        pdf["lang"].notna() & ~_langs(pdf).str.startswith("e"), "url"
+    ]
+    assert sorted(got["url"]) == sorted(want)
+
+
+def test_like_zone_pruning_on_literal_prefix(spark, tmp_path):
+    n = 4000
+    pdf = pd.DataFrame(
+        {"k": [f"key{i:06d}" for i in range(n)], "x": np.arange(n, dtype=np.int64)}
+    )
+    src = spark.createDataFrame(pdf)
+    out = str(tmp_path / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=200, order_col="k")
+    rows = filter_like(spark, out, "k", "key0001__", count_only=True).toPandas()
+    assert int(rows["matches"].sum()) == 100
     assert int(rows["zone_skipped"].sum()) >= rows.shape[0] - 3
 
 
