@@ -387,6 +387,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             project=["l_orderkey", "l_quantity", "l_extendedprice"],
         )
 
+    def arcade_table_count(spark, sf_dir):
+        """count(*) from the manifest alone — no column files read."""
+        _ship_package(spark)
+        from arcade_spark.readops import table_count
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return table_count(spark, out)
+
+    def arcade_null_count(spark, sf_dir):
+        """count(*) / count(col) / null count from chunk metadata
+        (n_values + n_nulls) — KB per partition, no payload bytes."""
+        _ship_package(spark)
+        from arcade_spark.readops import column_null_count
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return column_null_count(spark, out, "text")
+
     def arcade_codec_report(spark, sf_dir):
         """Metadata queryability (the reference's struct D is opaque
         bytes; our chunk headers are rows): per-column codec histogram +
@@ -489,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_distinct": arcade_distinct,
         "arcade_distinct_count": arcade_distinct_count,
         "arcade_semijoin": arcade_semijoin,
+        "arcade_table_count": arcade_table_count,
+        "arcade_null_count": arcade_null_count,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
@@ -751,6 +770,11 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS cnt FROM documents GROUP BY lang, source"
         ),
         "arcade_distinct": "SELECT DISTINCT source FROM documents",
+        "arcade_table_count": "SELECT count(*) AS cnt FROM documents",
+        "arcade_null_count": (
+            "SELECT count(*) AS cnt, count(text) AS n_valid, "
+            "count(*) - count(text) AS n_nulls FROM documents"
+        ),
         "arcade_distinct_count": (
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
             "FROM events"

@@ -1216,6 +1216,43 @@ def column_agg_parts(spark: SparkSession, out_dir: str, column: str) -> DataFram
     )
 
 
+def column_null_count_parts(
+    spark: SparkSession, out_dir: str, column: str
+) -> DataFrame:
+    """``SELECT count(*), count(col), count(*) - count(col)`` from
+    chunk METADATA only: each task reads the column file's
+    (n_values, n_nulls) columns — a few KB per partition, no payload
+    bytes (parquet column pruning) — and the driver folds |parts|
+    partial rows."""
+    all_cols, parts = load_manifest(out_dir)
+    if column not in dict(all_cols):
+        raise KeyError(f"no such column: {column}")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                pf = pq.ParquetFile(blocks_path(out_dir, int(pid), column))
+                t = pf.read(columns=["n_values", "n_nulls"])
+                cnt = int(np.sum(t.column("n_values").to_numpy(zero_copy_only=False)))
+                nulls = int(np.sum(t.column("n_nulls").to_numpy(zero_copy_only=False)))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([cnt], type=pa.int64()),
+                     pa.array([nulls], type=pa.int64())],
+                    names=["cnt", "nulls"],
+                )
+
+    rows = (
+        _assign_df(spark, [p for p, _ in parts])
+        .mapInArrow(kernel, schema="cnt long, nulls long")
+        .collect()
+    )
+    cnt = sum(r["cnt"] for r in rows)
+    nulls = sum(r["nulls"] for r in rows)
+    return spark.createDataFrame(
+        [(cnt, cnt - nulls, nulls)], "cnt long, n_valid long, n_nulls long"
+    )
+
+
 def column_minmax_parts(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
     """Files-mode ``SELECT min(col), max(col), count(*)``.
 

@@ -1381,6 +1381,27 @@ def group_by(
     return merged.select(*out_keys, *tail)
 
 
+def table_count(spark: SparkSession, out_dir: str) -> DataFrame:
+    """``SELECT count(*)`` answered from the MANIFEST alone — one tiny
+    parquet read of per-partition row counts, no column files touched.
+    At 10^12 rows the manifest is one row per partition; this is the
+    cheapest query the format can answer (the blocksizes prefix-sum
+    index, reader.cpp:113-115, read for its total)."""
+    from arcade_spark.partread import load_manifest
+
+    _, parts = load_manifest(out_dir)
+    return spark.createDataFrame([(int(sum(n for _, n in parts)),)], "cnt long")
+
+
+def column_null_count(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
+    """``SELECT count(*), count(col), count(*) - count(col)`` from
+    chunk metadata only (n_values / n_nulls columns — KB per
+    partition). See partread.column_null_count_parts."""
+    from arcade_spark.partread import column_null_count_parts
+
+    return column_null_count_parts(spark, out_dir, column)
+
+
 def distinct_values(
     spark: SparkSession, out_dir: str, column: str, mode: str = "files"
 ) -> DataFrame:

@@ -11,11 +11,13 @@ import pytest
 
 from arcade_spark.encode import encode_job
 from arcade_spark.readops import (
+    column_null_count,
     distinct_count,
     distinct_values,
     filter_semijoin,
     group_by,
     group_sum,
+    table_count,
 )
 
 
@@ -185,6 +187,20 @@ def test_distinct_values_and_count(spark, gs_table):
 
     got = distinct_count(spark, out, "x").collect()[0]["n_distinct"]
     assert got == pdf["x"].nunique()
+
+
+def test_table_count_and_null_count(spark, gs_table):
+    out, pdf = gs_table
+    assert table_count(spark, out).collect()[0]["cnt"] == len(pdf)
+
+    row = column_null_count(spark, out, "lang").collect()[0]
+    n_nulls = int(pdf["lang"].isna().sum())
+    assert (row["cnt"], row["n_valid"], row["n_nulls"]) == (
+        len(pdf), len(pdf) - n_nulls, n_nulls
+    )
+
+    row = column_null_count(spark, out, "x").collect()[0]
+    assert (row["cnt"], row["n_valid"], row["n_nulls"]) == (len(pdf), len(pdf), 0)
 
 
 def test_filter_semijoin(spark, gs_table):
