@@ -404,6 +404,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
         return column_null_count(spark, out, "text")
 
+    def arcade_compact_scan(spark, sf_dir):
+        """Zero-decode compaction round trip: the 4-part encoded
+        documents table merges into 1 partition (payload bytes copied
+        verbatim, dict resets forced at boundaries) and a full scan of
+        the COMPACTED table must reproduce the source exactly."""
+        _ship_package(spark)
+        from arcade_spark.compact import compact_job
+        from arcade_spark.decode import scan
+        from arcade_spark.manifest import FORMAT_REV
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        dest = os.path.join(
+            tempfile.gettempdir(), f"arcade_entry_cache_v{FORMAT_REV}", key,
+            "documents-compacted",
+        )
+        mdir = os.path.join(dest, "manifest")
+        if not (os.path.isdir(mdir) and os.listdir(mdir)):
+            compact_job(spark, out, dest, group_size=4)
+        return scan(spark, dest).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+
     def arcade_codec_report(spark, sf_dir):
         """Metadata queryability (the reference's struct D is opaque
         bytes; our chunk headers are rows): per-column codec histogram +
@@ -508,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_semijoin": arcade_semijoin,
         "arcade_table_count": arcade_table_count,
         "arcade_null_count": arcade_null_count,
+        "arcade_compact_scan": arcade_compact_scan,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
@@ -771,6 +795,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_distinct": "SELECT DISTINCT source FROM documents",
         "arcade_table_count": "SELECT count(*) AS cnt FROM documents",
+        "arcade_compact_scan": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
         "arcade_null_count": (
             "SELECT count(*) AS cnt, count(text) AS n_valid, "
             "count(*) - count(text) AS n_nulls FROM documents"

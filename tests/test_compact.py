@@ -1,0 +1,90 @@
+"""Zero-decode compaction: merged partitions must be byte-equivalent
+to the originals for every reader — full scan, filters (dict replay
+across the forced reset boundaries), random access (global row ids
+preserved), group_count, and the integrity checker."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcade_spark.compact import compact_job
+from arcade_spark.decode import scan
+from arcade_spark.encode import encode_job
+from arcade_spark.manifest import verify_integrity
+from arcade_spark.readops import (
+    equi_filter,
+    filter_like,
+    group_count,
+    random_access,
+    table_count,
+)
+
+
+@pytest.fixture(scope="module")
+def compacted(spark, tmp_path_factory):
+    rng = np.random.default_rng(55)
+    langs = np.array(["en", "de", "fr", "es", "el", "sv", "zz"])
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://h{int(i)}.ex/{j}" for j, i in enumerate(rng.integers(0, 5, n))],
+            "lang": langs[rng.integers(0, len(langs), n)],
+            "x": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.05, "lang"] = None
+    base = tmp_path_factory.mktemp("compact")
+    src = str(base / "src")
+    dest = str(base / "dest")
+    encode_job(spark, spark.createDataFrame(pdf), src, num_parts=8,
+               block_rows=128, order_col="url")
+    stats = compact_job(spark, src, dest, group_size=3)
+    return src, dest, pdf, stats
+
+
+def test_compact_stats(spark, compacted):
+    _src, dest, pdf, stats = compacted
+    assert stats["parts_in"] == 8
+    assert stats["parts_out"] == 3  # ceil(8/3)
+    assert stats["n_rows"] == len(pdf)
+    assert table_count(spark, dest).collect()[0]["cnt"] == len(pdf)
+    assert verify_integrity(spark, dest)["ok"]
+
+
+def test_compact_scan_identical(spark, compacted):
+    src, dest, _pdf, _stats = compacted
+    a = scan(spark, src).toPandas().sort_values("url").reset_index(drop=True)
+    b = scan(spark, dest).toPandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_compact_filters_cross_reset_boundaries(spark, compacted):
+    """Dictionary replay must restart at each merged-part boundary —
+    equality and LIKE filters exercise the running-dict paths."""
+    src, dest, _pdf, _stats = compacted
+    for col, val in [("lang", "en"), ("lang", "sv")]:
+        a = sorted(equi_filter(spark, src, col, val, project=["url"]).toPandas()["url"])
+        b = sorted(equi_filter(spark, dest, col, val, project=["url"]).toPandas()["url"])
+        assert a == b and len(a) > 0
+    a = sorted(filter_like(spark, src, "url", "%.ex/2%", project=["url"]).toPandas()["url"])
+    b = sorted(filter_like(spark, dest, "url", "%.ex/2%", project=["url"]).toPandas()["url"])
+    assert a == b and len(a) > 0
+
+
+def test_compact_random_access_row_ids_preserved(spark, compacted):
+    src, dest, _pdf, _stats = compacted
+    ids = [0, 127, 128, 1500, 2999]
+    a = {r["row_id"]: (r["url"], r["lang"], r["x"])
+         for r in random_access(spark, src, ids).collect()}
+    b = {r["row_id"]: (r["url"], r["lang"], r["x"])
+         for r in random_access(spark, dest, ids).collect()}
+    assert a == b and set(a) == set(ids)
+
+
+def test_compact_group_count(spark, compacted):
+    src, dest, _pdf, _stats = compacted
+    a = {r["lang"]: r["cnt"] for r in group_count(spark, src, "lang").collect()}
+    b = {r["lang"]: r["cnt"] for r in group_count(spark, dest, "lang").collect()}
+    assert a == b
