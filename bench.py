@@ -125,6 +125,16 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             [[("eq", "lang", "de"), ("range", "url", "https://a", "https://m")],
              [("neq", "lang", "en"), ("range", "url", "https://x", "https://zz")]],
             project=["url"]).count())
+        def compact_rep():
+            dest = enc_dir + "_compact"
+            shutil.rmtree(dest, ignore_errors=True)
+            from arcade_spark.compact import compact_job
+
+            return compact_job(spark, enc_dir, dest, group_size=8)
+
+        timed("compact_8to1_groups", compact_rep)
+        shutil.rmtree(enc_dir + "_compact", ignore_errors=True)
+
         timed("filter_prefix_url", lambda: filter_prefix(
             spark, enc_dir, "url", "https://h1", project=["url"]).count())
         timed("filter_contains_text", lambda: filter_contains(
