@@ -250,6 +250,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, out, "source", "src1_", project=["doc_id", "lang"]
         )
 
+    def arcade_sample(spark, sf_dir):
+        """Deterministic hash sampling pushed into the encoded scan:
+        md5-60bit(text) % 10 < 3 — the reproducible-subset primitive a
+        training-data pipeline needs (no RNG state; same rows on every
+        engine and re-run)."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_sample
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return filter_sample(
+            spark, out, "text", 3, 10, project=["doc_id", "lang"]
+        )
+
     def arcade_filter_suffix(spark, sf_dir):
         """LIKE '%s' via Arrow ends_with over dictionary entries."""
         _ship_package(spark)
@@ -517,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_contains": arcade_filter_contains,
         "arcade_filter_suffix": arcade_filter_suffix,
         "arcade_filter_like": arcade_filter_like,
+        "arcade_sample": arcade_sample,
         "arcade_minmax": arcade_minmax,
         "arcade_minmax_double": arcade_minmax_double,
         "arcade_minmax_str": arcade_minmax_str,
@@ -848,6 +862,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_filter_like": (
             "SELECT doc_id, lang FROM documents WHERE source LIKE 'src1_'"
+        ),
+        "arcade_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) "
+            "% 10 < 3"
         ),
         "arcade_minmax": (
             "SELECT min(n_chars) AS min_v, max(n_chars) AS max_v, "

@@ -9,7 +9,8 @@ Subcommands:
 
     scan          [--columns a,b]
     filter        --column c (--value v | --lo x --hi y | --in v1,v2 |
-                  --prefix p | --contains s | --suffix s | --like pat)
+                  --prefix p | --contains s | --suffix s | --like pat |
+                  --sample n/d)
                   [--project a,b] [--count-only]
     random-access --ids 1,2,3 [--project a,b]
     group-count   --column c
@@ -49,6 +50,7 @@ def build_query(spark, args):
         filter_like,
         filter_prefix,
         filter_range,
+        filter_sample,
         filter_suffix,
         group_by,
         group_count,
@@ -85,11 +87,12 @@ def build_query(spark, args):
         given = [x is not None for x in (
             args.value, args.lo, args.in_list,
             args.prefix, args.contains, args.suffix, args.like,
+            args.sample,
         )]
         if sum(given) != 1:
             raise SystemExit(
                 "filter needs exactly one of --value / --lo+--hi / --in "
-                "/ --prefix / --contains / --suffix / --like"
+                "/ --prefix / --contains / --suffix / --like / --sample"
             )
         if args.value is not None:
             return equi_filter(spark, args.encoded, args.column,
@@ -111,6 +114,10 @@ def build_query(spark, args):
         if args.like is not None:
             return filter_like(spark, args.encoded, args.column, args.like,
                                project=proj, count_only=args.count_only)
+        if args.sample is not None:
+            num, den = (int(x) for x in args.sample.split("/"))
+            return filter_sample(spark, args.encoded, args.column, num, den,
+                                 project=proj, count_only=args.count_only)
         if args.hi is None:
             raise SystemExit("--lo requires --hi")
         return filter_range(spark, args.encoded, args.column,
@@ -161,6 +168,8 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--contains", default=None, help="LIKE '%%s%%'")
     f.add_argument("--suffix", default=None, help="LIKE '%%s'")
     f.add_argument("--like", default=None, help="full LIKE pattern (%% and _)")
+    f.add_argument("--sample", default=None,
+                   help="deterministic hash sample, e.g. 3/10")
     f.add_argument("--project", default=None)
     f.add_argument("--count-only", action="store_true")
 

@@ -199,11 +199,11 @@ def _zone_keep_np(pred, cm: _ColMeta) -> np.ndarray:
     equal to an eq/IN target, or a zone contained in the inner range.
     Zones exclude nulls (FORMAT_REV 8), and nulls never satisfy a
     negation either, so the proof covers exactly the candidate rows."""
-    if pred.kind in ("contains", "suffix") or (
+    if pred.kind in ("contains", "suffix", "sample") or (
         pred.negated and pred.kind in ("prefix", "like")
     ):
-        # contains/suffix: any value can match regardless of zone
-        # bounds; negated prefix/like: the all-match proof over
+        # contains/suffix/sample: any value can match regardless of
+        # zone bounds; negated prefix/like: the all-match proof over
         # truncated prefixes is subtle — never prune
         return np.ones(cm.n, dtype=bool)
     if pred.kind == "like" and pred.lob is None:

@@ -323,6 +323,41 @@ class _StrLikeState(_MaskState):
         return m.to_numpy(zero_copy_only=False).astype(bool)
 
 
+class _StrHashSampleState(_MaskState):
+    """Deterministic hash sampling: a value matches iff
+    ``md5_60bit(value) % denominator < numerator`` (md5's first 15 hex
+    digits — the same replayable construction the fingerprint oracles
+    use, so DuckDB reproduces it exactly). On dict paths the hash runs
+    once per DISTINCT value; sampling on a unique-ish key column (url,
+    text) is row-level sampling, on a low-cardinality column it is
+    whole-group sampling — both deterministic across engines and
+    re-runs (no RNG state)."""
+
+    def __init__(self, numerator: int, denominator: int):
+        super().__init__()
+        if not (0 <= numerator <= denominator and denominator > 0):
+            raise ValueError(
+                f"need 0 <= numerator <= denominator, got "
+                f"{numerator}/{denominator}"
+            )
+        self.numer = numerator
+        self.denom = denominator
+
+    def _flags(self, arr) -> np.ndarray:
+        import hashlib
+
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        n, d = self.numer, self.denom
+        return np.array(
+            [
+                int(hashlib.md5(v).hexdigest()[:15], 16) % d < n
+                for v in arr.to_pylist()
+            ],
+            dtype=bool,
+        )
+
+
 class _StrMatchState(_MaskState):
     """prefix / contains / suffix (``LIKE 'p%'`` / ``'%s%'`` / ``'%s'``):
     Arrow C-side ``starts_with`` / ``match_substring`` / ``ends_with``
@@ -410,7 +445,7 @@ def _preds_to_spec(preds: list[tuple]) -> list[tuple[str, tuple]]:
         if p[0] in ("eq", "neq", "prefix", "not_prefix", "contains",
                     "not_contains", "suffix", "not_suffix", "like", "not_like"):
             spec.append((p[1], (p[0], p[2])))
-        elif p[0] in ("range", "not_range"):
+        elif p[0] in ("range", "not_range", "sample", "not_sample"):
             spec.append((p[1], (p[0], p[2], p[3])))
         elif p[0] in ("in", "not_in"):
             spec.append((p[1], (p[0], list(p[2]))))
@@ -555,6 +590,31 @@ def filter_contains(
     )
 
 
+def filter_sample(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    numerator: int,
+    denominator: int,
+    project: list[str] | None = None,
+    count_only: bool = False,
+    mode: str = "files",
+) -> DataFrame:
+    """Deterministic hash sampling pushed into the encoded scan: keep
+    rows where ``md5_60bit(column) % denominator < numerator`` (e.g.
+    3/10 ≈ a 30% sample). No RNG state — the same rows survive on every
+    engine and every re-run, which is what training-data pipelines need
+    for reproducible subsets. On dict paths the hash runs once per
+    DISTINCT value; sample on a unique-ish key (url) for row-level
+    sampling, on an entity key (host, source) for leakage-free
+    group-level splits. Composable in AND/OR/DNF (e.g. sample ∧ lang
+    filter) and negatable (``not_sample`` = the exact complement)."""
+    return _dispatch_filter(
+        spark, out_dir, [(column, ("sample", numerator, denominator))],
+        project, count_only, mode,
+    )
+
+
 def filter_like(
     spark: SparkSession,
     out_dir: str,
@@ -641,11 +701,26 @@ class _Pred:
         # nulls satisfy neither x = v nor x <> v)
         _neg_map = {"neq": "eq", "not_in": "in", "not_range": "range",
                     "not_prefix": "prefix", "not_contains": "contains",
-                    "not_suffix": "suffix", "not_like": "like"}
+                    "not_suffix": "suffix", "not_like": "like",
+                    "not_sample": "sample"}
         self.negated = pred[0] in _neg_map
         if self.negated:
             pred = (_neg_map[pred[0]], *pred[1:])
         self.kind = pred[0]
+        if self.kind == "sample":
+            if not self.is_str:
+                raise ValueError(
+                    f"sample predicates apply to string/binary columns "
+                    f"only; {column!r} is {vtype}"
+                )
+            self.numer, self.denom = int(pred[1]), int(pred[2])
+            if not (0 <= self.numer <= self.denom and self.denom > 0):
+                raise ValueError(
+                    f"need 0 <= numerator <= denominator, got "
+                    f"{self.numer}/{self.denom}"
+                )
+            self.lob = self.hib = None  # hashes carry no order: no zone prune
+            return
         if self.kind == "like":
             if not self.is_str:
                 raise ValueError(
@@ -772,7 +847,7 @@ class _Pred:
     def zone_keep_expr(self):
         if self.negated:
             raise NotImplementedError("negated predicates are files-mode only")
-        if self.kind in ("contains", "suffix"):
+        if self.kind in ("contains", "suffix", "sample"):
             # any value can match regardless of its zone bounds
             return F.lit(True)
         if self.is_str and self.lob is None:
@@ -797,6 +872,8 @@ class _Pred:
             return _StrFilterState(self.lob)
         if self.kind == "in":
             return _StrInState(self.in_vals)
+        if self.kind == "sample":
+            return _StrHashSampleState(self.numer, self.denom)
         if self.kind == "like":
             return _StrLikeState(self.pattern)
         if self.kind in ("prefix", "contains", "suffix"):

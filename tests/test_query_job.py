@@ -11,7 +11,7 @@ from arcade_spark.encode import encode_job
 def _ns(**kw):
     if kw.get("cmd") == "filter":
         for k in ("value", "lo", "hi", "in_list", "prefix", "contains",
-                  "suffix", "like"):
+                  "suffix", "like", "sample"):
             kw.setdefault(k, None)
     return argparse.Namespace(**kw)
 

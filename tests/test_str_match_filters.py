@@ -18,6 +18,7 @@ from arcade_spark.readops import (
     filter_dnf,
     filter_like,
     filter_prefix,
+    filter_sample,
     filter_suffix,
 )
 
@@ -207,6 +208,54 @@ def test_like_zone_pruning_on_literal_prefix(spark, tmp_path):
     rows = filter_like(spark, out, "k", "key0001__", count_only=True).toPandas()
     assert int(rows["matches"].sum()) == 100
     assert int(rows["zone_skipped"].sum()) >= rows.shape[0] - 3
+
+
+def _md5_keep(v: str, num: int, den: int) -> bool:
+    import hashlib
+
+    return int(hashlib.md5(v.encode()).hexdigest()[:15], 16) % den < num
+
+
+def test_filter_sample_deterministic(spark, match_table):
+    """Hash sampling: exact deterministic subset, exact complement, and
+    the union of sample + not_sample is the whole (non-null) table."""
+    out, pdf = match_table
+    got = filter_sample(spark, out, "url", 3, 10, project=["url"]).toPandas()
+    want = pdf.loc[pdf["url"].map(lambda v: _md5_keep(v, 3, 10)), "url"]
+    assert sorted(got["url"]) == sorted(want)
+    # ~30%, deterministic
+    assert 0.2 < len(got) / len(pdf) < 0.4
+    again = filter_sample(spark, out, "url", 3, 10, project=["url"]).toPandas()
+    assert sorted(got["url"]) == sorted(again["url"])
+
+    comp = filter_dnf(
+        spark, out, [[("not_sample", "url", 3, 10)]], project=["url"]
+    ).toPandas()
+    assert len(got) + len(comp) == len(pdf)
+    assert not set(got["url"]) & set(comp["url"])
+
+
+def test_filter_sample_composes(spark, match_table):
+    out, pdf = match_table
+    got = filter_dnf(
+        spark, out,
+        [[("sample", "url", 5, 10), ("prefix", "lang", "e")]],
+        project=["url"],
+    ).toPandas()
+    want = pdf.loc[
+        pdf["url"].map(lambda v: _md5_keep(v, 5, 10))
+        & _langs(pdf).str.startswith("e"),
+        "url",
+    ]
+    assert sorted(got["url"]) == sorted(want)
+
+
+def test_filter_sample_validates(spark, match_table):
+    out, _pdf = match_table
+    with pytest.raises(ValueError, match="numerator"):
+        filter_sample(spark, out, "url", 11, 10).toPandas()
+    with pytest.raises(Exception, match="string/binary"):
+        filter_sample(spark, out, "x", 1, 2).toPandas()
 
 
 def test_prefix_rejects_int_column(spark, match_table):
