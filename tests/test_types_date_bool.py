@@ -82,3 +82,20 @@ def test_minmax_and_topk_date_with_nulls(spark, date_bool_table):
     assert (row["min_v"], row["max_v"], row["cnt"]) == (min(vals), max(vals), len(rows))
     top = [r["v"] for r in column_topk(spark, out, "maybe_d", 5).collect()]
     assert sorted(top, reverse=True) == sorted(vals, reverse=True)[:5]
+
+
+def test_group_by_date_bool_keys(spark, date_bool_table):
+    """Composite (date, bool) group keys convert back to their logical
+    types through the int64 partial lane; null date keys form no group."""
+    from collections import Counter
+
+    from arcade_spark.readops import group_by
+
+    out, rows = date_bool_table
+    got = {
+        (r["maybe_d"], r["flag"]): r["cnt"]
+        for r in group_by(spark, out, ["maybe_d", "flag"]).collect()
+    }
+    want = Counter((m, f) for _u, _d, f, m in rows if m is not None)
+    assert got == dict(want)
+    assert all(k[0] is not None for k in got)
