@@ -61,7 +61,7 @@ def _compact_group(
     os.makedirs(os.path.join(dest_dir, "manifest"), exist_ok=True)
 
     n_rows_total = 0
-    n_blocks_total = 0
+    n_blocks_total = -1
     raw_bytes = 0
     encoded_bytes = 0
     codec_counts: dict[str, int] = {}
@@ -122,7 +122,17 @@ def _compact_group(
                 w.write_table(merged.slice(start, 16))
             w.close()
             tmps.append((tmp, blocks_path(dest_dir, new_pid, col)))
+            if n_blocks_total not in (-1, merged.num_rows):
+                raise ValueError(
+                    f"column {col!r}: block count {merged.num_rows} != "
+                    f"{n_blocks_total} of earlier columns — corrupt source"
+                )
             n_blocks_total = merged.num_rows
+            if n_rows_total not in (0, row_off):
+                raise ValueError(
+                    f"column {col!r}: row count {row_off} != {n_rows_total} "
+                    f"of earlier columns — corrupt source"
+                )
             n_rows_total = row_off
             raw_bytes += int(np.sum(merged.column("raw_bytes").to_numpy(zero_copy_only=False)))
             encoded_bytes += int(np.sum(merged.column("encoded_bytes").to_numpy(zero_copy_only=False)))
@@ -177,6 +187,13 @@ def compact_job(
 
     if group_size < 1:
         raise ValueError("group_size must be >= 1")
+    mdir = os.path.join(dest_dir, "manifest")
+    if os.path.isdir(mdir) and os.listdir(mdir):
+        raise ValueError(
+            f"{dest_dir}: manifest dir is not empty — compaction writes a "
+            f"fresh table; mixing groups from different runs would corrupt "
+            f"row ids (use a new dest_dir)"
+        )
     columns, parts = load_manifest(src_dir)
     pids = [p for p, _ in parts]
     groups = [pids[i: i + group_size] for i in range(0, len(pids), group_size)]

@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cores", default=None)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--csv", action="store_true", help="input is CSV with header")
+    p.add_argument("--json", dest="json_in", action="store_true",
+                   help="input is line-delimited JSON")
     args = p.parse_args(argv)
 
     from arcade_spark import BLOCK_ROWS
@@ -37,17 +39,20 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app="arcade-encode", cores=args.cores)
     block_rows = args.block_rows or BLOCK_ROWS
-    if args.mode == "files" and not args.csv:
+    if args.csv and args.json_in:
+        raise SystemExit("--csv and --json are mutually exclusive")
+    if args.mode == "files" and not (args.csv or args.json_in):
         metrics = encode_files_job(
             spark, args.input, args.out, block_rows=block_rows,
             resume=not args.no_resume,
         )
     else:
-        src = (
-            spark.read.csv(args.input, header=True, inferSchema=True, escape='"')
-            if args.csv
-            else spark.read.parquet(args.input)
-        )
+        if args.csv:
+            src = spark.read.csv(args.input, header=True, inferSchema=True, escape='"')
+        elif args.json_in:
+            src = spark.read.json(args.input)
+        else:
+            src = spark.read.parquet(args.input)
         metrics = encode_job(
             spark, src, args.out, num_parts=args.num_parts,
             order_col=args.order_col, salt_buckets=args.salt_buckets,

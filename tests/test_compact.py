@@ -88,3 +88,9 @@ def test_compact_group_count(spark, compacted):
     a = {r["lang"]: r["cnt"] for r in group_count(spark, src, "lang").collect()}
     b = {r["lang"]: r["cnt"] for r in group_count(spark, dest, "lang").collect()}
     assert a == b
+
+
+def test_compact_refuses_nonempty_dest(spark, compacted):
+    src, dest, _pdf, _stats = compacted
+    with pytest.raises(ValueError, match="not empty"):
+        compact_job(spark, src, dest, group_size=2)

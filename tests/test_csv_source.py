@@ -43,3 +43,23 @@ def test_snappy_post_codec(tmp_path):
     comp, post = maybe_post(payload, "plain", post_codec="snappy")
     assert post == "snappy" and len(comp) < len(payload)
     assert unpost(comp, post) == payload
+
+
+def test_json_source_cli_roundtrip(spark, tmp_path):
+    """Line-delimited JSON through the encode CLI: spark.read.json →
+    the same shuffle-mode pipeline, lossless decode."""
+    import json as _json
+
+    import arcade_spark.jobs.encode_job as ej
+    from arcade_spark.decode import scan
+
+    src_path = tmp_path / "in.jsonl"
+    rows = [{"url": f"u{i:03d}", "lang": ["en", "de"][i % 2], "n": i}
+            for i in range(120)]
+    src_path.write_text("\n".join(_json.dumps(r) for r in rows))
+    out = str(tmp_path / "enc")
+    rc = ej.main(["--input", str(src_path), "--out", out, "--json",
+                  "--num-parts", "2", "--block-rows", "16"])
+    assert rc == 0
+    got = {r["url"]: (r["lang"], r["n"]) for r in scan(spark, out).collect()}
+    assert got == {r["url"]: (r["lang"], r["n"]) for r in rows}
