@@ -175,14 +175,22 @@ def _compact_group(
 
 
 def compact_job(
-    spark: SparkSession, src_dir: str, dest_dir: str, group_size: int = 8
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    group_size: int = 8,
+    columns: list[str] | None = None,
 ) -> dict:
     """Compact ``src_dir`` (any completed encode output) into
     ``dest_dir`` with ~``group_size``× fewer partitions. One task per
     OUTPUT partition; consecutive source parts merge in part-id order,
     so global row order (and therefore ``random_access`` row ids) is
     preserved exactly. Idempotent under retries (deterministic bytes +
-    atomic marker commit)."""
+    atomic marker commit).
+
+    ``columns`` projects the output table to a subset — the cheap way
+    to DROP heavy columns after they've served their purpose (e.g. raw
+    html once text is extracted): untouched columns' files never open."""
     from arcade_spark.partread import load_manifest
 
     if group_size < 1:
@@ -194,7 +202,17 @@ def compact_job(
             f"fresh table; mixing groups from different runs would corrupt "
             f"row ids (use a new dest_dir)"
         )
-    columns, parts = load_manifest(src_dir)
+    all_columns, parts = load_manifest(src_dir)
+    if columns is None:
+        columns = all_columns
+    else:
+        by_name = dict(all_columns)
+        missing = [c for c in columns if c not in by_name]
+        if missing:
+            raise KeyError(f"no such column(s): {missing}")
+        # keep source order
+        keep = set(columns)
+        columns = [(n, v) for n, v in all_columns if n in keep]
     pids = [p for p, _ in parts]
     groups = [pids[i: i + group_size] for i in range(0, len(pids), group_size)]
     run_id = uuid.uuid4().hex

@@ -22,6 +22,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--src", required=True, help="encoded table to compact")
     p.add_argument("--dest", required=True, help="output dir (fresh)")
     p.add_argument("--group-size", type=int, default=8)
+    p.add_argument("--columns", default=None,
+                   help="comma-separated subset to keep (drops the rest)")
     p.add_argument("--cores", default=None)
     args = p.parse_args(argv)
 
@@ -29,7 +31,9 @@ def main(argv: list[str] | None = None) -> int:
     from arcade_spark.session import get_spark
 
     spark = get_spark(app="arcade-compact", cores=args.cores)
-    stats = compact_job(spark, args.src, args.dest, group_size=args.group_size)
+    cols = args.columns.split(",") if args.columns else None
+    stats = compact_job(spark, args.src, args.dest,
+                        group_size=args.group_size, columns=cols)
     print(json.dumps(stats))
     return 0
 

@@ -94,3 +94,25 @@ def test_compact_refuses_nonempty_dest(spark, compacted):
     src, dest, _pdf, _stats = compacted
     with pytest.raises(ValueError, match="not empty"):
         compact_job(spark, src, dest, group_size=2)
+
+
+def test_compact_column_projection(spark, compacted, tmp_path):
+    """Dropping a column at compact time: the projected table scans
+    identically on the kept columns; the dropped column's files are
+    absent."""
+    import os
+
+    from arcade_spark.partread import load_manifest
+
+    src, _dest, pdf, _stats = compacted
+    dest2 = str(tmp_path / "proj")
+    compact_job(spark, src, dest2, group_size=4, columns=["url", "lang"])
+    cols, _parts = load_manifest(dest2)
+    assert [c for c, _ in cols] == ["url", "lang"]
+    got = scan(spark, dest2).toPandas().sort_values("url").reset_index(drop=True)
+    want = pdf[["url", "lang"]].sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+    assert not any("-x.parquet" in f for f in os.listdir(os.path.join(dest2, "blocks")))
+
+    with pytest.raises(KeyError, match="no such column"):
+        compact_job(spark, src, str(tmp_path / "bad"), columns=["nope"])
