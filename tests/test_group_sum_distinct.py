@@ -238,3 +238,26 @@ def test_filter_semijoin_rejects_multicol(spark, gs_table):
     dim = spark.createDataFrame(pd.DataFrame({"a": [1], "b": [2]}))
     with pytest.raises(ValueError, match="exactly one column"):
         filter_semijoin(spark, out, "x", dim)
+
+
+def test_group_by_ts_key(spark, tmp_path):
+    """Timestamp group keys reconstruct exactly through the epoch-micros
+    int64 lane (integer math, no float division)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0, 123456, tzinfo=dt.timezone.utc)
+    rows = [(f"u{i:03d}", base + dt.timedelta(hours=i % 3), i) for i in range(90)]
+    src = spark.createDataFrame(rows, "url string, ts timestamp, x long")
+    out = str(tmp_path / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=16, order_col="url")
+    got = {r["ts"]: (r["sum_v"], r["cnt"])
+           for r in group_by(spark, out, ["ts"], "x").collect()}
+    from collections import defaultdict
+    want = defaultdict(lambda: [0, 0])
+    for _u, t, x in rows:
+        want[t][0] += x
+        want[t][1] += 1
+    # Spark returns session-tz-naive datetimes; compare in UTC micros
+    got_us = {k.replace(tzinfo=dt.timezone.utc) if k.tzinfo is None else k: v
+              for k, v in got.items()}
+    assert got_us == {k: tuple(v) for k, v in want.items()}
