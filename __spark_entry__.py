@@ -440,6 +440,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text", "lang", "source", "n_chars"
         )
 
+    def arcade_filter_agg(spark, sf_dir):
+        """Fused filter + integer aggregate: match positions drive a
+        positional decode of ONLY the agg column — matched rows never
+        materialize, no projection bytes read."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_agg
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return filter_agg(spark, out, [("eq", "lang", "en")], "n_chars")
+
+    def arcade_q1_groups(spark, sf_dir):
+        """TPC-H Q1's grouping shape on the encoded lineitem:
+        GROUP BY (l_returnflag, l_linestatus) with COUNT(*) — composite
+        code-tuple keys, O(distinct tuples) shuffle."""
+        _ship_package(spark)
+        from arcade_spark.readops import group_by
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        return group_by(spark, out, ["l_returnflag", "l_linestatus"])
+
     def arcade_codec_report(spark, sf_dir):
         """Metadata queryability (the reference's struct D is opaque
         bytes; our chunk headers are rows): per-column codec histogram +
@@ -546,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_table_count": arcade_table_count,
         "arcade_null_count": arcade_null_count,
         "arcade_compact_scan": arcade_compact_scan,
+        "arcade_filter_agg": arcade_filter_agg,
+        "arcade_q1_groups": arcade_q1_groups,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
@@ -811,6 +833,17 @@ def oracle_sql() -> dict[str, str]:
         "arcade_table_count": "SELECT count(*) AS cnt FROM documents",
         "arcade_compact_scan": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "arcade_filter_agg": (
+            "SELECT count(*) AS cnt_rows, count(n_chars) AS cnt_valid, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_v, min(n_chars) AS min_v, "
+            "max(n_chars) AS max_v, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_v "
+            "FROM documents WHERE lang = 'en'"
+        ),
+        "arcade_q1_groups": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS cnt "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "arcade_null_count": (
             "SELECT count(*) AS cnt, count(text) AS n_valid, "

@@ -276,6 +276,7 @@ def _filter_part_batches(
     conjuncts: list[list],
     proj_items: list[tuple[str, str]],
     count_only: bool,
+    agg_item: tuple[str, str] | None = None,
 ) -> Iterator[pa.RecordBatch]:
     """Run the whole filter for ONE partition: predicate pass (zone
     prune → kernel match on kept blocks, dict replay on the rest) then
@@ -420,6 +421,46 @@ def _filter_part_batches(
         return
 
     matched = [b for b in range(nb) if len(pos_of[b])]
+
+    if agg_item is not None:
+        # fused filter+aggregate: decode ONLY the agg column, ONLY at
+        # matched positions, and emit one integer partial per part —
+        # matched rows never materialize
+        from arcade_spark.core import decode_int_block
+
+        name, _vt = agg_item
+        acf = cfs.get(name) or _ColFile(out_dir, pid, name)
+        acm = cms.get(name) or acf.meta()
+        if acm.n != nb:
+            raise ValueError(f"column {name!r}: block count mismatch in part {pid}")
+        blobs = acf.payloads(np.asarray(matched, dtype=np.int64), "blob")
+        s = 0
+        mn = mx = None
+        cv = 0
+        cr = 0
+        for b in matched:
+            ib = decode_int_block(blobs[b], acm.meta_dict(b))
+            pos = pos_of[b]
+            cr += len(pos)
+            v = ib.values[pos]
+            if ib.validity is not None:
+                v = v[ib.validity[pos]]
+            if len(v):
+                s += int(v.sum())
+                bmn, bmx = int(v.min()), int(v.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+                cv += len(v)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([s], type=pa.int64()),
+             pa.array([mn], type=pa.int64()),
+             pa.array([mx], type=pa.int64()),
+             pa.array([cv], type=pa.int64()),
+             pa.array([cr], type=pa.int64())],
+            names=["s", "mn", "mx", "cv", "cr"],
+        )
+        return
+
     if not matched or not proj_items:
         return
     last_m = matched[-1]
@@ -476,6 +517,7 @@ def filter_parts(
     count_only: bool = False,
     combine: str = "and",
     dnf_spec: list[list[tuple[str, tuple]]] | None = None,
+    agg_col: str | None = None,
 ) -> DataFrame:
     """Files-mode filter driver. Predicate forms:
 
@@ -524,7 +566,21 @@ def filter_parts(
             compiled.append(_Pred(column, all_cols[column], pred))
         conjuncts.append(compiled)
 
-    if count_only:
+    agg_item: tuple[str, str] | None = None
+    if agg_col is not None:
+        if count_only:
+            raise ValueError("agg_col and count_only are mutually exclusive")
+        avt = all_cols.get(agg_col)
+        if avt is None:
+            raise KeyError(f"no such column: {agg_col}")
+        if avt not in ("int", "i32", "i16", "i8"):
+            raise NotImplementedError(
+                "filter_agg aggregates integer columns only (the "
+                "column_agg exactness contract)"
+            )
+        agg_item = (agg_col, avt)
+
+    if count_only or agg_item is not None:
         proj_items: list[tuple[str, str]] = []
     else:
         names = project if project is not None else [
@@ -536,11 +592,14 @@ def filter_parts(
         for batch in batches:
             for pid in batch.column("part_id").to_pylist():
                 yield from _filter_part_batches(
-                    out_dir, int(pid), conjuncts, proj_items, count_only
+                    out_dir, int(pid), conjuncts, proj_items, count_only,
+                    agg_item=agg_item,
                 )
 
     if count_only:
         ddl = "part_id int, block_id int, matches long, zone_skipped int"
+    elif agg_item is not None:
+        ddl = "s long, mn long, mx long, cv long, cr long"
     else:
         ddl = ", ".join(f"{n} {spark_type_for(v)}" for n, v in proj_items)
     return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl)

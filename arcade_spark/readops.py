@@ -590,6 +590,49 @@ def filter_contains(
     )
 
 
+def filter_agg(
+    spark: SparkSession,
+    out_dir: str,
+    preds: list[tuple],
+    agg_col: str,
+) -> DataFrame:
+    """Fused filter + integer aggregate: ``SELECT count(*),
+    count(agg), sum(agg), min(agg), max(agg), avg(agg) FROM t WHERE
+    <conjunction>`` in ONE pass — the predicate kernel produces match
+    positions, the agg column decodes ONLY those positions, and each
+    task emits a five-integer partial. Matched rows never materialize
+    and no projection bytes are read: the cost is predicate columns +
+    the agg column's matched blocks. Same predicate forms as
+    ``filter_and``; integer agg columns only (exactness contract — avg
+    is one IEEE division of exact ints)."""
+    from arcade_spark.partread import filter_parts
+
+    partial = filter_parts(
+        spark, out_dir, _preds_to_spec(preds), agg_col=agg_col
+    )
+    rows = partial.collect()
+    s = sum(r["s"] for r in rows)
+    cv = sum(r["cv"] for r in rows)
+    cr = sum(r["cr"] for r in rows)
+    mns = [r["mn"] for r in rows if r["mn"] is not None]
+    mxs = [r["mx"] for r in rows if r["mx"] is not None]
+    mn = min(mns) if mns else None
+    mx = max(mxs) if mxs else None
+    out = (
+        cr,
+        cv,
+        s if cv else None,  # SQL SUM over zero valid values is NULL
+        mn,
+        mx,
+        (float(s) / float(cv)) if cv else None,
+    )
+    return spark.createDataFrame(
+        [out],
+        "cnt_rows long, cnt_valid long, sum_v long, min_v long, "
+        "max_v long, avg_v double",
+    )
+
+
 def filter_sample(
     spark: SparkSession,
     out_dir: str,

@@ -261,3 +261,33 @@ def test_group_by_ts_key(spark, tmp_path):
     got_us = {k.replace(tzinfo=dt.timezone.utc) if k.tzinfo is None else k: v
               for k, v in got.items()}
     assert got_us == {k: tuple(v) for k, v in want.items()}
+
+
+def test_filter_agg_fused(spark, gs_table):
+    from arcade_spark.readops import filter_agg
+
+    out, pdf = gs_table
+    r = filter_agg(
+        spark, out, [("eq", "lang", "en"), ("range", "x", -10, 40)], "x"
+    ).collect()[0]
+    sub = pdf.loc[(pdf["lang"] == "en") & (pdf["x"] >= -10) & (pdf["x"] <= 40), "x"]
+    assert (r["cnt_rows"], r["cnt_valid"], r["sum_v"], r["min_v"], r["max_v"]) == (
+        len(sub), len(sub), int(sub.sum()), int(sub.min()), int(sub.max())
+    )
+    assert r["avg_v"] == float(int(sub.sum())) / len(sub)
+
+    # nullable agg column: rows counted, nulls excluded from aggregates
+    r = filter_agg(spark, out, [("eq", "lang", "de")], "xn").collect()[0]
+    sub = pdf.loc[pdf["lang"] == "de", "xn"]
+    assert r["cnt_rows"] == len(sub)
+    assert r["cnt_valid"] == int(sub.notna().sum())
+    assert r["sum_v"] == int(sub.dropna().sum())
+
+    # empty match: SQL aggregate-over-empty
+    r = filter_agg(spark, out, [("eq", "lang", "NOPE")], "x").collect()[0]
+    assert (r["cnt_rows"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"]) == (
+        0, None, None, None, None
+    )
+
+    with pytest.raises(NotImplementedError, match="integer"):
+        filter_agg(spark, out, [("eq", "lang", "en")], "v")
