@@ -450,6 +450,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
         return filter_agg(spark, out, [("eq", "lang", "en")], "n_chars")
 
+    def arcade_q1(spark, sf_dir):
+        """TPC-H Q1's full fused shape on the encoded lineitem:
+        WHERE l_shipdate <= cutoff GROUP BY (l_returnflag, l_linestatus)
+        with integer aggregates — match positions drive group-code
+        gathers and a positional agg decode in ONE pass; no matched row
+        materializes."""
+        _ship_package(spark)
+        import datetime as _dt
+
+        from arcade_spark.readops import filter_group_by
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        cutoff = _dt.datetime(1997, 6, 1, tzinfo=_dt.timezone.utc)
+        return filter_group_by(
+            spark, out,
+            [("range", "l_shipdate", _dt.datetime(1990, 1, 1, tzinfo=_dt.timezone.utc), cutoff)],
+            ["l_returnflag", "l_linestatus"], "l_linenumber",
+        )
+
     def arcade_q1_groups(spark, sf_dir):
         """TPC-H Q1's grouping shape on the encoded lineitem:
         GROUP BY (l_returnflag, l_linestatus) with COUNT(*) — composite
@@ -568,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_compact_scan": arcade_compact_scan,
         "arcade_filter_agg": arcade_filter_agg,
         "arcade_q1_groups": arcade_q1_groups,
+        "arcade_q1": arcade_q1,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
@@ -844,6 +864,15 @@ def oracle_sql() -> dict[str, str]:
         "arcade_q1_groups": (
             "SELECT l_returnflag, l_linestatus, count(*) AS cnt "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "arcade_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(l_linenumber) AS BIGINT) AS sum_v, "
+            "min(l_linenumber) AS min_v, max(l_linenumber) AS max_v, "
+            "count(*) AS cnt FROM lineitem "
+            "WHERE l_shipdate BETWEEN TIMESTAMP '1990-01-01' "
+            "AND TIMESTAMP '1997-06-01' "
+            "GROUP BY l_returnflag, l_linestatus"
         ),
         "arcade_null_count": (
             "SELECT count(*) AS cnt, count(text) AS n_valid, "

@@ -300,6 +300,120 @@ def _filter_part_batches(
     from arcade_spark.decode import _out_arrow_type
     from arcade_spark.gdict import GlobalDictDecoder
 
+    pos_of, nb, blk, cfs, cms = _part_match_positions(out_dir, pid, conjuncts)
+
+    if count_only:
+        zskip = ~blk
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.full(nb, pid, dtype=np.int32)),
+                pa.array(cms[next(iter(cms))].block_id.astype(np.int32)),
+                pa.array(np.array([len(p) for p in pos_of], dtype=np.int64)),
+                pa.array(zskip.astype(np.int32)),
+            ],
+            schema=pa.schema(
+                [pa.field("part_id", pa.int32()), pa.field("block_id", pa.int32()),
+                 pa.field("matches", pa.int64()), pa.field("zone_skipped", pa.int32())]
+            ),
+        )
+        return
+
+    matched = [b for b in range(nb) if len(pos_of[b])]
+
+    if agg_item is not None:
+        # fused filter+aggregate: decode ONLY the agg column, ONLY at
+        # matched positions, and emit one integer partial per part —
+        # matched rows never materialize
+        name, _vt = agg_item
+        acf = cfs.get(name) or _ColFile(out_dir, pid, name)
+        acm = cms.get(name) or acf.meta()
+        if acm.n != nb:
+            raise ValueError(f"column {name!r}: block count mismatch in part {pid}")
+        blobs = acf.payloads(np.asarray(matched, dtype=np.int64), "blob")
+        s = 0
+        mn = mx = None
+        cv = 0
+        cr = 0
+        for b in matched:
+            ib = decode_int_block(blobs[b], acm.meta_dict(b))
+            pos = pos_of[b]
+            cr += len(pos)
+            v = ib.values[pos]
+            if ib.validity is not None:
+                v = v[ib.validity[pos]]
+            if len(v):
+                s += int(v.sum())
+                bmn, bmx = int(v.min()), int(v.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+                cv += len(v)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([s], type=pa.int64()),
+             pa.array([mn], type=pa.int64()),
+             pa.array([mx], type=pa.int64()),
+             pa.array([cv], type=pa.int64()),
+             pa.array([cr], type=pa.int64())],
+            names=["s", "mn", "mx", "cv", "cr"],
+        )
+        return
+
+    if not matched or not proj_items:
+        return
+    last_m = matched[-1]
+    matched_mask = np.zeros(nb, dtype=bool)
+    matched_mask[matched] = True
+
+    # ---- projection pass: decode matched positions only ----
+    schema = _out_schema(proj_items)
+    col_arrays: dict[str, dict[int, pa.Array]] = {}
+    for name, vt in proj_items:
+        cf = cfs.get(name) or _ColFile(out_dir, pid, name)
+        cm = cms.get(name) or cf.meta()
+        if cm.n != nb:
+            raise ValueError(f"column {name!r}: block count mismatch in part {pid}")
+        out: dict[int, pa.Array] = {}
+        if vt in ("str", "binary"):
+            rng = np.arange(nb)
+            seg_rows = np.nonzero((cm.stateful | matched_mask) & (rng <= last_m))[0]
+            segs = cf.payloads(seg_rows, "seg")
+            blobs = cf.payloads(np.asarray(matched, dtype=np.int64), "blob")
+            gdec = GlobalDictDecoder()
+            for b in range(last_m + 1):
+                meta = cm.meta_dict(b, segs.get(b, b""))
+                if matched_mask[b]:
+                    blkd = decode_str_positions(blobs[b], meta, pos_of[b], gdec)
+                    out[b] = block_to_arrow(blkd, vt).cast(_out_arrow_type(vt))
+                else:
+                    replay_str_block(meta, gdec)
+        else:
+            blobs = cf.payloads(np.asarray(matched, dtype=np.int64), "blob")
+            for b in matched:
+                iblock = decode_int_block(blobs[b], cm.meta_dict(b))
+                pos = pos_of[b]
+                from arcade_spark.blocks import IntBlock
+
+                sub = IntBlock(
+                    values=iblock.values[pos],
+                    validity=None if iblock.validity is None else iblock.validity[pos],
+                )
+                out[b] = block_to_arrow(sub, vt).cast(_out_arrow_type(vt))
+        col_arrays[name] = out
+
+    for b in matched:
+        yield pa.RecordBatch.from_arrays(
+            [col_arrays[n][b] for n, _ in proj_items], schema=schema
+        )
+
+
+def _part_match_positions(
+    out_dir: str, pid: int, conjuncts: list[list]
+) -> tuple[list[np.ndarray], int, np.ndarray, dict, dict]:
+    """The DNF predicate pass for ONE partition: returns (per-block
+    match positions, block count, per-block zone-alive mask, open
+    _ColFile handles, their _ColMeta) so filter / fused-aggregate /
+    fused-group-by kernels share one implementation."""
+    from arcade_spark.core import decode_int_block
+
     # ---- group predicate OCCURRENCES by column, zone verdicts ----
     occs: list[tuple[int, object]] = [
         (j, p) for j, conj in enumerate(conjuncts) for p in conj
@@ -404,109 +518,7 @@ def _filter_part_batches(
         else:
             pos_of.append(np.unique(np.concatenate(parts_b)))
 
-    if count_only:
-        zskip = ~blk
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(np.full(nb, pid, dtype=np.int32)),
-                pa.array(cms[next(iter(col_occs))].block_id.astype(np.int32)),
-                pa.array(np.array([len(p) for p in pos_of], dtype=np.int64)),
-                pa.array(zskip.astype(np.int32)),
-            ],
-            schema=pa.schema(
-                [pa.field("part_id", pa.int32()), pa.field("block_id", pa.int32()),
-                 pa.field("matches", pa.int64()), pa.field("zone_skipped", pa.int32())]
-            ),
-        )
-        return
-
-    matched = [b for b in range(nb) if len(pos_of[b])]
-
-    if agg_item is not None:
-        # fused filter+aggregate: decode ONLY the agg column, ONLY at
-        # matched positions, and emit one integer partial per part —
-        # matched rows never materialize
-        from arcade_spark.core import decode_int_block
-
-        name, _vt = agg_item
-        acf = cfs.get(name) or _ColFile(out_dir, pid, name)
-        acm = cms.get(name) or acf.meta()
-        if acm.n != nb:
-            raise ValueError(f"column {name!r}: block count mismatch in part {pid}")
-        blobs = acf.payloads(np.asarray(matched, dtype=np.int64), "blob")
-        s = 0
-        mn = mx = None
-        cv = 0
-        cr = 0
-        for b in matched:
-            ib = decode_int_block(blobs[b], acm.meta_dict(b))
-            pos = pos_of[b]
-            cr += len(pos)
-            v = ib.values[pos]
-            if ib.validity is not None:
-                v = v[ib.validity[pos]]
-            if len(v):
-                s += int(v.sum())
-                bmn, bmx = int(v.min()), int(v.max())
-                mn = bmn if mn is None else min(mn, bmn)
-                mx = bmx if mx is None else max(mx, bmx)
-                cv += len(v)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([s], type=pa.int64()),
-             pa.array([mn], type=pa.int64()),
-             pa.array([mx], type=pa.int64()),
-             pa.array([cv], type=pa.int64()),
-             pa.array([cr], type=pa.int64())],
-            names=["s", "mn", "mx", "cv", "cr"],
-        )
-        return
-
-    if not matched or not proj_items:
-        return
-    last_m = matched[-1]
-    matched_mask = np.zeros(nb, dtype=bool)
-    matched_mask[matched] = True
-
-    # ---- projection pass: decode matched positions only ----
-    schema = _out_schema(proj_items)
-    col_arrays: dict[str, dict[int, pa.Array]] = {}
-    for name, vt in proj_items:
-        cf = cfs.get(name) or _ColFile(out_dir, pid, name)
-        cm = cms.get(name) or cf.meta()
-        if cm.n != nb:
-            raise ValueError(f"column {name!r}: block count mismatch in part {pid}")
-        out: dict[int, pa.Array] = {}
-        if vt in ("str", "binary"):
-            rng = np.arange(nb)
-            seg_rows = np.nonzero((cm.stateful | matched_mask) & (rng <= last_m))[0]
-            segs = cf.payloads(seg_rows, "seg")
-            blobs = cf.payloads(np.asarray(matched, dtype=np.int64), "blob")
-            gdec = GlobalDictDecoder()
-            for b in range(last_m + 1):
-                meta = cm.meta_dict(b, segs.get(b, b""))
-                if matched_mask[b]:
-                    blkd = decode_str_positions(blobs[b], meta, pos_of[b], gdec)
-                    out[b] = block_to_arrow(blkd, vt).cast(_out_arrow_type(vt))
-                else:
-                    replay_str_block(meta, gdec)
-        else:
-            blobs = cf.payloads(np.asarray(matched, dtype=np.int64), "blob")
-            for b in matched:
-                iblock = decode_int_block(blobs[b], cm.meta_dict(b))
-                pos = pos_of[b]
-                from arcade_spark.blocks import IntBlock
-
-                sub = IntBlock(
-                    values=iblock.values[pos],
-                    validity=None if iblock.validity is None else iblock.validity[pos],
-                )
-                out[b] = block_to_arrow(sub, vt).cast(_out_arrow_type(vt))
-        col_arrays[name] = out
-
-    for b in matched:
-        yield pa.RecordBatch.from_arrays(
-            [col_arrays[n][b] for n, _ in proj_items], schema=schema
-        )
+    return pos_of, nb, blk, cfs, cms
 
 
 def filter_parts(
@@ -1095,6 +1107,201 @@ def group_by_partials(
                     has_agg = acnt[used] > 0
                     arrays += [
                         pa.array(sums[used].astype(np.int64)),
+                        pa.array(mins[used].astype(np.int64), mask=~has_agg),
+                        pa.array(maxs[used].astype(np.int64), mask=~has_agg),
+                        pa.array(cnt[used].astype(np.int64)),
+                    ]
+                    yield pa.RecordBatch.from_arrays(
+                        arrays,
+                        names=[f"k{i}" for i in range(len(group_cols))]
+                        + ["s", "mn", "mx", "c"],
+                    )
+
+    def lane(vt: str) -> str:
+        if vt in ("str", "binary"):
+            return "binary"
+        if vt in ("double", "float"):
+            return "double"
+        return "long"
+
+    ddl = ", ".join(
+        [f"k{i} {lane(vt)}" for i, vt in enumerate(vts)]
+        + ["s long", "mn long", "mx long", "c long"]
+    )
+    return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl), vts
+
+
+def filter_group_by_partials(
+    spark: SparkSession,
+    out_dir: str,
+    preds_spec: list[tuple[str, tuple]],
+    group_cols: list[str],
+    agg_col: str | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Fused ``WHERE <conjunction> GROUP BY g1, g2 [SUM/MIN/MAX(agg)]``
+    in one pass per partition: the predicate kernel produces match
+    positions, group columns contribute codes gathered AT those
+    positions (dict/rle paths never materialize strings; unmatched
+    blocks replay segments only), the agg column decodes matched
+    positions, and per-chunk code-tuple accumulators emit O(distinct)
+    partials — the classic warehouse query shape (TPC-H Q1) without
+    materializing a single matched row. Same output contract as
+    group_by_partials."""
+    from arcade_spark.readops import _Pred
+
+    all_cols, parts = load_manifest(out_dir)
+    cols = dict(all_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if len(set(group_cols)) != len(group_cols):
+        raise ValueError("duplicate group columns")
+    vts = []
+    for g in group_cols:
+        if g not in cols:
+            raise KeyError(f"no such column: {g}")
+        vts.append(cols[g])
+    if agg_col is not None:
+        avt = cols.get(agg_col)
+        if avt is None:
+            raise KeyError(f"no such column: {agg_col}")
+        if avt not in ("int", "i32", "i16", "i8"):
+            raise NotImplementedError(
+                "fused group-by aggregates integer columns only"
+            )
+    seen: set[str] = set()
+    compiled = []
+    for column, pred in preds_spec:
+        if column not in cols:
+            raise KeyError(f"no such column: {column}")
+        if column in seen:
+            raise ValueError(
+                f"multiple predicates on {column!r} within one conjunct "
+                "not supported"
+            )
+        seen.add(column)
+        compiled.append(_Pred(column, cols[column], pred))
+    conjuncts = [compiled]
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from arcade_spark.core import decode_int_block, replay_str_block
+        from arcade_spark.gdict import GlobalDictDecoder
+        from arcade_spark.readops import _str_chunk_codes
+
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                pos_of, nb, _blk, p_cfs, p_cms = _part_match_positions(
+                    out_dir, int(pid), conjuncts
+                )
+                matched = [b for b in range(nb) if len(pos_of[b])]
+                if not matched:
+                    continue
+                last_m = matched[-1]
+                matched_mask = np.zeros(nb, dtype=bool)
+                matched_mask[matched] = True
+                midx = np.asarray(matched, dtype=np.int64)
+
+                gcf = {g: p_cfs.get(g) or _ColFile(out_dir, int(pid), g)
+                       for g in group_cols}
+                gcm = {g: (p_cms.get(g) or gcf[g].meta()) for g in group_cols}
+                for g in group_cols:
+                    if gcm[g].n != nb:
+                        raise ValueError(
+                            f"column {g!r}: block count mismatch in part {pid}"
+                        )
+                rng = np.arange(nb)
+                gblobs = {g: gcf[g].payloads(midx, "blob") for g in group_cols}
+                gsegs = {}
+                for g, vt in zip(group_cols, vts):
+                    if vt in ("str", "binary"):
+                        seg_rows = np.nonzero(
+                            (gcm[g].stateful | matched_mask) & (rng <= last_m)
+                        )[0]
+                        gsegs[g] = gcf[g].payloads(seg_rows, "seg")
+                if agg_col is not None:
+                    acf = p_cfs.get(agg_col) or _ColFile(out_dir, int(pid), agg_col)
+                    acm = p_cms.get(agg_col) or acf.meta()
+                    if acm.n != nb:
+                        raise ValueError(
+                            f"column {agg_col!r}: block count mismatch in part {pid}"
+                        )
+                    ablobs = acf.payloads(midx, "blob")
+                gdecs = {g: GlobalDictDecoder() for g in group_cols}
+
+                for b in range(last_m + 1):
+                    if not matched_mask[b]:
+                        for g, vt in zip(group_cols, vts):
+                            if vt in ("str", "binary"):
+                                replay_str_block(
+                                    gcm[g].meta_dict(b, gsegs[g].get(b, b"")),
+                                    gdecs[g],
+                                )
+                        continue
+                    pos = pos_of[b]
+                    key_codes, resolvers = [], []
+                    cmask = None
+                    for g, vt in zip(group_cols, vts):
+                        if vt in ("str", "binary"):
+                            meta = gcm[g].meta_dict(b, gsegs[g].get(b, b""))
+                            codes, gvalid, resolve = _str_chunk_codes(
+                                gdecs[g], gblobs[g][b], meta
+                            )
+                        else:
+                            ib = decode_int_block(
+                                gblobs[g][b], gcm[g].meta_dict(b)
+                            )
+                            gv = ib.values
+                            if vt in ("double", "float"):
+                                gv = gv.copy()
+                                f = gv.view(np.float64)
+                                gv[f == 0.0] = 0
+                                gv[np.isnan(f)] = np.int64(0x7FF8000000000000)
+                            uniq, codes = np.unique(gv, return_inverse=True)
+                            gvalid = ib.validity
+                            resolve = (lambda used, u=uniq: u[used])
+                        key_codes.append(codes.astype(np.int64)[pos])
+                        resolvers.append(resolve)
+                        if gvalid is not None:
+                            gv_pos = gvalid[pos]
+                            cmask = gv_pos if cmask is None else (cmask & gv_pos)
+                    n = len(pos)
+                    if cmask is None:
+                        cmask = np.ones(n, dtype=bool)
+                    if not cmask.any():
+                        continue
+                    stack = np.stack(key_codes)
+                    tuples, inv = np.unique(stack, axis=1, return_inverse=True)
+                    width = tuples.shape[1]
+                    cnt = np.bincount(inv[cmask], minlength=width)
+                    sums = np.zeros(width, dtype=np.int64)
+                    mins = np.full(width, np.iinfo(np.int64).max, dtype=np.int64)
+                    maxs = np.full(width, np.iinfo(np.int64).min, dtype=np.int64)
+                    acnt = np.zeros(width, dtype=np.int64)
+                    if agg_col is not None:
+                        aib = decode_int_block(ablobs[b], acm.meta_dict(b))
+                        av = aib.values[pos]
+                        smask = (
+                            cmask if aib.validity is None
+                            else (cmask & aib.validity[pos])
+                        )
+                        np.add.at(sums, inv[smask], av[smask])
+                        np.minimum.at(mins, inv[smask], av[smask])
+                        np.maximum.at(maxs, inv[smask], av[smask])
+                        acnt = np.bincount(inv[smask], minlength=width)
+                    used = np.nonzero(cnt)[0]
+                    has_agg = acnt[used] > 0
+                    arrays = []
+                    for i, vt in enumerate(vts):
+                        vals = resolvers[i](tuples[i, used])
+                        if vt in ("str", "binary"):
+                            arrays.append(pa.array(list(vals), type=pa.binary()))
+                        elif vt in ("double", "float"):
+                            arrays.append(pa.array(
+                                vals.view(np.float64), type=pa.float64()))
+                        else:
+                            arrays.append(pa.array(
+                                vals.astype(np.int64), type=pa.int64()))
+                    arrays += [
+                        pa.array(sums[used].astype(np.int64), mask=~has_agg),
                         pa.array(mins[used].astype(np.int64), mask=~has_agg),
                         pa.array(maxs[used].astype(np.int64), mask=~has_agg),
                         pa.array(cnt[used].astype(np.int64)),

@@ -1482,9 +1482,17 @@ def group_by(
     from arcade_spark.partread import group_by_partials
 
     partial, vts = group_by_partials(spark, out_dir, group_cols, agg_col)
+    return _merge_group_partials(partial, vts, group_cols, agg_col is not None)
+
+
+def _merge_group_partials(
+    partial: DataFrame, vts: list[str], group_cols: list[str], has_agg: bool
+) -> DataFrame:
+    """Fold (k0.., s, mn, mx, c) chunk partials into the final typed
+    grouped result — one O(distinct tuples) shuffle."""
     keys = [f"k{i}" for i in range(len(group_cols))]
     aggs = [F.sum("c").alias("cnt")]
-    if agg_col is not None:
+    if has_agg:
         aggs = [
             # SQL SUM over zero valid values is NULL, not 0 — a group
             # has valid agg values iff its min partial survived
@@ -1497,8 +1505,31 @@ def group_by(
         _group_key_out(F.col(k), vt).alias(name)
         for k, vt, name in zip(keys, vts, group_cols)
     ]
-    tail = (["sum_v", "min_v", "max_v"] if agg_col is not None else []) + ["cnt"]
+    tail = (["sum_v", "min_v", "max_v"] if has_agg else []) + ["cnt"]
     return merged.select(*out_keys, *tail)
+
+
+def filter_group_by(
+    spark: SparkSession,
+    out_dir: str,
+    preds: list[tuple],
+    group_cols: list[str],
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Fused ``SELECT g1, g2, [sum/min/max(agg),] count(*) FROM t WHERE
+    <conjunction> GROUP BY g1, g2`` — the TPC-H Q1 query shape — in ONE
+    pass over the encoded table: match positions from the predicate
+    kernel drive code gathers on the group columns and a positional
+    decode of the agg column; no matched row ever materializes and the
+    only shuffle is the O(distinct tuples) partial merge. Same
+    predicate forms as ``filter_and``; integer agg columns only.
+    See partread.filter_group_by_partials."""
+    from arcade_spark.partread import filter_group_by_partials
+
+    partial, vts = filter_group_by_partials(
+        spark, out_dir, _preds_to_spec(preds), group_cols, agg_col
+    )
+    return _merge_group_partials(partial, vts, group_cols, agg_col is not None)
 
 
 def table_count(spark: SparkSession, out_dir: str) -> DataFrame:

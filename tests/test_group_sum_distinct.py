@@ -291,3 +291,41 @@ def test_filter_agg_fused(spark, gs_table):
 
     with pytest.raises(NotImplementedError, match="integer"):
         filter_agg(spark, out, [("eq", "lang", "en")], "v")
+
+
+def test_filter_group_by_fused(spark, gs_table):
+    """Fused WHERE + GROUP BY + integer aggregates against pandas."""
+    from arcade_spark.readops import filter_group_by
+
+    out, pdf = gs_table
+    got = (
+        filter_group_by(spark, out, [("range", "x", 0, 49)], ["lang"], "x")
+        .toPandas().sort_values("lang").reset_index(drop=True)
+    )
+    sub = pdf.loc[(pdf["x"] >= 0) & (pdf["x"] <= 49) & pdf["lang"].notna()]
+    want = (
+        sub.groupby("lang")
+        .agg(sum_v=("x", "sum"), min_v=("x", "min"), max_v=("x", "max"),
+             cnt=("x", "size"))
+        .reset_index().sort_values("lang").reset_index(drop=True)
+    )
+    assert list(got.columns) == ["lang", "sum_v", "min_v", "max_v", "cnt"]
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    # count-only grouping with a string-match predicate
+    got = (
+        filter_group_by(spark, out, [("prefix", "url", "https://h2")], ["lang"])
+        .toPandas().sort_values("lang").reset_index(drop=True)
+    )
+    sub = pdf.loc[pdf["url"].str.startswith("https://h2") & pdf["lang"].notna()]
+    want = (
+        sub.groupby("lang").size().reset_index(name="cnt")
+        .sort_values("lang").reset_index(drop=True)
+    )
+    assert (got["lang"] == want["lang"]).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+    # empty match: no groups
+    got = filter_group_by(spark, out, [("eq", "lang", "NOPE")], ["lang"], "x")
+    assert got.count() == 0
