@@ -63,6 +63,14 @@ def test_dedup_stream_cross_batch_state(spark, tmp_path_factory):
                  schema=schema),
         f"{src_dir}/f2.parquet",
     )
+    # the file source orders micro-batches by modification time; pin
+    # mtimes so f1 ALWAYS precedes f2 (a tie under suite load flips the
+    # batch order and different rows survive the dedup)
+    import time as _time
+
+    now = _time.time()
+    os.utime(f"{src_dir}/f1.parquet", (now - 60, now - 60))
+    os.utime(f"{src_dir}/f2.parquet", (now, now))
     out = str(tmp_path_factory.mktemp("dstream") / "out")
     ckpt = str(tmp_path_factory.mktemp("dstream") / "ckpt")
     q = dedup_stream(spark, src_dir, out, ckpt,
