@@ -139,6 +139,16 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             spark, enc_dir, "url", "https://h1", project=["url"]).count())
         timed("filter_contains_text", lambda: filter_contains(
             spark, enc_dir, "text", "zophi", project=["url"]).count())
+        from arcade_spark.readops import filter_group_by, filter_like, filter_sample
+
+        timed("filter_like_url", lambda: filter_like(
+            spark, enc_dir, "url", "https://h1_.%", project=["url"]).count())
+        timed("filter_sample_3in10", lambda: filter_sample(
+            spark, enc_dir, "url", 3, 10, count_only=False,
+            project=["url"]).count())
+        timed("fused_groupby_lang", lambda: filter_group_by(
+            spark, enc_dir,
+            [("range", "url", "https://a", "https://m")], ["lang"]).count())
         timed("topk_ts", lambda: column_topk(
             spark, enc_dir, "warc_ts", 100).count())
         timed("group_count_lang", lambda: group_count(spark, enc_dir, "lang").count())
