@@ -329,3 +329,44 @@ def test_filter_group_by_fused(spark, gs_table):
     # empty match: no groups
     got = filter_group_by(spark, out, [("eq", "lang", "NOPE")], ["lang"], "x")
     assert got.count() == 0
+
+
+def test_group_by_matches_spark_native_on_random_tables(spark, tmp_path_factory):
+    """Cross-path check: the code-tuple group_by kernel must agree with
+    Spark's own groupBy over the decoded scan — two independent
+    aggregation implementations over the same encoded bytes."""
+    import pyspark.sql.functions as F
+
+    from arcade_spark.decode import scan
+
+    for seed in (7, 19):
+        rng = np.random.default_rng(seed)
+        langs = np.array(["en", "de", "fr", "es", None], dtype=object)
+        n = 1800
+        pdf = pd.DataFrame(
+            {
+                "url": [f"u{seed}-{j}" for j in range(n)],
+                "lang": langs[rng.integers(0, len(langs), n)],
+                "x": rng.integers(-30, 30, n).astype(np.int64),
+            }
+        )
+        src = spark.createDataFrame(pdf)
+        out = str(tmp_path_factory.mktemp("xgb") / f"enc{seed}")
+        encode_job(spark, src, out, num_parts=2, block_rows=128, order_col="url")
+
+        got = {
+            (r["lang"],): (r["sum_v"], r["min_v"], r["max_v"], r["cnt"])
+            for r in group_by(spark, out, ["lang"], "x").collect()
+        }
+        want = {
+            (r["lang"],): (r["s"], r["mn"], r["mx"], r["c"])
+            for r in (
+                scan(spark, out)
+                .filter(F.col("lang").isNotNull())
+                .groupBy("lang")
+                .agg(F.sum("x").alias("s"), F.min("x").alias("mn"),
+                     F.max("x").alias("mx"), F.count("*").alias("c"))
+                .collect()
+            )
+        }
+        assert got == want, seed
