@@ -1554,12 +1554,21 @@ def column_null_count(spark: SparkSession, out_dir: str, column: str) -> DataFra
 
 
 def distinct_values(
-    spark: SparkSession, out_dir: str, column: str, mode: str = "files"
+    spark: SparkSession, out_dir: str, column: str | list[str],
+    mode: str = "files",
 ) -> DataFrame:
-    """``SELECT DISTINCT column`` over NON-NULL values (COUNT(DISTINCT)
-    semantics). Rides the group_count partials: dict/rle chunks emit
-    their few used dictionary entries (no payload materialization), so
-    the merge shuffle is O(distinct), never O(rows)."""
+    """``SELECT DISTINCT col[, col2, ...]`` over rows whose listed
+    columns are all NON-NULL (COUNT(DISTINCT) semantics). Single column
+    rides the group_count partials; multi-column rides group_by's
+    code-tuple partials — either way dict/rle chunks emit used
+    dictionary entries only and the merge shuffle is O(distinct),
+    never O(rows)."""
+    if isinstance(column, (list, tuple)):
+        cols = list(column)
+        if len(cols) == 1:
+            column = cols[0]
+        else:
+            return group_by(spark, out_dir, cols).select(*cols)
     return group_count(spark, out_dir, column, mode).select(column)
 
 

@@ -370,3 +370,33 @@ def test_group_by_matches_spark_native_on_random_tables(spark, tmp_path_factory)
             )
         }
         assert got == want, seed
+
+
+def test_distinct_values_multi_column(spark, gs_table):
+    out, pdf = gs_table
+    got = {
+        (r["lang"], r["x"])
+        for r in distinct_values(spark, out, ["lang", "x"]).collect()
+    }
+    want = {
+        (l, int(x))
+        for l, x in pdf.dropna(subset=["lang"])[["lang", "x"]]
+        .drop_duplicates().itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_filter_group_by_same_column_pred_and_key(spark, gs_table):
+    """A column used both as predicate and group key: independent
+    dictionary replay states must not interfere."""
+    from arcade_spark.readops import filter_group_by
+
+    out, pdf = gs_table
+    got = {
+        r["lang"]: r["cnt"]
+        for r in filter_group_by(
+            spark, out, [("in", "lang", ["en", "de", "fr"])], ["lang"]
+        ).collect()
+    }
+    sub = pdf.loc[pdf["lang"].isin(["en", "de", "fr"])]
+    assert got == sub.groupby("lang").size().to_dict()
