@@ -116,3 +116,39 @@ def test_compact_column_projection(spark, compacted, tmp_path):
 
     with pytest.raises(KeyError, match="no such column"):
         compact_job(spark, src, str(tmp_path / "bad"), columns=["nope"])
+
+
+def test_compact_property_sweep(spark, tmp_path_factory):
+    """Format-level property: for random (num_parts, block_rows,
+    group_size) combinations, the compacted table's full scan equals
+    the source exactly and filters agree — dict resets at every merged
+    boundary, uneven tail groups, single-part groups."""
+    rng = np.random.default_rng(77)
+    langs = np.array(["en", "de", "fr", "es", "el"])
+    for trial in range(3):
+        n = 1200
+        pdf = pd.DataFrame(
+            {
+                "url": [f"t{trial}-u{j:05d}" for j in range(n)],
+                "lang": langs[rng.integers(0, len(langs), n)],
+                "x": rng.integers(-9, 9, n).astype(np.int64),
+            }
+        )
+        num_parts = int(rng.choice([3, 5, 9]))
+        block_rows = int(rng.choice([32, 100, 450]))
+        group_size = int(rng.choice([1, 2, 4, 16]))
+        base = tmp_path_factory.mktemp(f"cps{trial}")
+        src, dest = str(base / "s"), str(base / "d")
+        encode_job(spark, spark.createDataFrame(pdf), src,
+                   num_parts=num_parts, block_rows=block_rows, order_col="url")
+        stats = compact_job(spark, src, dest, group_size=group_size)
+        assert stats["n_rows"] == n
+        a = scan(spark, src).toPandas().sort_values("url").reset_index(drop=True)
+        b = scan(spark, dest).toPandas().sort_values("url").reset_index(drop=True)
+        assert a.equals(b), (trial, num_parts, block_rows, group_size)
+        lang = str(rng.choice(langs))
+        fa = sorted(equi_filter(spark, src, "lang", lang, project=["url"])
+                    .toPandas()["url"])
+        fb = sorted(equi_filter(spark, dest, "lang", lang, project=["url"])
+                    .toPandas()["url"])
+        assert fa == fb and len(fa) > 0
