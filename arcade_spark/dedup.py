@@ -109,23 +109,37 @@ def _banded(shingle_arrays: DataFrame) -> DataFrame:
 
     def kernel(batches):
         for batch in batches:
-            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            hs = batch.column(1)
-            if isinstance(hs, pa.ChunkedArray):
-                hs = hs.combine_chunks()
-            offs = np.frombuffer(hs.buffers()[1], dtype=np.int32)[
-                hs.offset: hs.offset + len(hs) + 1
-            ].astype(np.int64)
-            flat = hs.values.to_numpy(zero_copy_only=False).astype(np.int64)
-            base = flat.view(np.uint64)
-            out_ids, out_bands = _band_rows(ids, offs, base)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(out_ids, type=pa.int64()),
-                 pa.array(out_bands, type=pa.int64())],
-                names=["doc_id", "band_hash"],
-            )
+            yield _band_batch(batch)
 
     return arrays.mapInArrow(kernel, schema="doc_id long, band_hash long")
+
+
+def _band_batch(batch) -> "pa.RecordBatch":
+    """One Arrow batch (doc_id, hs: list<int64>) → (doc_id, band_hash)
+    rows; offset-robust (handles sliced list arrays and untrimmed child
+    buffers)."""
+    import pyarrow as pa
+
+    ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    hs = batch.column(1)
+    if isinstance(hs, pa.ChunkedArray):
+        hs = hs.combine_chunks()
+    offs = np.frombuffer(hs.buffers()[1], dtype=np.int32)[
+        hs.offset: hs.offset + len(hs) + 1
+    ].astype(np.int64)
+    flat = hs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    # `.values` is the UN-sliced child array: normalize so a sliced
+    # batch (non-zero list offset / untrimmed child buffer) can't
+    # misalign doc_idx against the value run
+    flat = flat[offs[0]: offs[-1]]
+    offs = offs - offs[0]
+    base = flat.view(np.uint64)
+    out_ids, out_bands = _band_rows(ids, offs, base)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(out_ids, type=pa.int64()),
+         pa.array(out_bands, type=pa.int64())],
+        names=["doc_id", "band_hash"],
+    )
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:

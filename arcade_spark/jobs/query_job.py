@@ -77,6 +77,12 @@ def build_query(spark, args):
                 dt = dt.replace(tzinfo=_dt.timezone.utc)
             epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
             return (dt - epoch) // _dt.timedelta(microseconds=1)
+        if vt == "date":
+            import datetime as _dt
+
+            return _dt.date.fromisoformat(v)
+        if vt == "bool":
+            return v.strip().lower() in ("true", "t", "1", "yes")
         return v
 
     proj = args.project.split(",") if getattr(args, "project", None) else None

@@ -1582,8 +1582,16 @@ def column_minmax_parts(spark: SparkSession, out_dir: str, column: str) -> DataF
                         break
                     if lo is None or mb < lo[0]:
                         lo = (mb, bool(cm.min_exact[i]))
+                    # max side: a TIE with an inexact candidate demotes
+                    # exactness — the candidate's true max extends the
+                    # shared 128-byte prefix and so EXCEEDS the tied
+                    # "exact" winner (min side is safe: an inexact tying
+                    # prefix understates its chunk's true min, so the
+                    # exact winner remains the smaller value)
                     if hi is None or xb > hi[0]:
                         hi = (xb, bool(cm.max_exact[i]))
+                    elif xb == hi[0] and not cm.max_exact[i]:
+                        hi = (xb, False)
                 if meta_ok and lo is not None and not (lo[1] and hi[1]):
                     meta_ok = False
                 if not meta_ok:

@@ -1630,10 +1630,20 @@ def filter_semijoin(
         if vt is None:
             raise KeyError(f"no such column: {column}")
         dummy = "" if vt in ("str", "binary") else 0
-        return filter_in(
+        empty = filter_in(
             spark, out_dir, column, [dummy],
             project=project, count_only=count_only, mode=mode,
-        ).limit(0)
+        )
+        # count_only keeps its per-block count rows so SUM(matches)
+        # folds to 0, not NULL — matches forced to 0 in case the typed
+        # dummy key collides with real values; .limit(0) only on the
+        # row-returning path
+        if count_only:
+            return empty.select(
+                "part_id", "block_id",
+                F.lit(0).cast("long").alias("matches"), "zone_skipped",
+            )
+        return empty.limit(0)
     return filter_in(
         spark, out_dir, column, keys, project=project,
         count_only=count_only, mode=mode,
