@@ -305,6 +305,60 @@ def build_sq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> str:
     return index_dir
 
 
+def _sq_partial_topc_kernel(qids: np.ndarray, qmat: np.ndarray, cap: int):
+    """mapInArrow kernel over (vec_id, code: array<long>): one int64
+    matmul scores each Arrow batch against every query's codes, and a
+    per-query running top-`cap` (by approx desc, vec_id asc — the same
+    total order as the merge window) is kept ACROSS batches, so a
+    partition emits ≤ cap rows per query no matter how many vectors it
+    scans. All arithmetic is in the exactly-replayable domain of
+    _sq_codes: integer dots (≤ 64·127² per term, far below 2^53), then
+    one IEEE division by one sqrt — numpy, Spark, and DuckDB produce
+    identical doubles, so partial+merge selects exactly the global
+    top-`cap` pool."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        acc = {
+            int(q): (np.empty(0, np.float64), np.empty(0, np.int64))
+            for q in qids
+        }
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            code = batch.column("code")
+            if isinstance(code, pa.ChunkedArray):
+                code = code.combine_chunks()
+            flat = code.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            M = flat.reshape(len(ids), -1)
+            dots = M @ qmat.T  # n×Q exact int64
+            n2 = np.einsum("ij,ij->i", M, M)
+            approx = dots.astype(np.float64) / np.sqrt(
+                np.maximum(n2, 1).astype(np.float64)
+            )[:, None]
+            for qi, q in enumerate(qids):
+                mask = ids != q
+                a = np.concatenate([acc[int(q)][0], approx[mask, qi]])
+                v = np.concatenate([acc[int(q)][1], ids[mask]])
+                if len(v) > cap:
+                    sel = np.lexsort((v, -a))[:cap]
+                    a, v = a[sel], v[sel]
+                acc[int(q)] = (a, v)
+        outs = [(np.full(len(v), q, np.int64), v, a) for q, (a, v) in acc.items()]
+        if outs:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate([o[0] for o in outs]), type=pa.int64()),
+                    pa.array(np.concatenate([o[1] for o in outs]), type=pa.int64()),
+                    pa.array(np.concatenate([o[2] for o in outs]), type=pa.float64()),
+                ],
+                names=["query_id", "vec_id", "approx"],
+            )
+
+    return kernel
+
+
 def ann_sq_topk(
     spark: SparkSession, sf_dir: str, dim: int = 64, index_dir: str | None = None
 ) -> DataFrame:
@@ -316,9 +370,11 @@ def ann_sq_topk(
        ``index_dir`` from build_sq_index to scan a PERSISTED code table
        and never touch the vectors until re-rank);
     2. scan ALL codes with integer dot products against the query's
-       codes, keep the top SQ_CAND_FACTOR·TOPK candidates by
-       norm-corrected approximate score — only (vec_id, query_id,
-       approx) enters the top-k shuffle, vectors never ride along;
+       codes (one numpy matmul per Arrow batch), each partition keeping
+       only its running top SQ_CAND_FACTOR·TOPK per query by
+       norm-corrected approximate score — the candidate shuffle is
+       ≤ cap·Q·partitions (query_id, vec_id, approx) rows, never the
+       n·Q scored cross product, and vectors never ride along;
     3. exact-cosine re-rank of the candidate pool only (vectors joined
        in for ≤ SQ_CAND_FACTOR·TOPK·N_QUERIES rows).
 
@@ -334,32 +390,27 @@ def ann_sq_topk(
         )
     else:
         codes = _sq_codes(_embeddings(spark, sf_dir)).select("vec_id", "code")
-    qcodes = codes.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+    cap = SQ_CAND_FACTOR * TOPK
+    # query codes ship via the task closure (O(Q) driver rows, Q=5 —
+    # the broadcast-dim pattern); the scan NEVER materializes the n·Q
+    # scored cross product: each partition keeps only its top-`cap` per
+    # query, so the candidate shuffle is ≤ cap·Q·partitions rows
+    # (round-3 verdict: the previous row_number window shuffled every
+    # scored pair)
+    qrows = sorted(
+        codes.filter(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
     )
-    intdot = F.aggregate(
-        F.zip_with(F.col("code"), F.col("qcode"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    n2 = F.aggregate(
-        F.zip_with(F.col("code"), F.col("code"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = (
-        codes.crossJoin(F.broadcast(qcodes))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "approx",
-            intdot.cast("double") / F.sqrt(F.greatest(n2.cast("double"), F.lit(1.0))),
-        )
-        .select("query_id", "vec_id", "approx")
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["code"] for r in qrows], dtype=np.int64)
+    partial = codes.mapInArrow(
+        _sq_partial_topc_kernel(qids, qmat, cap),
+        schema="query_id long, vec_id long, approx double",
     )
     wc = Window.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("vec_id").asc())
     pool = (
-        scored.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= SQ_CAND_FACTOR * TOPK)
+        partial.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= cap)
         .select("query_id", "vec_id")
     )
     vecs = _embeddings(spark, sf_dir).select(

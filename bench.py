@@ -178,13 +178,20 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from arcade_spark.simsearch import (
         ann_cosine_topk,
         ann_sq_topk,
+        build_sq_index,
         embedding_cosine_pairs,
     )
     from arcade_spark.textops import token_stats
 
     timed("dedup_minhash_lsh", lambda: dedup_minhash_lsh(spark, sf_dir).count())
     timed("ann_cosine_topk", lambda: ann_cosine_topk(spark, sf_dir).count())
-    timed("ann_sq_topk", lambda: ann_sq_topk(spark, sf_dir).count())
+    # the scale path scans the PERSISTED int8 code table (1/8 the
+    # bytes), never the fp64 vectors — build once (timed separately),
+    # then time the indexed scan (round-3 verdict: the bench previously
+    # recomputed codes on the fly every run)
+    sq_idx = os.path.join(tempfile.gettempdir(), f"arcade_bench_sqidx_{sf}")
+    timed("ann_sq_index_build", lambda: build_sq_index(spark, sf_dir, sq_idx), reps=1)
+    timed("ann_sq_topk", lambda: ann_sq_topk(spark, sf_dir, index_dir=sq_idx).count())
     timed("embedding_cosine_pairs_lsh", lambda: embedding_cosine_pairs(spark, sf_dir).count())
     timed("token_stats", lambda: token_stats(spark, sf_dir).count())
 
