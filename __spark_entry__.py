@@ -469,6 +469,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["l_returnflag", "l_linestatus"], "l_linenumber",
         )
 
+    def arcade_q1_double(spark, sf_dir):
+        """The REAL TPC-H Q1 money shape: WHERE l_shipdate <= cutoff
+        GROUP BY (l_returnflag, l_linestatus) summing the DOUBLE
+        l_extendedprice through the fixed-point contract — exact int64
+        sums of floor(x*100+0.5) per group, one IEEE division at
+        output, replayed verbatim by the DuckDB oracle (for 2-decimal
+        money data this IS the exact DECIMAL answer)."""
+        _ship_package(spark)
+        import datetime as _dt
+
+        from arcade_spark.readops import filter_group_by
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        cutoff = _dt.datetime(1997, 6, 1, tzinfo=_dt.timezone.utc)
+        return filter_group_by(
+            spark, out,
+            [("range", "l_shipdate", _dt.datetime(1990, 1, 1, tzinfo=_dt.timezone.utc), cutoff)],
+            ["l_returnflag", "l_linestatus"], "l_extendedprice",
+        )
+
+    def arcade_sum_avg_double(spark, sf_dir):
+        """column_agg over a DOUBLE column (fixed-point lane): exact
+        integer partials, single-IEEE-division outputs."""
+        _ship_package(spark)
+        from arcade_spark.readops import column_agg
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        return column_agg(spark, out, "l_extendedprice")
+
+    def arcade_join(spark, sf_dir):
+        """Encoded-to-encoded shuffle join (round-4, past the semijoin
+        broadcast cap): lineitem ⋈ orders on the order key, orders side
+        predicate-filtered — each side ships (key, rowid) pairs only,
+        Spark shuffle-joins them, projections late-materialize at the
+        matched rowids via the random-access kernel (touched blocks'
+        blobs only, no driver collect)."""
+        _ship_package(spark)
+        from arcade_spark.readops import join_encoded
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        out_or = _encoded_dir(spark, sf_dir, "orders", "o_orderkey")
+        return join_encoded(
+            spark, out_li, out_or, "l_orderkey", "o_orderkey",
+            project_a=["l_linenumber", "l_quantity"],
+            project_b=["o_orderpriority"],
+            preds_b=[("eq", "o_orderpriority", "1-URGENT")],
+        )
+
+    def arcade_topk_text(spark, sf_dir):
+        """ORDER BY <string col> DESC LIMIT 20 with zone pruning on
+        PREFIX-TRUNCATED bounds (round-4): min_bin is always a lower
+        bound and next_prefix(max_bin) an exclusive upper bound, so
+        blocks prune exactly like the int path; candidate blocks decode
+        under the sequential dictionary-replay constraint."""
+        _ship_package(spark)
+        from arcade_spark.readops import column_topk
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return column_topk(spark, out, "text", 20)
+
     def arcade_q1_groups(spark, sf_dir):
         """TPC-H Q1's grouping shape on the encoded lineitem:
         GROUP BY (l_returnflag, l_linestatus) with COUNT(*) — composite
@@ -588,6 +648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_agg": arcade_filter_agg,
         "arcade_q1_groups": arcade_q1_groups,
         "arcade_q1": arcade_q1,
+        "arcade_q1_double": arcade_q1_double,
+        "arcade_sum_avg_double": arcade_sum_avg_double,
+        "arcade_topk_text": arcade_topk_text,
+        "arcade_join": arcade_join,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
@@ -874,6 +938,30 @@ def oracle_sql() -> dict[str, str]:
             "AND TIMESTAMP '1997-06-01' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
+        "arcade_q1_double": (
+            # the fixed-point double-aggregate contract, replayed
+            # verbatim: q = floor(x*100 + 0.5) summed as exact integers,
+            # one double division by the scale at output
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) "
+            "AS DOUBLE)/100 AS sum_v, "
+            "CAST(min(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) "
+            "AS DOUBLE)/100 AS min_v, "
+            "CAST(max(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) "
+            "AS DOUBLE)/100 AS max_v, "
+            "count(*) AS cnt FROM lineitem "
+            "WHERE l_shipdate BETWEEN TIMESTAMP '1990-01-01' "
+            "AND TIMESTAMP '1997-06-01' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "arcade_sum_avg_double": (
+            "SELECT CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS "
+            "BIGINT)) AS DOUBLE)/100 AS sum_v, count(*) AS cnt_all, "
+            "count(l_extendedprice) AS cnt_col, "
+            "(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) "
+            "AS DOUBLE)/100) / count(l_extendedprice) AS avg_v "
+            "FROM lineitem"
+        ),
         "arcade_null_count": (
             "SELECT count(*) AS cnt, count(text) AS n_valid, "
             "count(*) - count(text) AS n_nulls FROM documents"
@@ -889,6 +977,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "arcade_topk": (
             "SELECT n_chars AS v FROM documents ORDER BY n_chars DESC LIMIT 50"
+        ),
+        "arcade_topk_text": (
+            "SELECT text AS v FROM documents WHERE text IS NOT NULL "
+            "ORDER BY text DESC LIMIT 20"
+        ),
+        "arcade_join": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT'"
         ),
         "arcade_sum_avg": (
             "SELECT CAST(sum(n_chars) AS BIGINT) AS sum_v, "

@@ -63,6 +63,51 @@ _META_COLS = [
 ]
 
 
+# aggregate-column lanes ------------------------------------------------
+#
+# Integer-family columns aggregate natively (int64 partial sums are
+# exact in any order — the original cross-engine contract). double/
+# float agg columns aggregate in a FIXED-POINT domain: each value maps
+# to q(x) = floor(x·scale + 0.5) (one IEEE multiply, one add, one floor
+# — bit-identical in Spark, numpy, and DuckDB), q sums/mins/maxes
+# exactly as int64 (q is monotone, so min/max commute with it), and the
+# single output division q/scale is one correctly-rounded IEEE op. For
+# fixed-decimal data (money at scale=100 — the TPC-H Q1 shape) this IS
+# the exact DECIMAL answer; data with more precision than the scale is
+# aggregated at scale precision BY CONTRACT. Non-finite values or
+# |x·scale| ≥ 2^62 raise rather than overflow silently.
+AGG_SCALE = 100
+_AGG_VTS = ("int", "i32", "i16", "i8", "double", "float")
+_AGG_GUARD = (
+    "aggregates accept integer-family and double/float columns only "
+    "(doubles use the fixed-point contract, see partread.AGG_SCALE; "
+    "ts/date/bool sums are meaningless)"
+)
+
+
+def quantized_agg_lane(
+    values: np.ndarray, validity: np.ndarray | None, avt: str,
+    scale: int = AGG_SCALE,
+) -> np.ndarray:
+    """int64 aggregate lane for one decoded block: identity for the
+    integer family; fixed-point floor(x·scale + 0.5) for double/float.
+    Invalid slots are zeroed first so masked-out junk can't poison the
+    finiteness check."""
+    if avt not in ("double", "float"):
+        return values
+    f = values.view(np.float64)
+    if validity is not None:
+        f = f.copy()
+        f[~validity] = 0.0
+    qf = np.floor(f * float(scale) + 0.5)
+    if not np.isfinite(qf).all() or (np.abs(qf) >= 2.0 ** 62).any():
+        raise ValueError(
+            f"double aggregate overflow/non-finite at scale {scale}: the "
+            "fixed-point contract requires finite values with |x*scale| < 2^62"
+        )
+    return qf.astype(np.int64)
+
+
 def load_manifest(out_dir: str) -> tuple[list[tuple[str, str]], list[tuple[int, int]]]:
     """((name, vtype) list, [(part_id, n_rows)] sorted) from the manifest
     directory — driver-side pyarrow, no Spark job. Validates FORMAT_REV
@@ -324,7 +369,7 @@ def _filter_part_batches(
         # fused filter+aggregate: decode ONLY the agg column, ONLY at
         # matched positions, and emit one integer partial per part —
         # matched rows never materialize
-        name, _vt = agg_item
+        name, avt, agg_scale = agg_item
         acf = cfs.get(name) or _ColFile(out_dir, pid, name)
         acm = cms.get(name) or acf.meta()
         if acm.n != nb:
@@ -341,6 +386,7 @@ def _filter_part_batches(
             v = ib.values[pos]
             if ib.validity is not None:
                 v = v[ib.validity[pos]]
+            v = quantized_agg_lane(v, None, avt, agg_scale)
             if len(v):
                 s += int(v.sum())
                 bmn, bmx = int(v.min()), int(v.max())
@@ -530,6 +576,7 @@ def filter_parts(
     combine: str = "and",
     dnf_spec: list[list[tuple[str, tuple]]] | None = None,
     agg_col: str | None = None,
+    agg_scale: int = AGG_SCALE,
 ) -> DataFrame:
     """Files-mode filter driver. Predicate forms:
 
@@ -585,12 +632,9 @@ def filter_parts(
         avt = all_cols.get(agg_col)
         if avt is None:
             raise KeyError(f"no such column: {agg_col}")
-        if avt not in ("int", "i32", "i16", "i8"):
-            raise NotImplementedError(
-                "filter_agg aggregates integer columns only (the "
-                "column_agg exactness contract)"
-            )
-        agg_item = (agg_col, avt)
+        if avt not in _AGG_VTS:
+            raise NotImplementedError(f"filter_agg {_AGG_GUARD}")
+        agg_item = (agg_col, avt, agg_scale)
 
     if count_only or agg_item is not None:
         proj_items: list[tuple[str, str]] = []
@@ -803,6 +847,206 @@ def _ra_part_batches(
         )
 
 
+def key_rowid_parts(
+    spark: SparkSession,
+    out_dir: str,
+    key_col: str,
+    preds_spec: list[tuple[str, tuple]] | None = None,
+) -> tuple[DataFrame, str]:
+    """(key, global row id) pairs for every [predicate-matched] row
+    with a non-null key — the probe side of the encoded-to-encoded
+    shuffle join. The kernel decodes ONLY the key column (positions
+    from the shared DNF predicate pass when ``preds_spec`` is given;
+    zone-pruned blocks replay segments only), and each emitted row is
+    (key lane, rowid) — 16-24 bytes — so the join shuffle never carries
+    payload columns. Global rowids come from the manifest prefix sums
+    (the blocksizes index, reader.cpp:113-115) + per-block row_start.
+
+    Returns (df with columns ``k`` (binary for str keys, long lanes
+    otherwise) and ``rid`` long, key vtype). Integer-family and
+    str/binary keys only (double keys need canonicalization the join
+    contract doesn't define)."""
+    from arcade_spark.readops import _Pred
+
+    all_cols, parts = load_manifest(out_dir)
+    cols = dict(all_cols)
+    kvt = cols.get(key_col)
+    if kvt is None:
+        raise KeyError(f"no such column: {key_col}")
+    if kvt in ("double", "float"):
+        raise NotImplementedError(
+            "join/rowid extraction on float keys is not supported "
+            "(float equality is not a sane join contract)"
+        )
+    k_str = kvt in ("str", "binary")
+    conjuncts = None
+    if preds_spec:
+        seen: set[str] = set()
+        compiled = []
+        for column, pred in preds_spec:
+            if column not in cols:
+                raise KeyError(f"no such column: {column}")
+            if column in seen:
+                raise ValueError(
+                    f"multiple predicates on {column!r} within one "
+                    "conjunct not supported"
+                )
+            seen.add(column)
+            compiled.append(_Pred(column, cols[column], pred))
+        conjuncts = [compiled]
+    offsets: dict[int, int] = {}
+    lo = 0
+    for pid, n in parts:
+        offsets[pid] = lo
+        lo += n
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from arcade_spark.core import (
+            decode_int_block,
+            decode_str_positions,
+            replay_str_block,
+        )
+        from arcade_spark.gdict import GlobalDictDecoder
+
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                pid = int(pid)
+                base = offsets[pid]
+                cf = _ColFile(out_dir, pid, key_col)
+                cm = cf.meta()
+                nb = cm.n
+                if conjuncts is not None:
+                    pos_of, pnb, _blk, _cfs, _cms = _part_match_positions(
+                        out_dir, pid, conjuncts
+                    )
+                    if pnb != nb:
+                        raise ValueError(
+                            f"part {pid}: block count mismatch "
+                            f"({key_col} vs predicate columns)"
+                        )
+                else:
+                    pos_of = [
+                        np.arange(int(cm.n_values[b]), dtype=np.int64)
+                        for b in range(nb)
+                    ]
+                matched = [b for b in range(nb) if len(pos_of[b])]
+                if not matched:
+                    continue
+                last_m = matched[-1]
+                midx = np.asarray(matched, dtype=np.int64)
+                blobs = cf.payloads(midx, "blob")
+                if k_str:
+                    mmask = np.zeros(nb, dtype=bool)
+                    mmask[midx] = True
+                    rng = np.arange(nb)
+                    seg_rows = np.nonzero(
+                        (cm.stateful | mmask) & (rng <= last_m)
+                    )[0]
+                    segs = cf.payloads(seg_rows, "seg")
+                    gdec = GlobalDictDecoder()
+                for b in range(last_m + 1):
+                    if k_str:
+                        meta = cm.meta_dict(b, segs.get(b, b""))
+                        if not len(pos_of[b]):
+                            replay_str_block(meta, gdec)
+                            continue
+                        pos = pos_of[b]
+                        blkd = decode_str_positions(blobs[b], meta, pos, gdec)
+                        arr = blkd.to_arrow(binary=True)
+                        rids = base + int(cm.row_start[b]) + pos
+                        if blkd.validity is not None:
+                            keep = blkd.validity
+                            arr = arr.filter(pa.array(keep))
+                            rids = rids[keep]
+                        if len(arr) == 0:
+                            continue
+                        yield pa.RecordBatch.from_arrays(
+                            [arr, pa.array(rids, type=pa.int64())],
+                            names=["k", "rid"],
+                        )
+                    else:
+                        if not len(pos_of[b]):
+                            continue
+                        pos = pos_of[b]
+                        ib = decode_int_block(blobs[b], cm.meta_dict(b))
+                        v = ib.values[pos]
+                        rids = base + int(cm.row_start[b]) + pos
+                        if ib.validity is not None:
+                            keep = ib.validity[pos]
+                            v = v[keep]
+                            rids = rids[keep]
+                        if len(v) == 0:
+                            continue
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(v, type=pa.int64()),
+                             pa.array(rids, type=pa.int64())],
+                            names=["k", "rid"],
+                        )
+
+    ddl = ("k binary, rid long") if k_str else ("k long, rid long")
+    df = _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl)
+    return df, kvt
+
+
+def materialize_rowids_parts(
+    spark: SparkSession, out_dir: str, rids: DataFrame, project: list[str]
+) -> DataFrame:
+    """Distributed late materialization: decode ``project`` columns at
+    a DataFrame of global row ids (column ``rid``, assumed distinct) —
+    the random-access kernel (_ra_part_batches: touched blocks' blobs
+    only, seg-only replay before them) run per partition via
+    applyInArrow, so no row-id set ever collects to the driver. The
+    only shuffle moves (part_id, lp, rid) triples."""
+    from arcade_spark.schema import spark_type_for
+    from pyspark.sql import functions as F
+
+    all_cols, parts = load_manifest(out_dir)
+    missing = [c for c in project if c not in dict(all_cols)]
+    if missing:
+        raise KeyError(f"no such column(s): {missing}")
+    cols = [(n, v) for n, v in all_cols if n in project]
+    # rid → (part, local position) is a binary search over the manifest
+    # prefix sums — one vectorized searchsorted per Arrow batch, NOT a
+    # range join (a broadcast nested-loop would compare every rid
+    # against every partition's bounds)
+    pids = np.array([p for p, _ in parts], dtype=np.int32)
+    offs = np.concatenate(
+        [[0], np.cumsum([n for _, n in parts])]
+    ).astype(np.int64)
+
+    def tag(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            r = batch.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(r) == 0:
+                continue
+            pi = np.searchsorted(offs, r, side="right") - 1
+            if (pi < 0).any() or (pi >= len(pids)).any() or (r >= offs[pi + 1]).any():
+                raise IndexError("row id out of range")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pids[pi], type=pa.int32()),
+                 pa.array(r - offs[pi], type=pa.int64()),
+                 pa.array(r, type=pa.int64())],
+                names=["part_id", "lp", "rid"],
+            )
+
+    tagged = rids.select("rid").mapInArrow(
+        tag, schema="part_id int, lp long, rid long"
+    )
+    out_schema = _out_schema(cols, lead=[pa.field("row_id", pa.int64())])
+
+    def fn(key: tuple, tbl: pa.Table) -> pa.Table:
+        pid = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        lps = tbl.column("lp").to_numpy(zero_copy_only=False).astype(np.int64)
+        rr = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
+        batches = list(_ra_part_batches(out_dir, pid, list(zip(lps, rr)), cols))
+        return pa.Table.from_batches(batches, schema=out_schema)
+
+    ddl = "row_id long, " + ", ".join(
+        f"{n} {spark_type_for(v)}" for n, v in cols
+    )
+    return tagged.groupBy("part_id").applyInArrow(fn, schema=ddl)
+
+
 def group_count_partials(
     spark: SparkSession, out_dir: str, column: str
 ) -> tuple[DataFrame, str]:
@@ -865,7 +1109,8 @@ def group_count_partials(
 
 
 def group_sum_partials(
-    spark: SparkSession, out_dir: str, group_col: str, agg_col: str
+    spark: SparkSession, out_dir: str, group_col: str, agg_col: str,
+    agg_scale: int = AGG_SCALE,
 ) -> tuple[DataFrame, str]:
     """Files-mode partials for ``GROUP BY group_col: SUM(agg_col),
     COUNT(*)``: per chunk the GROUP column contributes its bit-packed
@@ -888,11 +1133,8 @@ def group_sum_partials(
         raise KeyError(f"no such column: {group_col}")
     if avt is None:
         raise KeyError(f"no such column: {agg_col}")
-    if avt not in ("int", "i32", "i16", "i8"):
-        raise NotImplementedError(
-            "group_sum aggregates integer columns only (float sums are "
-            "summation-order-dependent; see column_agg)"
-        )
+    if avt not in _AGG_VTS:
+        raise NotImplementedError(f"group_sum {_AGG_GUARD}")
     g_str = gvt in ("str", "binary")
     g_float = gvt in ("double", "float")
 
@@ -935,7 +1177,8 @@ def group_sum_partials(
                         gvalid = giblock.validity
                         resolve = lambda used, u=uniq: u[used]  # noqa: E731
                     aiblock = decode_int_block(ablobs[b], acm.meta_dict(b))
-                    av, avalid = aiblock.values, aiblock.validity
+                    avalid = aiblock.validity
+                    av = quantized_agg_lane(aiblock.values, avalid, avt, agg_scale)
                     n = len(codes)
                     cmask = (
                         np.ones(n, dtype=bool) if gvalid is None else gvalid
@@ -980,7 +1223,7 @@ def group_sum_partials(
 
 def group_by_partials(
     spark: SparkSession, out_dir: str, group_cols: list[str],
-    agg_col: str | None = None,
+    agg_col: str | None = None, agg_scale: int = AGG_SCALE,
 ) -> tuple[DataFrame, list[str]]:
     """Files-mode partials for MULTI-COLUMN ``GROUP BY g1, g2, ...
     [SUM(agg)], COUNT(*)``: per chunk every group column contributes a
@@ -1013,11 +1256,8 @@ def group_by_partials(
         avt = cols.get(agg_col)
         if avt is None:
             raise KeyError(f"no such column: {agg_col}")
-        if avt not in ("int", "i32", "i16", "i8"):
-            raise NotImplementedError(
-                "group_by aggregates integer columns only (the "
-                "column_agg exactness contract)"
-            )
+        if avt not in _AGG_VTS:
+            raise NotImplementedError(f"group_by {_AGG_GUARD}")
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from arcade_spark.core import decode_int_block
@@ -1084,13 +1324,16 @@ def group_by_partials(
                     acnt = np.zeros(width, dtype=np.int64)
                     if agg_col is not None:
                         aib = decode_int_block(ablobs[b], acm.meta_dict(b))
+                        qv = quantized_agg_lane(
+                            aib.values, aib.validity, avt, agg_scale
+                        )
                         smask = (
                             cmask if aib.validity is None
                             else (cmask & aib.validity)
                         )
-                        np.add.at(sums, inv[smask], aib.values[smask])
-                        np.minimum.at(mins, inv[smask], aib.values[smask])
-                        np.maximum.at(maxs, inv[smask], aib.values[smask])
+                        np.add.at(sums, inv[smask], qv[smask])
+                        np.minimum.at(mins, inv[smask], qv[smask])
+                        np.maximum.at(maxs, inv[smask], qv[smask])
                         acnt = np.bincount(inv[smask], minlength=width)
                     used = np.nonzero(cnt)[0]
                     arrays = []
@@ -1137,6 +1380,7 @@ def filter_group_by_partials(
     preds_spec: list[tuple[str, tuple]],
     group_cols: list[str],
     agg_col: str | None = None,
+    agg_scale: int = AGG_SCALE,
 ) -> tuple[DataFrame, list[str]]:
     """Fused ``WHERE <conjunction> GROUP BY g1, g2 [SUM/MIN/MAX(agg)]``
     in one pass per partition: the predicate kernel produces match
@@ -1164,10 +1408,8 @@ def filter_group_by_partials(
         avt = cols.get(agg_col)
         if avt is None:
             raise KeyError(f"no such column: {agg_col}")
-        if avt not in ("int", "i32", "i16", "i8"):
-            raise NotImplementedError(
-                "fused group-by aggregates integer columns only"
-            )
+        if avt not in _AGG_VTS:
+            raise NotImplementedError(f"fused group-by {_AGG_GUARD}")
     seen: set[str] = set()
     compiled = []
     for column, pred in preds_spec:
@@ -1278,7 +1520,9 @@ def filter_group_by_partials(
                     acnt = np.zeros(width, dtype=np.int64)
                     if agg_col is not None:
                         aib = decode_int_block(ablobs[b], acm.meta_dict(b))
-                        av = aib.values[pos]
+                        av = quantized_agg_lane(
+                            aib.values, aib.validity, avt, agg_scale
+                        )[pos]
                         smask = (
                             cmask if aib.validity is None
                             else (cmask & aib.validity[pos])
@@ -1338,11 +1582,14 @@ def column_topk_parts(
     per block on demand — pruned blocks are never read. Partition
     partials (≤ k values each) merge with one tiny global sort.
 
-    Integer-family columns only (string zone bounds are prefix-
-    truncated; a prefix is not an upper bound). Doubles compare in the
-    order-preserving key domain (bits.float_order_keys). Nulls are
-    excluded (SQL ORDER BY semantics for a LIMIT k of non-null
-    values)."""
+    Doubles compare in the order-preserving key domain
+    (bits.float_order_keys). String/binary columns dispatch to
+    _column_topk_str_parts: their prefix-truncated zone bounds are
+    still valid ENVELOPES (min_bin is always a lower bound; an inexact
+    max_bin's next-prefix is an exclusive upper bound), so blocks prune
+    the same way — see that kernel for the dictionary-replay ordering
+    constraint. Nulls are excluded (SQL ORDER BY semantics for a
+    LIMIT k of non-null values)."""
     from arcade_spark.bits import float_order_keys
     from arcade_spark.core import decode_int_block
     from arcade_spark.schema import spark_type_for
@@ -1352,10 +1599,7 @@ def column_topk_parts(
     if vt is None:
         raise KeyError(f"no such column: {column}")
     if vt in ("str", "binary"):
-        raise NotImplementedError(
-            "column_topk prunes on zone bounds, which are prefix-truncated "
-            "for strings — decode via scan() and sort for string columns"
-        )
+        return _column_topk_str_parts(spark, out_dir, column, k, descending, vt, parts)
     is_float = vt in ("double", "float")
     sign = 1 if descending else -1
 
@@ -1417,14 +1661,158 @@ def column_topk_parts(
     return out.select(F.col("v").cast(spark_type_for(vt)).alias("v"))
 
 
-def column_agg_parts(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
-    """``SELECT sum(col), count(*), count(col), avg(col)`` for integer
-    columns: per-partition exact integer partials (nulls excluded from
-    sum/avg, SQL semantics), one-row driver fold. Integer sums are
-    exact in any order, and avg is a single IEEE division of exact
-    integers — every engine reproduces the bytes. Doubles are excluded
-    on purpose: float sums are order-dependent, so a cross-engine
-    hash-exact contract would be a lie."""
+def _next_prefix(p: bytes) -> bytes | None:
+    """Smallest byte string greater than EVERY string with prefix
+    ``p`` (exclusive upper bound for a truncated zone prefix), or None
+    when ``p`` is all 0xff (unbounded)."""
+    b = bytearray(p)
+    for i in range(len(b) - 1, -1, -1):
+        if b[i] != 0xFF:
+            return bytes(b[:i]) + bytes([b[i] + 1])
+    return None
+
+
+def _topk_str_part(
+    out_dir: str, pid: int, column: str, k: int, descending: bool,
+    probe: dict | None = None,
+) -> list[bytes]:
+    """ORDER BY <string col> LIMIT k for ONE partition, zone-pruned.
+
+    Envelopes from (possibly prefix-truncated) zone bounds: min_bin is
+    ALWAYS a valid lower bound (a truncated min prefix understates its
+    chunk's true min); the upper bound is max_bin itself when exact,
+    else next_prefix(max_bin) — every extension of the prefix is below
+    it. A pre-decode threshold t0 comes from metadata alone (take
+    blocks by their guaranteed-side bound until ≥ k non-null values are
+    guaranteed); blob bytes are fetched ONLY for blocks whose envelope
+    can beat t0. Unlike the int kernel, blocks cannot decode in bound
+    order — differential-dictionary replay is sequential (writer.cpp
+    dict-diff chain) — so the pass runs in block order, replaying
+    segments for pruned blocks and tightening the threshold as decoded
+    blocks fill the running top-k. ``probe`` (tests) records the block
+    rows whose blobs were fetched under key "blob_rows"."""
+    from arcade_spark.core import decode_str_block, replay_str_block
+    from arcade_spark.gdict import GlobalDictDecoder
+
+    cf = _ColFile(out_dir, pid, column)
+    cm = cf.meta()
+    nb = cm.n
+    n_valid = cm.n_values - cm.n_nulls
+    los: list[bytes | None] = []
+    his: list[bytes | None] = []  # None = unbounded above
+    for i in range(nb):
+        mb, xb = cm.min_bin[i], cm.max_bin[i]
+        if n_valid[i] == 0 or mb is None or xb is None:
+            los.append(None)
+            his.append(None)
+            continue
+        los.append(mb)
+        his.append(xb if cm.max_exact[i] else _next_prefix(xb))
+    valid = [i for i in range(nb) if los[i] is not None]
+
+    # metadata-only threshold t0: pick blocks by their guaranteed-side
+    # bound until >= k values are guaranteed at-least(t0)/at-most(t0)
+    t0: bytes | None = None
+    if descending:
+        cum = 0
+        for i in sorted(valid, key=lambda i: los[i], reverse=True):
+            cum += int(n_valid[i])
+            if cum >= k:
+                t0 = los[i]
+                break
+    else:
+        cum = 0
+        # unbounded-above blocks can't contribute to the guarantee
+        for i in sorted((i for i in valid if his[i] is not None),
+                        key=lambda i: his[i]):
+            cum += int(n_valid[i])
+            if cum >= k:
+                t0 = his[i]
+                break
+
+    def beats(i: int, t: bytes | None) -> bool:
+        if t is None:
+            return True
+        if descending:
+            return his[i] is None or his[i] > t
+        return los[i] < t
+
+    alive = np.zeros(nb, dtype=bool)
+    for i in valid:
+        alive[i] = beats(i, t0)
+    aidx = np.nonzero(alive)[0]
+    last = int(aidx[-1]) if len(aidx) else -1
+    rng = np.arange(nb)
+    seg_rows = np.nonzero((cm.stateful | alive) & (rng <= last))[0]
+    segs = cf.payloads(seg_rows, "seg")
+    blobs = cf.payloads(aidx, "blob")
+    if probe is not None:
+        probe["blob_rows"] = sorted(int(i) for i in aidx)
+        probe["t0"] = t0
+    gdec = GlobalDictDecoder()
+    best: list[bytes] = []  # sorted ascending, len <= k
+    for b in range(last + 1):
+        meta = cm.meta_dict(b, segs.get(b, b""))
+        t = None
+        if len(best) >= k:
+            t = best[0] if descending else best[-1]
+            if t0 is not None:
+                t = max(t, t0) if descending else min(t, t0)
+        else:
+            t = t0
+        if not alive[b] or not beats(b, t):
+            replay_str_block(meta, gdec)
+            continue
+        blk = decode_str_block(blobs[b], meta, gdec)
+        arr = blk.to_arrow(binary=True)
+        if blk.validity is not None:
+            arr = arr.drop_null()
+        vals = arr.to_pylist()
+        if vals:
+            merged = sorted(best + vals)
+            best = merged[-k:] if descending else merged[:k]
+    return best
+
+
+def _column_topk_str_parts(
+    spark: SparkSession, out_dir: str, column: str, k: int,
+    descending: bool, vt: str, parts: list[tuple[int, int]],
+) -> DataFrame:
+    """String/binary ORDER BY LIMIT k: per-partition zone-pruned
+    partials (≤ k values each, see _topk_str_part) merged by one tiny
+    global sort."""
+    from pyspark.sql import functions as F
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                best = _topk_str_part(out_dir, int(pid), column, k, descending)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(best, type=pa.binary())], names=["v"]
+                )
+
+    partial = _assign_df(spark, [p for p, _ in parts]).mapInArrow(
+        kernel, schema="v binary"
+    )
+    ordered = partial.orderBy(F.col("v").desc() if descending else F.col("v").asc())
+    out = ordered.limit(k)
+    if vt == "str":
+        return out.select(F.col("v").cast("string").alias("v"))
+    return out
+
+
+def column_agg_parts(
+    spark: SparkSession, out_dir: str, column: str,
+    agg_scale: int = AGG_SCALE,
+) -> DataFrame:
+    """``SELECT sum(col), count(*), count(col), avg(col)``: per-
+    partition exact integer partials (nulls excluded from sum/avg, SQL
+    semantics), one-row driver fold. Integer sums are exact in any
+    order, and avg is a single IEEE division of exact integers — every
+    engine reproduces the bytes. double/float columns aggregate through
+    the fixed-point contract (quantized_agg_lane): sum_v/avg_v come
+    from the exact int64 sum of floor(x·scale+0.5) with single IEEE
+    divisions at the end, so they too are cross-engine bit-identical."""
     from arcade_spark.core import decode_int_block
     from arcade_spark.schema import spark_type_for  # noqa: F401
 
@@ -1432,11 +1820,9 @@ def column_agg_parts(spark: SparkSession, out_dir: str, column: str) -> DataFram
     vt = dict(all_cols).get(column)
     if vt is None:
         raise KeyError(f"no such column: {column}")
-    if vt not in ("int", "i32", "i16", "i8"):
-        raise NotImplementedError(
-            "column_agg sums integer columns only (float sums are "
-            "summation-order-dependent; ts sums are meaningless)"
-        )
+    if vt not in _AGG_VTS:
+        raise NotImplementedError(f"column_agg {_AGG_GUARD}")
+    is_dbl = vt in ("double", "float")
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from arcade_spark.decode import _binary_views
@@ -1458,6 +1844,7 @@ def column_agg_parts(spark: SparkSession, out_dir: str, column: str) -> DataFram
                         v = iblock.values
                         if iblock.validity is not None:
                             v = v[iblock.validity]
+                        v = quantized_agg_lane(v, None, vt, agg_scale)
                         total += int(v.sum()) if len(v) else 0
                         cnt_all += int(cm.n_values[i])
                         cnt_col += len(v)
@@ -1476,6 +1863,15 @@ def column_agg_parts(spark: SparkSession, out_dir: str, column: str) -> DataFram
     s = sum(r["s"] for r in rows)
     ca = sum(r["ca"] for r in rows)
     cc = sum(r["cc"] for r in rows)
+    if is_dbl:
+        # two single IEEE divisions of exact integers, replayed
+        # identically by the oracle: sum = q_total/scale, avg = sum/cc
+        sum_d = float(s) / float(agg_scale)
+        avg = (sum_d / float(cc)) if cc else None
+        return spark.createDataFrame(
+            [(sum_d if cc else None, ca, cc, avg)],
+            "sum_v double, cnt_all long, cnt_col long, avg_v double",
+        )
     avg = (float(s) / float(cc)) if cc else None
     return spark.createDataFrame(
         [(s, ca, cc, avg)], "sum_v long, cnt_all long, cnt_col long, avg_v double"

@@ -595,20 +595,25 @@ def filter_agg(
     out_dir: str,
     preds: list[tuple],
     agg_col: str,
+    agg_scale: int = 100,
 ) -> DataFrame:
-    """Fused filter + integer aggregate: ``SELECT count(*),
-    count(agg), sum(agg), min(agg), max(agg), avg(agg) FROM t WHERE
-    <conjunction>`` in ONE pass — the predicate kernel produces match
-    positions, the agg column decodes ONLY those positions, and each
-    task emits a five-integer partial. Matched rows never materialize
-    and no projection bytes are read: the cost is predicate columns +
-    the agg column's matched blocks. Same predicate forms as
-    ``filter_and``; integer agg columns only (exactness contract — avg
-    is one IEEE division of exact ints)."""
+    """Fused filter + aggregate: ``SELECT count(*), count(agg),
+    sum(agg), min(agg), max(agg), avg(agg) FROM t WHERE <conjunction>``
+    in ONE pass — the predicate kernel produces match positions, the
+    agg column decodes ONLY those positions, and each task emits a
+    five-integer partial. Matched rows never materialize and no
+    projection bytes are read: the cost is predicate columns + the agg
+    column's matched blocks. Same predicate forms as ``filter_and``.
+    Integer columns aggregate natively (avg is one IEEE division of
+    exact ints); double/float columns use the fixed-point contract at
+    ``agg_scale`` (partread.quantized_agg_lane) with single IEEE
+    divisions at output — cross-engine bit-identical either way."""
     from arcade_spark.partread import filter_parts
 
+    avt = dict(table_columns(spark, out_dir)).get(agg_col)
     partial = filter_parts(
-        spark, out_dir, _preds_to_spec(preds), agg_col=agg_col
+        spark, out_dir, _preds_to_spec(preds), agg_col=agg_col,
+        agg_scale=agg_scale,
     )
     rows = partial.collect()
     s = sum(r["s"] for r in rows)
@@ -618,6 +623,21 @@ def filter_agg(
     mxs = [r["mx"] for r in rows if r["mx"] is not None]
     mn = min(mns) if mns else None
     mx = max(mxs) if mxs else None
+    if avt in ("double", "float"):
+        sc = float(agg_scale)
+        out = (
+            cr,
+            cv,
+            (float(s) / sc) if cv else None,
+            (float(mn) / sc) if mn is not None else None,
+            (float(mx) / sc) if mx is not None else None,
+            ((float(s) / sc) / float(cv)) if cv else None,
+        )
+        return spark.createDataFrame(
+            [out],
+            "cnt_rows long, cnt_valid long, sum_v double, min_v double, "
+            "max_v double, avg_v double",
+        )
     out = (
         cr,
         cv,
@@ -1293,13 +1313,16 @@ def column_topk(
     return column_topk_parts(spark, out_dir, column, k, descending)
 
 
-def column_agg(spark: SparkSession, out_dir: str, column: str) -> DataFrame:
-    """``SELECT sum(col), count(*), count(col), avg(col)`` for integer
-    columns — exact integer partials per partition, one-row fold. See
-    partread.column_agg_parts."""
+def column_agg(
+    spark: SparkSession, out_dir: str, column: str, agg_scale: int = 100
+) -> DataFrame:
+    """``SELECT sum(col), count(*), count(col), avg(col)`` — exact
+    integer partials per partition, one-row fold; double/float columns
+    aggregate through the fixed-point contract at ``agg_scale``. See
+    partread.column_agg_parts / partread.quantized_agg_lane."""
     from arcade_spark.partread import column_agg_parts
 
-    return column_agg_parts(spark, out_dir, column)
+    return column_agg_parts(spark, out_dir, column, agg_scale=agg_scale)
 
 
 def group_count(
@@ -1403,7 +1426,8 @@ def group_count(
 
 
 def group_sum(
-    spark: SparkSession, out_dir: str, group_col: str, agg_col: str
+    spark: SparkSession, out_dir: str, group_col: str, agg_col: str,
+    agg_scale: int = 100,
 ) -> DataFrame:
     """``SELECT group_col, sum(agg_col), count(*) GROUP BY group_col``
     on the ENCODED table: the group column contributes bit-packed codes
@@ -1411,20 +1435,28 @@ def group_sum(
     to its int64 lane, and per-chunk code-indexed accumulators produce
     O(distinct) partials — one O(distinct) merge shuffle, never O(rows).
 
-    Integer agg columns only (the column_agg exactness contract: int64
-    partial sums are exact in any order → cross-engine hash-identical).
-    Null group values form no group; null agg values are excluded from
-    the sum but their rows still count (SQL semantics). Doubles as the
-    GROUP key canonicalize like group_count (-0.0 = 0.0, NaN payloads
-    collapsed). See partread.group_sum_partials."""
+    Exactness contract (column_agg's): int64 partial sums are exact in
+    any order → cross-engine hash-identical; double/float agg columns
+    ride the fixed-point lane (partread.quantized_agg_lane) with one
+    IEEE division at output. Null group values form no group; null agg
+    values are excluded from the sum but their rows still count (SQL
+    semantics). Doubles as the GROUP key canonicalize like group_count
+    (-0.0 = 0.0, NaN payloads collapsed). See
+    partread.group_sum_partials."""
     from arcade_spark.partread import group_sum_partials
 
-    partial, gvt = group_sum_partials(spark, out_dir, group_col, agg_col)
+    avt = dict(table_columns(spark, out_dir)).get(agg_col)
+    partial, gvt = group_sum_partials(
+        spark, out_dir, group_col, agg_col, agg_scale=agg_scale
+    )
+    sum_col = F.sum("s")
+    if avt in ("double", "float"):
+        sum_col = sum_col.cast("double") / F.lit(float(agg_scale))
     is_str = gvt in ("str", "binary")
     is_float = gvt in ("double", "float")
     if is_str:
         agg = partial.groupBy("value_bin").agg(
-            F.sum("s").alias("sum_v"), F.sum("c").alias("cnt")
+            sum_col.alias("sum_v"), F.sum("c").alias("cnt")
         )
         key = (
             F.col("value_bin").cast("string") if gvt == "str" else F.col("value_bin")
@@ -1432,7 +1464,7 @@ def group_sum(
         return agg.select(key.alias(group_col), "sum_v", "cnt")
     key_col = "value_dbl" if is_float else "value_int"
     agg = partial.groupBy(key_col).agg(
-        F.sum("s").alias("sum_v"), F.sum("c").alias("cnt")
+        sum_col.alias("sum_v"), F.sum("c").alias("cnt")
     )
     if is_float:
         out_col = F.col(key_col).cast(spark_type_for(gvt))
@@ -1468,6 +1500,7 @@ def group_by(
     out_dir: str,
     group_cols: list[str],
     agg_col: str | None = None,
+    agg_scale: int = 100,
 ) -> DataFrame:
     """Multi-column ``SELECT g1, g2, ..., [sum(agg) AS sum_v, min(agg)
     AS min_v, max(agg) AS max_v,] count(*) AS cnt GROUP BY g1, g2,
@@ -1476,29 +1509,47 @@ def group_by(
     shuffle are O(distinct tuples). A row joins a group iff every group
     column is non-null; null agg values are excluded from sum/min/max
     (SQL semantics — a group with no valid agg values reports null
-    min/max). Integer agg columns only (the column_agg exactness
-    contract; min/max of ints are trivially exact). See
-    partread.group_by_partials."""
+    min/max). Integer agg columns aggregate natively; double/float agg
+    columns ride the fixed-point lane at ``agg_scale`` (the column_agg
+    exactness contract either way — min/max commute with the monotone
+    quantizer). See partread.group_by_partials."""
     from arcade_spark.partread import group_by_partials
 
-    partial, vts = group_by_partials(spark, out_dir, group_cols, agg_col)
-    return _merge_group_partials(partial, vts, group_cols, agg_col is not None)
+    agg_vt = dict(table_columns(spark, out_dir)).get(agg_col) if agg_col else None
+    partial, vts = group_by_partials(
+        spark, out_dir, group_cols, agg_col, agg_scale=agg_scale
+    )
+    return _merge_group_partials(
+        partial, vts, group_cols, agg_col is not None, agg_vt, agg_scale
+    )
 
 
 def _merge_group_partials(
-    partial: DataFrame, vts: list[str], group_cols: list[str], has_agg: bool
+    partial: DataFrame, vts: list[str], group_cols: list[str], has_agg: bool,
+    agg_vt: str | None = None, agg_scale: int = 100,
 ) -> DataFrame:
     """Fold (k0.., s, mn, mx, c) chunk partials into the final typed
-    grouped result — one O(distinct tuples) shuffle."""
+    grouped result — one O(distinct tuples) shuffle. A double/float agg
+    column's partials are in the fixed-point int64 lane; the output
+    columns divide the exact merged integers by the scale (one IEEE
+    division each — cross-engine bit-identical)."""
     keys = [f"k{i}" for i in range(len(group_cols))]
+    sum_v = F.when(F.min("mn").isNotNull(), F.sum("s"))
+    min_v: object = F.min("mn")
+    max_v: object = F.max("mx")
+    if agg_vt in ("double", "float"):
+        sc = F.lit(float(agg_scale))
+        sum_v = sum_v.cast("double") / sc
+        min_v = min_v.cast("double") / sc
+        max_v = max_v.cast("double") / sc
     aggs = [F.sum("c").alias("cnt")]
     if has_agg:
         aggs = [
             # SQL SUM over zero valid values is NULL, not 0 — a group
             # has valid agg values iff its min partial survived
-            F.when(F.min("mn").isNotNull(), F.sum("s")).alias("sum_v"),
-            F.min("mn").alias("min_v"),
-            F.max("mx").alias("max_v"),
+            sum_v.alias("sum_v"),
+            min_v.alias("min_v"),
+            max_v.alias("max_v"),
         ] + aggs
     merged = partial.groupBy(*keys).agg(*aggs)
     out_keys = [
@@ -1515,6 +1566,7 @@ def filter_group_by(
     preds: list[tuple],
     group_cols: list[str],
     agg_col: str | None = None,
+    agg_scale: int = 100,
 ) -> DataFrame:
     """Fused ``SELECT g1, g2, [sum/min/max(agg),] count(*) FROM t WHERE
     <conjunction> GROUP BY g1, g2`` — the TPC-H Q1 query shape — in ONE
@@ -1522,14 +1574,19 @@ def filter_group_by(
     kernel drive code gathers on the group columns and a positional
     decode of the agg column; no matched row ever materializes and the
     only shuffle is the O(distinct tuples) partial merge. Same
-    predicate forms as ``filter_and``; integer agg columns only.
+    predicate forms as ``filter_and``; double/float agg columns ride
+    the fixed-point lane at ``agg_scale`` (the column_agg contract).
     See partread.filter_group_by_partials."""
     from arcade_spark.partread import filter_group_by_partials
 
+    agg_vt = dict(table_columns(spark, out_dir)).get(agg_col) if agg_col else None
     partial, vts = filter_group_by_partials(
-        spark, out_dir, _preds_to_spec(preds), group_cols, agg_col
+        spark, out_dir, _preds_to_spec(preds), group_cols, agg_col,
+        agg_scale=agg_scale,
     )
-    return _merge_group_partials(partial, vts, group_cols, agg_col is not None)
+    return _merge_group_partials(
+        partial, vts, group_cols, agg_col is not None, agg_vt, agg_scale
+    )
 
 
 def table_count(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -1610,8 +1667,9 @@ def filter_semijoin(
     classic TPC-H/star-schema shape) — the collected set ships once per
     task via the closure, exactly like Spark's own broadcast DPP
     filter. Beyond _SEMIJOIN_MAX_KEYS we raise rather than silently
-    building a multi-GB closure: that regime wants a shuffle join over
-    decoded row-ids instead."""
+    building a multi-GB closure: that regime is ``join_encoded`` —
+    a shuffle join over (key, rowid) pairs with late-materialized
+    projections."""
     if len(keys_df.columns) != 1:
         raise ValueError(
             f"keys_df must have exactly one column, got {keys_df.columns}"
@@ -1620,7 +1678,7 @@ def filter_semijoin(
     if len(rows) > _SEMIJOIN_MAX_KEYS:
         raise ValueError(
             f"semi-join key set exceeds {_SEMIJOIN_MAX_KEYS} keys — "
-            "use a decoded join instead"
+            "use join_encoded (shuffle join over rowids) instead"
         )
     keys = [r[0] for r in rows if r[0] is not None]
     if not keys:
@@ -1648,6 +1706,77 @@ def filter_semijoin(
         spark, out_dir, column, keys, project=project,
         count_only=count_only, mode=mode,
     )
+
+
+def join_encoded(
+    spark: SparkSession,
+    out_a: str,
+    out_b: str,
+    key_a: str,
+    key_b: str | None = None,
+    project_a: list[str] | None = None,
+    project_b: list[str] | None = None,
+    preds_a: list[tuple] | None = None,
+    preds_b: list[tuple] | None = None,
+) -> DataFrame:
+    """Inner equi-join between TWO ENCODED tables — the shape past
+    filter_semijoin's broadcast-key ceiling (readops.py semijoin cap):
+
+    1. each side's kernel emits (key lane, global rowid) pairs ONLY —
+       predicate-filtered and zone-pruned, never a payload column —
+       so the join shuffle moves 16-24-byte rows;
+    2. Spark shuffle-joins the two key streams (Catalyst picks
+       sort-merge/hash; AQE handles skewed keys);
+    3. each side LATE-MATERIALIZES its projected columns at the
+       DISTINCT matched rowids via the random-access kernel (touched
+       blocks' blobs only, applyInArrow per partition — no driver
+       collect), and the projections join back by rowid.
+
+    SQL inner-join semantics: null keys never match. Output columns:
+    key (named after ``key_a``), then project_a, then project_b —
+    names must not clash. The reference lists joins as future work
+    (README.md:126-131); this is the Spark-native design for it."""
+    from arcade_spark.partread import key_rowid_parts, materialize_rowids_parts
+
+    key_b = key_b if key_b is not None else key_a
+    project_a = project_a or []
+    project_b = project_b or []
+    clash = set(project_a) & set(project_b)
+    if clash:
+        raise ValueError(f"projection name clash across sides: {sorted(clash)}")
+    ka, kvt_a = key_rowid_parts(spark, out_a, key_a, _preds_to_spec(preds_a) if preds_a else None)
+    kb, kvt_b = key_rowid_parts(spark, out_b, key_b, _preds_to_spec(preds_b) if preds_b else None)
+    str_a = kvt_a in ("str", "binary")
+    str_b = kvt_b in ("str", "binary")
+    if str_a != str_b:
+        raise ValueError(
+            f"join key lanes differ: {key_a} is {kvt_a}, {key_b} is {kvt_b}"
+        )
+    ids = (
+        ka.select(F.col("k"), F.col("rid").alias("rid_a"))
+        .join(kb.select(F.col("k"), F.col("rid").alias("rid_b")), "k")
+    )
+    out_cols = [_group_key_out(F.col("k"), kvt_a).alias(key_a)]
+    joined = ids
+    if project_a:
+        mat_a = materialize_rowids_parts(
+            spark, out_a, ids.select(F.col("rid_a").alias("rid")).distinct(),
+            project_a,
+        )
+        joined = joined.join(
+            mat_a, joined["rid_a"] == mat_a["row_id"]
+        ).drop("row_id")
+        out_cols += [F.col(c) for c in project_a]
+    if project_b:
+        mat_b = materialize_rowids_parts(
+            spark, out_b, ids.select(F.col("rid_b").alias("rid")).distinct(),
+            project_b,
+        )
+        joined = joined.join(
+            mat_b, joined["rid_b"] == mat_b["row_id"]
+        ).drop("row_id")
+        out_cols += [F.col(c) for c in project_b]
+    return joined.select(*out_cols)
 
 
 def _random_access_targets(out_dir: str, row_ids: list[int]):

@@ -174,6 +174,44 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     timed("group_sum_docs", lambda: group_sum(
         spark, docs_enc, "lang", "n_chars").count())
 
+    # the real TPC-H Q1 money shape: fused filter + group-by summing a
+    # DOUBLE column through the fixed-point lane on encoded lineitem
+    li_enc = os.path.join(
+        tempfile.gettempdir(), f"arcade_bench_lineitem_{sf}_{n_cores}"
+    )
+    _ej(spark, spark.read.parquet(f"{sf_dir}/lineitem.parquet"), li_enc,
+        num_parts=n_cores, order_col="l_orderkey")
+    import datetime as _dt
+
+    from arcade_spark.readops import filter_group_by
+
+    _cut = (_dt.datetime(1990, 1, 1, tzinfo=_dt.timezone.utc),
+            _dt.datetime(1997, 6, 1, tzinfo=_dt.timezone.utc))
+    timed("fused_q1_double", lambda: filter_group_by(
+        spark, li_enc, [("range", "l_shipdate", _cut[0], _cut[1])],
+        ["l_returnflag", "l_linestatus"], "l_extendedprice").count())
+
+    # encoded-to-encoded shuffle join: (key, rowid) streams + late
+    # materialization at matched rowids
+    or_enc = os.path.join(
+        tempfile.gettempdir(), f"arcade_bench_orders_{sf}_{n_cores}"
+    )
+    _ej(spark, spark.read.parquet(f"{sf_dir}/orders.parquet"), or_enc,
+        num_parts=n_cores, order_col="o_orderkey")
+    from arcade_spark.readops import join_encoded
+
+    timed("join_li_orders", lambda: join_encoded(
+        spark, li_enc, or_enc, "l_orderkey", "o_orderkey",
+        project_a=["l_linenumber", "l_quantity"],
+        project_b=["o_orderpriority"],
+        preds_b=[("eq", "o_orderpriority", "1-URGENT")]).count())
+
+    # string ORDER BY LIMIT k over prefix-truncated zone envelopes
+    from arcade_spark.readops import column_topk as _ctopk
+
+    timed("topk_text_str", lambda: _ctopk(
+        spark, docs_enc, "text", 20).count())
+
     from arcade_spark.dedup import dedup_minhash_lsh
     from arcade_spark.simsearch import (
         ann_cosine_topk,

@@ -100,10 +100,39 @@ def test_group_sum_int_and_float_keys(spark, gs_table):
     assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
 
 
-def test_group_sum_rejects_float_agg(spark, gs_table):
-    out, _ = gs_table
-    with pytest.raises(NotImplementedError, match="integer"):
-        group_sum(spark, out, "lang", "v")
+def test_group_sum_double_agg_fixed_point(spark, gs_table):
+    """Round-4: double agg columns ride the fixed-point lane — the
+    result equals the exact integer sum of floor(v*100+0.5) divided by
+    100 (for this 2-decimal data, the exact decimal answer)."""
+    out, pdf = gs_table
+    got = group_sum(spark, out, "lang", "v").toPandas()
+    got = got.sort_values("lang").reset_index(drop=True)
+    q = np.floor(pdf["v"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    ref = pdf.assign(q=q).dropna(subset=["lang"])
+    want = (
+        ref.groupby("lang")
+        .agg(qsum=("q", "sum"), cnt=("q", "size"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert list(got["lang"]) == list(want["lang"])
+    assert (got["sum_v"].to_numpy()
+            == want["qsum"].to_numpy().astype(np.float64) / 100.0).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+
+def test_group_sum_rejects_ts_agg(spark, tmp_path_factory):
+    import datetime
+
+    src = spark.createDataFrame(
+        [(f"u{i}", datetime.datetime(2024, 1, 1 + i)) for i in range(5)],
+        "url string, t timestamp",
+    )
+    out = str(tmp_path_factory.mktemp("gsts") / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=4)
+    with pytest.raises(NotImplementedError, match="fixed-point|meaningless"):
+        group_sum(spark, out, "url", "t")
 
 
 def test_group_by_multi_key_sum(spark, gs_table):
@@ -289,8 +318,16 @@ def test_filter_agg_fused(spark, gs_table):
         0, None, None, None, None
     )
 
-    with pytest.raises(NotImplementedError, match="integer"):
-        filter_agg(spark, out, [("eq", "lang", "en")], "v")
+    # double agg column: fixed-point contract (round-4)
+    r = filter_agg(spark, out, [("eq", "lang", "en")], "v").collect()[0]
+    subq = np.floor(
+        pdf.loc[pdf["lang"] == "en", "v"].to_numpy() * 100.0 + 0.5
+    ).astype(np.int64)
+    assert r["cnt_rows"] == len(subq)
+    assert r["sum_v"] == float(subq.sum()) / 100.0
+    assert r["min_v"] == float(subq.min()) / 100.0
+    assert r["max_v"] == float(subq.max()) / 100.0
+    assert r["avg_v"] == (float(subq.sum()) / 100.0) / len(subq)
 
 
 def test_filter_group_by_fused(spark, gs_table):
