@@ -498,6 +498,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
         return column_agg(spark, out, "l_extendedprice")
 
+    def arcade_dedup_stream(spark, sf_dir):
+        """Cross-micro-batch streaming dedup REPLAY with a DuckDB
+        oracle (round-4): documents split into 4 files by doc_id % 4
+        (mtimes pinned so the file source drains them in batch order
+        k=0..3, one per trigger), dedup_stream drops every fingerprint
+        seen in an earlier batch, and the output projects
+        (fp, batch_id = doc_id % 4) — order-insensitive and exactly
+        MIN(doc_id % 4) per fingerprint in SQL, so the oracle replays
+        the stream without running one."""
+        _ship_package(spark)
+        import shutil
+
+        from arcade_spark.manifest import FORMAT_REV
+        from arcade_spark.streaming import dedup_stream
+
+        key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        base = os.path.join(
+            tempfile.gettempdir(), f"arcade_entry_cache_v{FORMAT_REV}", key,
+            "dedup-stream",
+        )
+        inp = os.path.join(base, "in")
+        outp = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        done = os.path.join(base, "done")
+        if not os.path.exists(done):
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(inp, exist_ok=True)
+            docs = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text")
+                .filter(F.col("text").isNotNull())
+            )
+            for k in range(4):
+                pdf = (
+                    docs.filter(F.col("doc_id") % 4 == k)
+                    .orderBy("doc_id")
+                    .toPandas()
+                )
+                f = os.path.join(inp, f"batch{k:02d}.parquet")
+                pdf.to_parquet(f, index=False)
+                # file-source batch order is mtime-based — pin it
+                os.utime(f, (1_700_000_000 + k, 1_700_000_000 + k))
+            q = dedup_stream(
+                spark, inp, outp, ckpt, "doc_id long, text string", buckets=8
+            )
+            q.awaitTermination()
+            with open(done, "w") as fh:
+                fh.write("ok")
+        res = spark.read.parquet(outp)
+        return res.select(
+            "fp", (F.col("doc_id") % 4).cast("long").alias("batch_id")
+        )
+
     def arcade_join(spark, sf_dir):
         """Encoded-to-encoded shuffle join (round-4, past the semijoin
         broadcast cap): lineitem ⋈ orders on the order key, orders side
@@ -652,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_sum_avg_double": arcade_sum_avg_double,
         "arcade_topk_text": arcade_topk_text,
         "arcade_join": arcade_join,
+        "arcade_dedup_stream": arcade_dedup_stream,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
@@ -986,6 +1040,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "arcade_dedup_stream": (
+            # first-batch-per-fingerprint: batches are doc_id % 4 in
+            # ascending order, so the batch that keeps fp is MIN(k)
+            "SELECT md5(text) AS fp, CAST(min(doc_id % 4) AS BIGINT) "
+            "AS batch_id FROM documents WHERE text IS NOT NULL "
+            "GROUP BY md5(text)"
         ),
         "arcade_sum_avg": (
             "SELECT CAST(sum(n_chars) AS BIGINT) AS sum_v, "

@@ -399,7 +399,10 @@ def _dispatch_filter(
     if mode != "plan":
         raise ValueError(f"mode must be 'files' or 'plan': {mode!r}")
     if combine != "and":
-        raise NotImplementedError("plan mode supports conjunctions only")
+        raise NotImplementedError(
+            "plan mode is a debug/cross-check path (README round-4): "
+            "conjunctions of eq/range/in only — use files mode"
+        )
     return _filter_op(spark, out_dir, spec, project, count_only)
 
 
@@ -504,7 +507,10 @@ def filter_dnf(
     ``filter_and`` / ``filter_or`` are the one-conjunct / singleton-
     conjunct special cases."""
     if mode != "files":
-        raise NotImplementedError("filter_dnf is files-mode only")
+        raise NotImplementedError(
+            "filter_dnf is files-mode only (plan mode is a debug/"
+            "cross-check path, README round-4)"
+        )
     from arcade_spark.partread import filter_parts
 
     return filter_parts(
@@ -909,7 +915,10 @@ class _Pred:
 
     def zone_keep_expr(self):
         if self.negated:
-            raise NotImplementedError("negated predicates are files-mode only")
+            raise NotImplementedError(
+                "negated predicates are files-mode only (plan mode is "
+                "a debug/cross-check path, README round-4)"
+            )
         if self.kind in ("contains", "suffix", "sample"):
             # any value can match regardless of its zone bounds
             return F.lit(True)

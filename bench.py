@@ -212,6 +212,38 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     timed("topk_text_str", lambda: _ctopk(
         spark, docs_enc, "text", 20).count())
 
+    # cross-micro-batch streaming dedup: 4 mtime-ordered batches,
+    # applyInPandasWithState keyed state, fresh sink/checkpoint per run
+    ds_base = os.path.join(tempfile.gettempdir(), f"arcade_bench_dstream_{sf}")
+    ds_in = os.path.join(ds_base, "in")
+    if not os.path.isdir(ds_in) or not os.listdir(ds_in):
+        os.makedirs(ds_in, exist_ok=True)
+        docs_src = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .filter("text IS NOT NULL")
+        )
+        for k in range(4):
+            pdf = docs_src.filter(f"doc_id % 4 = {k}").orderBy("doc_id").toPandas()
+            fpath = os.path.join(ds_in, f"batch{k:02d}.parquet")
+            pdf.to_parquet(fpath, index=False)
+            os.utime(fpath, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    def dedup_stream_rep():
+        from arcade_spark.streaming import dedup_stream
+
+        run = os.path.join(ds_base, f"run_{uuid.uuid4().hex[:8]}")
+        q = dedup_stream(
+            spark, ds_in, os.path.join(run, "out"),
+            os.path.join(run, "ckpt"), "doc_id long, text string", buckets=8,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(os.path.join(run, "out")).count()
+        shutil.rmtree(run, ignore_errors=True)
+        return n
+
+    timed("dedup_stream_4batches", dedup_stream_rep, reps=1)
+
     from arcade_spark.dedup import dedup_minhash_lsh
     from arcade_spark.simsearch import (
         ann_cosine_topk,
