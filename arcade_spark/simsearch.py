@@ -33,7 +33,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -80,35 +79,105 @@ def _plane(seed: int, dim: int) -> list[float]:
     return [float(x) for x in v]
 
 
-def _bucket_udf(plane_groups: list[list[list[float]]]):
-    """Arrow-batched signature kernel: ONE numpy matmul computes every
-    plane dot product per batch (n×d @ d×(L·K)), then sign bits fold
-    into one bucket id per table. Returns array<int>[L] per row. This
-    replaces L·K nested Catalyst aggregate expressions (64 of them for
-    the near-dup op), which dominated wall time at whole-stage-codegen
-    size, with a single vectorized kernel. Sign decisions are fp64 with
-    measured |dot| margins ≥1e-5 — far above summation-order noise, so
-    the DuckDB oracle's sequential dot agrees."""
-    from pyspark.sql.functions import pandas_udf
+def _list_to_matrix(arr) -> np.ndarray:
+    """Arrow list<float|double> column → (n, dim) float64 matrix from
+    the FLAT VALUES BUFFER (offset-normalized, same pattern as
+    dedup._band_batch) — no per-row Python list objects. float32→
+    float64 widening is exact, so downstream fp64 dot products match
+    engines that promote the same column."""
+    import pyarrow as pa
 
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        off = arr.offset * d
+        return flat[off: off + len(arr) * d].astype(np.float64).reshape(len(arr), d)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    flat = flat[offs[0]: offs[-1]]
+    lens = np.diff(offs)
+    if len(lens) and not (lens == lens[0]).all():
+        raise ValueError("ragged embedding lengths")
+    d = int(lens[0]) if len(lens) else 0
+    return flat.astype(np.float64).reshape(len(arr), d)
+
+
+def _fold_signatures(M: np.ndarray, plane_groups: list[list[list[float]]]) -> np.ndarray:
+    """(n, L) int32 bucket ids: ONE numpy matmul computes every plane
+    dot product (n×d @ d×(L·K)), then sign bits fold per table. Sign
+    decisions are fp64 with measured |dot| margins ≥1e-5 — far above
+    summation-order noise, so the DuckDB oracle's sequential dot
+    agrees."""
     P = np.concatenate([np.asarray(g, dtype=np.float64) for g in plane_groups])
     sizes = [len(g) for g in plane_groups]
     offs = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+    bits = (M @ P.T >= 0).astype(np.int64)
+    out = np.empty((len(M), len(sizes)), dtype=np.int32)
+    for t in range(len(sizes)):
+        k = sizes[t]
+        w = np.int64(1) << np.arange(k, dtype=np.int64)
+        out[:, t] = (bits[:, offs[t]: offs[t + 1]] * w).sum(axis=1).astype(np.int32)
+    return out
 
-    @pandas_udf("array<int>")
-    def sigs(v: pd.Series) -> pd.Series:
-        M = np.array(v.tolist(), dtype=np.float64)
-        if M.size == 0:
-            return pd.Series([], dtype=object)
-        bits = (M @ P.T >= 0).astype(np.int64)
-        out = np.empty((len(M), len(sizes)), dtype=np.int32)
-        for t in range(len(sizes)):
-            k = sizes[t]
-            w = np.int64(1) << np.arange(k, dtype=np.int64)
-            out[:, t] = (bits[:, offs[t] : offs[t + 1]] * w).sum(axis=1).astype(np.int32)
-        return pd.Series(list(out))
 
-    return sigs
+def _banded_signatures(
+    df: DataFrame, src_col: str, plane_groups: list[list[list[float]]]
+) -> DataFrame:
+    """(vec_id, table_id, bucket) — the L-table explode fused into one
+    mapInArrow kernel over the embedding list BUFFER (no pandas UDF,
+    no Python list materialization, no separate posexplode; round-4
+    rewrite of the round-3-flagged _bucket_udf)."""
+    import pyarrow as pa
+
+    L = len(plane_groups)
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            M = _list_to_matrix(batch.column(src_col))
+            sigs = _fold_signatures(M, plane_groups)  # (n, L)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, L), type=pa.int64()),
+                    pa.array(np.tile(np.arange(L, dtype=np.int32), len(ids))),
+                    pa.array(sigs.reshape(-1), type=pa.int32()),
+                ],
+                names=["vec_id", "table_id", "bucket"],
+            )
+
+    return df.select("vec_id", src_col).mapInArrow(
+        kernel, schema="vec_id long, table_id int, bucket int"
+    )
+
+
+def _bucketed_embeddings(df: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, bucket) — single-table bucket ids computed
+    in one mapInArrow matmul; the embedding column passes through the
+    kernel untouched (same Arrow array re-emitted)."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            if len(ids) == 0:
+                continue
+            M = _list_to_matrix(emb)
+            sigs = _fold_signatures(M, [planes])[:, 0]
+            yield pa.RecordBatch.from_arrays(
+                [ids, emb, pa.array(sigs, type=pa.int32())],
+                names=["vec_id", "embedding", "bucket"],
+            )
+
+    return df.select("vec_id", "embedding").mapInArrow(
+        kernel, schema="vec_id long, embedding array<float>, bucket int"
+    )
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,14 +241,13 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str, dim: int = 64) -> D
         [_plane(1000 + t * PAIR_BITS + j, dim) for j in range(PAIR_BITS)]
         for t in range(PAIR_TABLES)
     ]
-    sig_udf = _bucket_udf(planes)
     # candidate stage shuffles (vec_id, table, bucket) ONLY — round-3
     # fix: the 64-double embeddings no longer ride through the L-table
     # explode and both join sides; they attach once per surviving
-    # candidate pair via two id-equi-joins afterwards
-    exploded = aug.select(
-        "vec_id", F.posexplode(sig_udf(F.col("e"))).alias("table_id", "bucket")
-    )
+    # candidate pair via two id-equi-joins afterwards. Round 4: the
+    # signatures come from one mapInArrow matmul over the list buffer
+    # (explode fused into the kernel, no pandas UDF)
+    exploded = _banded_signatures(aug, "e", planes)
     a = exploded.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
     b = exploded.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
     cand_ids = (
@@ -230,11 +298,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFram
     n = emb.count()
     p = _derived_planes(n)
     planes = [_plane(i, dim) for i in range(p)]
-    sig_udf = _bucket_udf([planes])
-    bucketed = emb.withColumn(
-        "bucket",
-        sig_udf(F.col("embedding").cast("array<double>")).getItem(0),
-    )
+    bucketed = _bucketed_embeddings(emb, planes)
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

@@ -118,12 +118,18 @@ def test_pair_candidates_shuffle_ids_only(spark):
 
     plan = embedding_cosine_pairs(spark, SF)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
-    # the posexplode project carries (vec_id, table_id, bucket) only
+    # round-4: banding + explode are fused into ONE mapInArrow kernel
+    # whose output schema is exactly (vec_id, table_id, bucket) — the
+    # vectors never enter the candidate shuffle
     import re
 
-    explode_lines = [ln for ln in plan.splitlines() if "posexplode" in ln.lower()]
-    assert explode_lines, "banding explode missing from plan"
-    assert all(" e#" not in ln for ln in explode_lines), explode_lines
+    band_lines = [ln for ln in plan.splitlines() if "MapInArrow" in ln]
+    assert band_lines, "banding kernel missing from plan"
+    # the kernel's OUTPUT schema is exactly [vec_id, table_id, bucket]
+    assert any(
+        re.search(r"\[vec_id#\d+L?, table_id#\d+, bucket#\d+\]", ln)
+        for ln in band_lines
+    ), band_lines
 
 
 def test_media_meta_plumbing(spark):
