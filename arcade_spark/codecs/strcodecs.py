@@ -375,8 +375,10 @@ def fsst_compress(data: np.ndarray, dig_code: np.ndarray, sing_code: np.ndarray)
 
 
 def fsst_decompress(enc: np.ndarray, sym_lens: np.ndarray, sym_bytes: np.ndarray) -> np.ndarray:
-    """Decode a code stream. Escape resolution uses the same greedy
-    parity trick (an escape consumes exactly the next byte)."""
+    """Decode a code stream (symbols 1..W bytes, W ≤ 8 in the ratio
+    profile). Escape resolution uses the same greedy parity trick (an
+    escape consumes exactly the next byte); each code's expansion
+    scatters one byte column per pass — W vectorized scatters total."""
     n = len(enc)
     if n == 0:
         return enc
@@ -391,49 +393,139 @@ def fsst_decompress(enc: np.ndarray, sym_lens: np.ndarray, sym_bytes: np.ndarray
     nonsym[esc_pos] = True
     if len(esc_pos):
         nonsym[esc_pos + 1] = True
-    off = np.empty(n, dtype=np.int32)
+    off = np.empty(n, dtype=np.int64)
     off[0] = 0
-    np.cumsum(out_len[:-1], dtype=np.int32, out=off[1:])
+    np.cumsum(out_len[:-1], dtype=np.int64, out=off[1:])
     total = int(off[-1] + out_len[-1])
     out = np.empty(total, dtype=np.uint8)
     out[off[esc_pos]] = enc[esc_pos + 1] if len(esc_pos) else 0
-    b0 = np.zeros(256, dtype=np.uint8)
-    b1 = np.zeros(256, dtype=np.uint8)
-    b0[: len(sym_lens)] = sym_bytes[:, 0]
-    b1[: len(sym_lens)] = sym_bytes[:, 1]
+    width = sym_bytes.shape[1] if len(sym_lens) else 0
     sym_pos = np.flatnonzero(~nonsym)
-    out[off[sym_pos]] = b0[enc[sym_pos]]
-    two = sym_pos[lens_lut[enc[sym_pos]] == 2]
-    out[off[two] + 1] = b1[enc[two]]
+    sym_codes = enc[sym_pos]
+    for k in range(width):
+        bk = np.zeros(256, dtype=np.uint8)
+        bk[: len(sym_lens)] = sym_bytes[:, k]
+        sel = lens_lut[sym_codes] > k
+        out[off[sym_pos[sel]] + k] = bk[sym_codes[sel]]
     return out
 
 
 def _serialize_table(sym_lens: np.ndarray, sym_bytes: np.ndarray) -> bytes:
-    return (
-        struct.pack("<B", len(sym_lens))
-        + sym_lens.tobytes()
-        + sym_bytes.tobytes()
-    )
+    """Variable-width symbol table (FORMAT_REV 9): count byte, per-
+    symbol lengths (1..8), then the concatenated expansion bytes."""
+    n = len(sym_lens)
+    parts = [struct.pack("<B", n), sym_lens.tobytes()]
+    for c in range(n):
+        parts.append(sym_bytes[c, : sym_lens[c]].tobytes())
+    return b"".join(parts)
 
 
 def _deserialize_table(buf) -> tuple[np.ndarray, np.ndarray]:
     mv = memoryview(buf)
     (n_sym,) = struct.unpack_from("<B", mv, 0)
-    sym_lens = np.frombuffer(mv[1 : 1 + n_sym], dtype=np.uint8)
-    sym_bytes = np.frombuffer(mv[1 + n_sym : 1 + n_sym + 2 * n_sym], dtype=np.uint8).reshape(
-        n_sym, 2
-    )
+    sym_lens = np.frombuffer(mv[1: 1 + n_sym], dtype=np.uint8)
+    w = int(sym_lens.max()) if n_sym else 1
+    sym_bytes = np.zeros((n_sym, max(w, 1)), dtype=np.uint8)
+    off = 1 + n_sym
+    flat = np.frombuffer(mv[off: off + int(sym_lens.sum())], dtype=np.uint8)
+    p = 0
+    for c in range(n_sym):
+        ln = int(sym_lens[c])
+        sym_bytes[c, :ln] = flat[p: p + ln]
+        p += ln
     return sym_lens, sym_bytes
 
 
 FSST_SAMPLE_BYTES = 262144
+# ratio-profile parameters (fsst_rounds > 0): round 1 trains fewer
+# digrams to leave code space for merged symbols, each merge round
+# promotes the hottest code PAIRS into new symbols (expansions
+# concatenate, capped at 8 bytes — real-FSST symbol lengths)
+FSST_ROUNDS_MAX_DIGRAMS = 64
+FSST_MERGE_PER_ROUND = 40
 
 
-def encode_fsst(block: StrBlock) -> tuple[bytes, dict]:
-    data = np.frombuffer(block.payload, dtype=np.uint8)
-    sym_lens, sym_bytes = train_fsst(data[:FSST_SAMPLE_BYTES])
+def _merge_round(
+    enc: np.ndarray, expans: list[bytes], max_new: int, min_count: int = 4
+) -> tuple[np.ndarray, list[bytes]]:
+    """One pair-merge round over a CODE stream: count adjacent code
+    pairs (skipping escape pairs — an escaped literal byte is raw data,
+    not a code), promote the hottest ≤ ``max_new`` pairs whose merged
+    expansion fits 8 bytes into new codes, and rewrite the stream with
+    the same greedy run-parity selection the byte-level pass uses.
+    Existing codes keep their values, so merging composes."""
+    n = len(enc)
+    if n < 2 or len(expans) >= 255:
+        return enc, expans
+    esc = _greedy_select_positions(enc == ESCAPE)
+    prot = np.zeros(n, dtype=bool)
+    prot[esc] = True
+    if len(esc):
+        prot[np.minimum(esc + 1, n - 1)] = True
+    pairs = (enc[:-1].astype(np.int64) << 8) | enc[1:]
+    ok = ~prot[:-1] & ~prot[1:]
+    elen = np.zeros(256, dtype=np.int64)
+    elen[: len(expans)] = [len(e) for e in expans]
+    ok &= (elen[enc[:-1]] + elen[enc[1:]]) <= 8
+    if not ok.any():
+        return enc, expans
+    vals, cts = np.unique(pairs[ok], return_counts=True)
+    avail = 255 - len(expans)
+    order = np.argsort(-cts)
+    good = [int(vals[i]) for i in order if cts[i] >= min_count]
+    good = good[: min(max_new, avail)]
+    if not good:
+        return enc, expans
+    pair_code = np.full(65536, -1, dtype=np.int32)
+    new_exp = list(expans)
+    for i, p in enumerate(good):
+        pair_code[p] = len(expans) + i
+        new_exp.append(expans[p >> 8] + expans[p & 0xFF])
+    cand = np.zeros(n, dtype=bool)
+    cand[:-1] = (pair_code[pairs] >= 0) & ok
+    sel = _greedy_select_positions(cand)
+    out_len = np.ones(n, dtype=np.uint8)
+    out_len[sel + 1] = 0
+    off = np.empty(n, dtype=np.int64)
+    off[0] = 0
+    np.cumsum(out_len[:-1], out=off[1:])
+    total = int(off[-1] + out_len[-1])
+    out = np.empty(total, dtype=np.uint8)
+    keep = out_len > 0
+    out[off[keep]] = enc[keep]
+    out[off[sel]] = pair_code[pairs[sel]].astype(np.uint8)
+    return out, new_exp
+
+
+def _expansions_to_table(expans: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    lens = np.array([len(e) for e in expans], dtype=np.uint8)
+    w = int(lens.max()) if len(lens) else 1
+    b = np.zeros((len(expans), max(w, 1)), dtype=np.uint8)
+    for c, e in enumerate(expans):
+        b[c, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+    return lens, b
+
+
+def _fsst_encode_stream(
+    data: np.ndarray, rounds: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(enc, sym_lens, sym_bytes) for a byte stream: round-1 digram
+    pass, then ``rounds`` pair-merge rounds (the ratio profile)."""
+    md = FSST_ROUNDS_MAX_DIGRAMS if rounds > 0 else 192
+    sym_lens, sym_bytes = train_fsst(data[:FSST_SAMPLE_BYTES], max_digrams=md)
     dig_code, sing_code = _tables(sym_lens, sym_bytes)
     enc = fsst_compress(data, dig_code, sing_code)
+    if rounds > 0 and len(sym_lens):
+        expans = [bytes(sym_bytes[c, : sym_lens[c]]) for c in range(len(sym_lens))]
+        for _ in range(rounds):
+            enc, expans = _merge_round(enc, expans, FSST_MERGE_PER_ROUND)
+        sym_lens, sym_bytes = _expansions_to_table(expans)
+    return enc, sym_lens, sym_bytes
+
+
+def encode_fsst(block: StrBlock, rounds: int = 0) -> tuple[bytes, dict]:
+    data = np.frombuffer(block.payload, dtype=np.uint8)
+    enc, sym_lens, sym_bytes = _fsst_encode_stream(data, rounds)
     lens_payload, _ = encode_for_int(block.lengths)
     payload = pack_sections(
         _serialize_table(sym_lens, sym_bytes), lens_payload, enc.tobytes()
@@ -451,18 +543,26 @@ def decode_fsst(payload, meta) -> StrBlock:
     return StrBlock(lengths=lengths, payload=data.tobytes())
 
 
-def estimate_fsst_bytes(block: StrBlock) -> int:
+def estimate_fsst_bytes(block: StrBlock, rounds: int = 0) -> int:
     """Selector estimate: train + encode on a payload sample, scale the
-    ratio to the full payload; add lengths + table overhead."""
+    ratio to the full payload; add lengths + table overhead. The ratio
+    profile (rounds > 0) also applies the zstd post-pass to the sample
+    so the comparison against plain (whose estimate is post-aware via
+    zstd_sample_ratio) stays apples-to-apples."""
     data = np.frombuffer(block.payload, dtype=np.uint8)
     if len(data) == 0:
         return 64
     sample = data[: min(len(data), 65536)]
-    sym_lens, sym_bytes = train_fsst(sample)
+    enc, sym_lens, _sym_bytes = _fsst_encode_stream(sample, rounds)
     if len(sym_lens) == 0:
         return len(data) * 2
-    dig_code, sing_code = _tables(sym_lens, sym_bytes)
-    enc = fsst_compress(sample, dig_code, sing_code)
-    ratio = len(enc) / len(sample)
+    if rounds > 0:
+        import pyarrow as pa
+
+        z = pa.Codec("zstd", compression_level=1)
+        enc_bytes = len(z.compress(enc.tobytes(), asbytes=True))
+    else:
+        enc_bytes = len(enc)
+    ratio = enc_bytes / len(sample)
     lens_size = len(encode_for_int(block.lengths)[0])
-    return int(len(data) * ratio) + lens_size + 3 * len(sym_lens) + 16
+    return int(len(data) * ratio) + lens_size + int(sym_lens.sum()) + len(sym_lens) + 16

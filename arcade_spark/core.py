@@ -49,9 +49,15 @@ def _str_zone(block: StrBlock, stats) -> tuple[bytes | None, bytes | None, bool,
     )
 
 
-def encode_str_block(block: StrBlock, gdict: GlobalDict) -> tuple[bytes, dict[str, Any]]:
+def encode_str_block(
+    block: StrBlock, gdict: GlobalDict, fsst_rounds: int = 0
+) -> tuple[bytes, dict[str, Any]]:
+    """``fsst_rounds`` selects the string-codec profile: 0 (default,
+    THROUGHPUT) keeps 1-2-byte FSST symbols; >0 (RATIO) enables that
+    many pair-merge rounds (symbols up to 8 bytes) with a post-aware
+    size estimate — measured Pareto in BENCH/BASELINE.md."""
     stats = profile_str_block(block)
-    decision = choose_str_codec(stats, gdict, block)
+    decision = choose_str_codec(stats, gdict, block, fsst_rounds=fsst_rounds)
 
     if decision.reset_before:
         gdict.reset()
@@ -60,7 +66,7 @@ def encode_str_block(block: StrBlock, gdict: GlobalDict) -> tuple[bytes, dict[st
     if codec == "plain":
         payload, cmeta = sc.encode_plain(block)
     elif codec == "fsst":
-        payload, cmeta = sc.encode_fsst(block)
+        payload, cmeta = sc.encode_fsst(block, rounds=fsst_rounds)
     elif codec == "rle_str":
         payload, cmeta = sc.encode_rle_str(block, stats.fact)
     elif codec == "dict_local":

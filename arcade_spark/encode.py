@@ -96,6 +96,7 @@ def make_encode_kernel(
     run_id: str,
     block_rows: int = BLOCK_ROWS,
     job_info: dict | None = None,
+    fsst_rounds: int = 0,
 ):
     """Build the mapInArrow kernel closure. ``columns`` is
     [(name, vtype)] in output order. State per task: one GlobalDict per
@@ -129,7 +130,7 @@ def make_encode_kernel(
                 block = arrow_to_block(table.column(name), vtype)
                 if isinstance(block, StrBlock):
                     gd = gdicts.setdefault(name, GlobalDict())
-                    blob, meta = encode_str_block(block, gd)
+                    blob, meta = encode_str_block(block, gd, fsst_rounds=fsst_rounds)
                 else:
                     blob, meta = encode_int_block(block, vtype)
                 meta["kernel_ms"] = (time.monotonic() - t0) * 1000.0
@@ -219,8 +220,11 @@ def encode_job(
     block_rows: int = BLOCK_ROWS,
     resume: bool = True,
     part_id_offset: int = 0,
+    fsst_rounds: int = 0,
 ) -> dict:
-    """Run the full encode pipeline; returns job metrics."""
+    """Run the full encode pipeline; returns job metrics.
+    ``fsst_rounds``: string-codec profile (0 = throughput, the default;
+    >0 = ratio profile with merged FSST symbols up to 8 bytes)."""
     reserved = {_PART_COL, _KEY_COL} & set(source.columns)
     if reserved:
         raise ValueError(
@@ -255,7 +259,10 @@ def encode_job(
 
     run_id = uuid.uuid4().hex[:12]
     t0 = time.time()
-    kernel = make_encode_kernel(columns, out_dir, run_id, block_rows, job_info=job_info)
+    kernel = make_encode_kernel(
+        columns, out_dir, run_id, block_rows, job_info=job_info,
+        fsst_rounds=fsst_rounds,
+    )
     # the shuffle key is the raw 64-bit locality key, and part_id was
     # computed as pmod(murmur3(key), num_parts) — the exact bucket this
     # repartition sends the row to (tests assert part_id ==
@@ -305,6 +312,7 @@ def encode_files_job(
     block_rows: int = BLOCK_ROWS,
     resume: bool = True,
     files_per_task: int = 1,
+    fsst_rounds: int = 0,
 ) -> dict:
     """Files-mode encode — the 100 TB fast path.
 
@@ -409,7 +417,9 @@ def encode_files_job(
                                 block = arrow_to_block(table.column(name), vtype)
                                 if isinstance(block, StrBlock):
                                     gd = gdicts.setdefault(name, GlobalDict())
-                                    blob, meta = encode_str_block(block, gd)
+                                    blob, meta = encode_str_block(
+                                        block, gd, fsst_rounds=fsst_rounds
+                                    )
                                 else:
                                     blob, meta = encode_int_block(block, vtype)
                                 meta["kernel_ms"] = (time.monotonic() - t0) * 1000.0

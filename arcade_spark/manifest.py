@@ -47,7 +47,7 @@ import pyarrow.parquet as pq
 #    NON-NULL slots only (absent for all-null chunks) so metadata
 #    min/max matches SQL null semantics, and min_exact now truthfully
 #    reflects prefix truncation on the high-cardinality stats shortcut
-FORMAT_REV = 8
+FORMAT_REV = 9
 
 BLOCKS_ARROW_SCHEMA = pa.schema(
     [

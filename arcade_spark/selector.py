@@ -57,7 +57,9 @@ def _values_payload_estimate(values_total_bytes: int, count: int) -> int:
     return values_total_bytes + 2 * count + _SECTION_OVERHEAD
 
 
-def choose_str_codec(stats: StrStats, gdict: GlobalDict, block: StrBlock) -> StrDecision:
+def choose_str_codec(
+    stats: StrStats, gdict: GlobalDict, block: StrBlock, fsst_rounds: int = 0
+) -> StrDecision:
     n, u = stats.n, stats.n_distinct
     est: dict[str, int] = {}
     est["plain"] = _values_payload_estimate(stats.payload_bytes, n)
@@ -68,7 +70,7 @@ def choose_str_codec(stats: StrStats, gdict: GlobalDict, block: StrBlock) -> Str
             int(stats.payload_bytes * zr) + 2 * n + _SECTION_OVERHEAD,
         )
 
-    fsst_est = estimate_fsst_bytes(block)
+    fsst_est = estimate_fsst_bytes(block, rounds=fsst_rounds)
     est["fsst"] = fsst_est + _SECTION_OVERHEAD
 
     # --- layer 1: ARCADE plain rule -------------------------------

@@ -58,6 +58,8 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         sf_num = 0.1
     corpus_rows = max(int(2_000_000 * sf_num), 5000)
 
+    from arcade_spark.manifest import FORMAT_REV
+
     spark = get_spark(app="arcade-bench", cores=cpus)
     n_cores = int(cpus) if str(cpus).isdigit() else os.cpu_count() or 8
 
@@ -165,7 +167,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # corpus has no int column by design — input_hint shape); resume
     # makes the one-time encode free on repeat runs
     docs_enc = os.path.join(
-        tempfile.gettempdir(), f"arcade_bench_docs_{sf}_{n_cores}"
+        tempfile.gettempdir(), f"arcade_bench_docs_v{FORMAT_REV}_{sf}_{n_cores}"
     )
     from arcade_spark.encode import encode_job as _ej
 
@@ -177,7 +179,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # the real TPC-H Q1 money shape: fused filter + group-by summing a
     # DOUBLE column through the fixed-point lane on encoded lineitem
     li_enc = os.path.join(
-        tempfile.gettempdir(), f"arcade_bench_lineitem_{sf}_{n_cores}"
+        tempfile.gettempdir(), f"arcade_bench_lineitem_v{FORMAT_REV}_{sf}_{n_cores}"
     )
     _ej(spark, spark.read.parquet(f"{sf_dir}/lineitem.parquet"), li_enc,
         num_parts=n_cores, order_col="l_orderkey")
@@ -194,7 +196,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # encoded-to-encoded shuffle join: (key, rowid) streams + late
     # materialization at matched rowids
     or_enc = os.path.join(
-        tempfile.gettempdir(), f"arcade_bench_orders_{sf}_{n_cores}"
+        tempfile.gettempdir(), f"arcade_bench_orders_v{FORMAT_REV}_{sf}_{n_cores}"
     )
     _ej(spark, spark.read.parquet(f"{sf_dir}/orders.parquet"), or_enc,
         num_parts=n_cores, order_col="o_orderkey")
@@ -214,7 +216,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 
     # cross-micro-batch streaming dedup: 4 mtime-ordered batches,
     # applyInPandasWithState keyed state, fresh sink/checkpoint per run
-    ds_base = os.path.join(tempfile.gettempdir(), f"arcade_bench_dstream_{sf}")
+    ds_base = os.path.join(tempfile.gettempdir(), f"arcade_bench_dstream_v{FORMAT_REV}_{sf}")
     ds_in = os.path.join(ds_base, "in")
     if not os.path.isdir(ds_in) or not os.listdir(ds_in):
         os.makedirs(ds_in, exist_ok=True)
@@ -259,8 +261,8 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # bytes), never the fp64 vectors — build once (timed separately),
     # then time the indexed scan (round-3 verdict: the bench previously
     # recomputed codes on the fly every run)
-    sq_idx = os.path.join(tempfile.gettempdir(), f"arcade_bench_sqidx_{sf}")
-    timed("ann_sq_index_build", lambda: build_sq_index(spark, sf_dir, sq_idx), reps=1)
+    sq_idx = os.path.join(tempfile.gettempdir(), f"arcade_bench_sqidx_v{FORMAT_REV}_{sf}")
+    timed("ann_sq_index_build", lambda: build_sq_index(spark, sf_dir, sq_idx))
     timed("ann_sq_topk", lambda: ann_sq_topk(spark, sf_dir, index_dir=sq_idx).count())
     timed("embedding_cosine_pairs_lsh", lambda: embedding_cosine_pairs(spark, sf_dir).count())
     timed("token_stats", lambda: token_stats(spark, sf_dir).count())
