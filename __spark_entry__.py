@@ -489,6 +489,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["l_returnflag", "l_linestatus"], "l_extendedprice",
         )
 
+    def arcade_q1_complete(spark, sf_dir):
+        """The COMPLETE TPC-H Q1 (round-4): all eight aggregates —
+        sum_qty, sum_base_price, sum_disc_price = Σ price·(1−disc),
+        sum_charge = Σ price·(1−disc)·(1+tax), three avgs, count — in
+        ONE fused pass over the encoded lineitem, every aggregate as
+        exact int64 fixed-point sums (products of affine quantized
+        terms), one IEEE division each at output. The DuckDB oracle
+        replays the identical arithmetic, so eight double columns
+        hash bit-exact."""
+        _ship_package(spark)
+        import datetime as _dt
+
+        from arcade_spark.readops import filter_group_by_multi
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        price = ("l_extendedprice", 1, 0)
+        one_minus_disc = ("l_discount", -1, 100)
+        one_plus_tax = ("l_tax", 1, 100)
+        return filter_group_by_multi(
+            spark, out,
+            [("range", "l_shipdate",
+              _dt.datetime(1990, 1, 1, tzinfo=_dt.timezone.utc),
+              _dt.datetime(1997, 6, 1, tzinfo=_dt.timezone.utc))],
+            ["l_returnflag", "l_linestatus"],
+            [
+                ("sum_qty", "sum", "l_quantity"),
+                ("sum_base_price", "sum", "l_extendedprice"),
+                ("sum_disc_price", "sumprod", [price, one_minus_disc]),
+                ("sum_charge", "sumprod", [price, one_minus_disc, one_plus_tax]),
+                ("avg_qty", "avg", "l_quantity"),
+                ("avg_price", "avg", "l_extendedprice"),
+                ("avg_disc", "avg", "l_discount"),
+                ("count_order", "count", None),
+            ],
+        )
+
     def arcade_sum_avg_double(spark, sf_dir):
         """column_agg over a DOUBLE column (fixed-point lane): exact
         integer partials, single-IEEE-division outputs."""
@@ -702,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_q1_groups": arcade_q1_groups,
         "arcade_q1": arcade_q1,
         "arcade_q1_double": arcade_q1_double,
+        "arcade_q1_complete": arcade_q1_complete,
         "arcade_sum_avg_double": arcade_sum_avg_double,
         "arcade_topk_text": arcade_topk_text,
         "arcade_join": arcade_join,
@@ -1007,6 +1044,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate BETWEEN TIMESTAMP '1990-01-01' "
             "AND TIMESTAMP '1997-06-01' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "arcade_q1_complete": (
+            # q(x) := floor(x*100 + 0.5) as BIGINT; every aggregate is
+            # an exact integer sum divided once by its scale product
+            "WITH q AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qq, "
+            "CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS qp, "
+            "CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS qd, "
+            "CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS qt "
+            "FROM lineitem WHERE l_shipdate BETWEEN TIMESTAMP '1990-01-01' "
+            "AND TIMESTAMP '1997-06-01') "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(qq) AS DOUBLE)/100 AS sum_qty, "
+            "CAST(sum(qp) AS DOUBLE)/100 AS sum_base_price, "
+            "CAST(sum(qp*(100-qd)) AS DOUBLE)/10000 AS sum_disc_price, "
+            "CAST(sum(qp*(100-qd)*(100+qt)) AS DOUBLE)/1000000 AS sum_charge, "
+            "(CAST(sum(qq) AS DOUBLE)/100)/CAST(count(qq) AS DOUBLE) AS avg_qty, "
+            "(CAST(sum(qp) AS DOUBLE)/100)/CAST(count(qp) AS DOUBLE) AS avg_price, "
+            "(CAST(sum(qd) AS DOUBLE)/100)/CAST(count(qd) AS DOUBLE) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM q GROUP BY l_returnflag, l_linestatus"
         ),
         "arcade_sum_avg_double": (
             "SELECT CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS "

@@ -1570,6 +1570,260 @@ def filter_group_by_partials(
     return _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl), vts
 
 
+def compile_agg_specs(
+    specs: list[tuple], cols: dict[str, str], agg_scale: int
+) -> list[dict]:
+    """Normalize multi-aggregate specs for the fused kernel.
+
+    Spec forms (name, kind, arg):
+      ("sum_qty",  "sum",  "l_quantity")     — Σ q(col)
+      ("avg_qty",  "avg",  "l_quantity")     — Σ q(col) / (scale·valid)
+      ("sum_disc", "sumprod", [(col, mult, add), ...]) — Σ Π(add+mult·q)
+      ("cnt",      "count", None)            — matched rows
+    Affine terms live in the QUANTIZED domain (at scale 100, 1.0 is
+    100 — so TPC-H's (1 − l_discount) is (col, −1, 100)). Each spec's
+    output divisor is the product of its referenced columns' scales
+    (agg_scale for double/float, 1 for integers), so the final value is
+    one IEEE division of an exact int64 sum — cross-engine
+    bit-identical, same contract as quantized_agg_lane."""
+    out = []
+    for name, kind, arg in specs:
+        if kind == "count":
+            out.append({"name": name, "kind": kind, "terms": [], "div": 1})
+            continue
+        if kind in ("sum", "avg"):
+            terms = [(arg, 1, 0)]
+        elif kind == "sumprod":
+            terms = [tuple(t) for t in arg]
+        else:
+            raise ValueError(f"unknown agg kind: {kind!r}")
+        div = 1
+        for col, _m, _a in terms:
+            vt = cols.get(col)
+            if vt is None:
+                raise KeyError(f"no such column: {col}")
+            if vt not in _AGG_VTS:
+                raise NotImplementedError(f"multi-agg {_AGG_GUARD}")
+            div *= agg_scale if vt in ("double", "float") else 1
+        out.append({"name": name, "kind": kind, "terms": terms, "div": div})
+    return out
+
+
+def filter_group_by_multi_partials(
+    spark: SparkSession,
+    out_dir: str,
+    preds_spec: list[tuple[str, tuple]],
+    group_cols: list[str],
+    agg_specs: list[tuple],
+    agg_scale: int = AGG_SCALE,
+) -> tuple[DataFrame, list[str], list[dict]]:
+    """MULTI-aggregate fused ``WHERE <conj> GROUP BY g1.. `` — the
+    COMPLETE TPC-H Q1 shape: one predicate pass, one positional decode
+    per referenced agg column, N integer accumulators per group tuple.
+    Every aggregate (including Σ price·(1−disc)·(1+tax) products) runs
+    in the exact fixed-point int64 domain (compile_agg_specs), so the
+    partials merge in any order and the DuckDB oracle replays the bytes.
+    Partial schema: k0..kn, then (s{i}, c{i}) per non-count spec, then
+    ``c`` (matched rows). A row feeds spec i iff every referenced
+    column is valid there (SQL aggregate null semantics); count counts
+    all matched rows with non-null group keys."""
+    from arcade_spark.readops import _Pred
+
+    all_cols, parts = load_manifest(out_dir)
+    cols = dict(all_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if len(set(group_cols)) != len(group_cols):
+        raise ValueError("duplicate group columns")
+    vts = []
+    for g in group_cols:
+        if g not in cols:
+            raise KeyError(f"no such column: {g}")
+        vts.append(cols[g])
+    cspecs = compile_agg_specs(agg_specs, cols, agg_scale)
+    needed = sorted({c for sp in cspecs for c, _m, _a in sp["terms"]})
+    live = [i for i, sp in enumerate(cspecs) if sp["kind"] != "count"]
+
+    seen: set[str] = set()
+    compiled = []
+    for column, pred in preds_spec:
+        if column not in cols:
+            raise KeyError(f"no such column: {column}")
+        if column in seen:
+            raise ValueError(
+                f"multiple predicates on {column!r} within one conjunct "
+                "not supported"
+            )
+        seen.add(column)
+        compiled.append(_Pred(column, cols[column], pred))
+    conjuncts = [compiled]
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from arcade_spark.core import decode_int_block, replay_str_block
+        from arcade_spark.gdict import GlobalDictDecoder
+        from arcade_spark.readops import _str_chunk_codes
+
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                pos_of, nb, _blk, p_cfs, p_cms = _part_match_positions(
+                    out_dir, int(pid), conjuncts
+                )
+                matched = [b for b in range(nb) if len(pos_of[b])]
+                if not matched:
+                    continue
+                last_m = matched[-1]
+                matched_mask = np.zeros(nb, dtype=bool)
+                matched_mask[matched] = True
+                midx = np.asarray(matched, dtype=np.int64)
+
+                gcf = {g: p_cfs.get(g) or _ColFile(out_dir, int(pid), g)
+                       for g in group_cols}
+                gcm = {g: (p_cms.get(g) or gcf[g].meta()) for g in group_cols}
+                acf = {c: p_cfs.get(c) or _ColFile(out_dir, int(pid), c)
+                       for c in needed if c not in gcf}
+                acm = {c: (p_cms.get(c) or acf[c].meta()) for c in acf}
+                for g in group_cols:
+                    if gcm[g].n != nb:
+                        raise ValueError(
+                            f"column {g!r}: block count mismatch in part {pid}"
+                        )
+                for c in acm:
+                    if acm[c].n != nb:
+                        raise ValueError(
+                            f"column {c!r}: block count mismatch in part {pid}"
+                        )
+                rng = np.arange(nb)
+                gblobs = {g: gcf[g].payloads(midx, "blob") for g in group_cols}
+                gsegs = {}
+                for g, vt in zip(group_cols, vts):
+                    if vt in ("str", "binary"):
+                        seg_rows = np.nonzero(
+                            (gcm[g].stateful | matched_mask) & (rng <= last_m)
+                        )[0]
+                        gsegs[g] = gcf[g].payloads(seg_rows, "seg")
+                ablobs = {c: acf[c].payloads(midx, "blob") for c in acf}
+                gdecs = {g: GlobalDictDecoder() for g in group_cols}
+
+                for b in range(last_m + 1):
+                    if not matched_mask[b]:
+                        for g, vt in zip(group_cols, vts):
+                            if vt in ("str", "binary"):
+                                replay_str_block(
+                                    gcm[g].meta_dict(b, gsegs[g].get(b, b"")),
+                                    gdecs[g],
+                                )
+                        continue
+                    pos = pos_of[b]
+                    key_codes, resolvers = [], []
+                    cmask = None
+                    for g, vt in zip(group_cols, vts):
+                        if vt in ("str", "binary"):
+                            meta = gcm[g].meta_dict(b, gsegs[g].get(b, b""))
+                            codes, gvalid, resolve = _str_chunk_codes(
+                                gdecs[g], gblobs[g][b], meta
+                            )
+                        else:
+                            ib = decode_int_block(
+                                gblobs[g][b], gcm[g].meta_dict(b)
+                            )
+                            gv = ib.values
+                            if vt in ("double", "float"):
+                                gv = gv.copy()
+                                f = gv.view(np.float64)
+                                gv[f == 0.0] = 0
+                                gv[np.isnan(f)] = np.int64(0x7FF8000000000000)
+                            uniq, codes = np.unique(gv, return_inverse=True)
+                            gvalid = ib.validity
+                            resolve = (lambda used, u=uniq: u[used])
+                        key_codes.append(codes.astype(np.int64)[pos])
+                        resolvers.append(resolve)
+                        if gvalid is not None:
+                            gv_pos = gvalid[pos]
+                            cmask = gv_pos if cmask is None else (cmask & gv_pos)
+                    n = len(pos)
+                    if cmask is None:
+                        cmask = np.ones(n, dtype=bool)
+                    if not cmask.any():
+                        continue
+                    stack = np.stack(key_codes)
+                    tuples, inv = np.unique(stack, axis=1, return_inverse=True)
+                    width = tuples.shape[1]
+                    cnt = np.bincount(inv[cmask], minlength=width)
+
+                    # decode each referenced agg column ONCE per block
+                    qcache: dict[str, tuple[np.ndarray, np.ndarray | None]] = {}
+                    for c in needed:
+                        ib = decode_int_block(
+                            ablobs[c][b] if c in ablobs else gblobs[c][b],
+                            (acm.get(c) or gcm[c]).meta_dict(b),
+                        )
+                        q = quantized_agg_lane(
+                            ib.values, ib.validity, cols[c], agg_scale
+                        )[pos]
+                        v = None if ib.validity is None else ib.validity[pos]
+                        qcache[c] = (q, v)
+
+                    spec_sums, spec_cnts = [], []
+                    for i in live:
+                        sp = cspecs[i]
+                        val = None
+                        smask = cmask
+                        for c, m, a in sp["terms"]:
+                            q, v = qcache[c]
+                            t = a + m * q
+                            val = t if val is None else val * t
+                            if v is not None:
+                                smask = smask & v
+                        if (np.abs(val[smask]).astype(np.float64)
+                                >= 2.0 ** 62).any() if smask.any() else False:
+                            raise ValueError(
+                                "multi-agg term product overflows int64"
+                            )
+                        s_i = np.zeros(width, dtype=np.int64)
+                        np.add.at(s_i, inv[smask], val[smask])
+                        spec_sums.append(s_i)
+                        spec_cnts.append(np.bincount(inv[smask], minlength=width))
+
+                    used = np.nonzero(cnt)[0]
+                    arrays = []
+                    for i, vt in enumerate(vts):
+                        vals = resolvers[i](tuples[i, used])
+                        if vt in ("str", "binary"):
+                            arrays.append(pa.array(list(vals), type=pa.binary()))
+                        elif vt in ("double", "float"):
+                            arrays.append(pa.array(
+                                vals.view(np.float64), type=pa.float64()))
+                        else:
+                            arrays.append(pa.array(
+                                vals.astype(np.int64), type=pa.int64()))
+                    names = [f"k{i}" for i in range(len(group_cols))]
+                    for j, i in enumerate(live):
+                        arrays.append(pa.array(spec_sums[j][used]))
+                        arrays.append(pa.array(spec_cnts[j][used]))
+                        names += [f"s{i}", f"c{i}"]
+                    arrays.append(pa.array(cnt[used].astype(np.int64)))
+                    names.append("c")
+                    yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def lane(vt: str) -> str:
+        if vt in ("str", "binary"):
+            return "binary"
+        if vt in ("double", "float"):
+            return "double"
+        return "long"
+
+    ddl = ", ".join(
+        [f"k{i} {lane(vt)}" for i, vt in enumerate(vts)]
+        + [x for i in live for x in (f"s{i} long", f"c{i} long")]
+        + ["c long"]
+    )
+    return (
+        _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl),
+        vts,
+        cspecs,
+    )
+
+
 def column_topk_parts(
     spark: SparkSession, out_dir: str, column: str, k: int, descending: bool = True
 ) -> DataFrame:

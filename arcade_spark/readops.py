@@ -1598,6 +1598,58 @@ def filter_group_by(
     )
 
 
+def filter_group_by_multi(
+    spark: SparkSession,
+    out_dir: str,
+    preds: list[tuple],
+    group_cols: list[str],
+    aggs: list[tuple],
+    agg_scale: int = 100,
+) -> DataFrame:
+    """Fused ``WHERE <conj> GROUP BY g1.. `` with MULTIPLE aggregates —
+    the COMPLETE TPC-H Q1 in one pass over the encoded table. ``aggs``
+    is a list of (name, kind, arg):
+
+      ("sum_qty",        "sum",     "l_quantity")
+      ("sum_disc_price", "sumprod", [("l_extendedprice", 1, 0),
+                                     ("l_discount", -1, 100)])
+      ("avg_qty",        "avg",     "l_quantity")
+      ("count_order",    "count",   None)
+
+    Product aggregates take affine terms (col, mult, add) in the
+    quantized domain (at scale 100, TPC-H's (1−l_discount) is
+    (col, −1, 100); (1+l_tax) is (col, 1, 100)). Every aggregate runs
+    as exact int64 sums (partread.compile_agg_specs) with single IEEE
+    divisions at output — cross-engine bit-identical. Each matched
+    block decodes every referenced agg column exactly once; the merge
+    shuffle stays O(distinct tuples) regardless of aggregate count."""
+    from arcade_spark.partread import filter_group_by_multi_partials
+
+    partial, vts, cspecs = filter_group_by_multi_partials(
+        spark, out_dir, _preds_to_spec(preds), group_cols, aggs, agg_scale
+    )
+    keys = [f"k{i}" for i in range(len(group_cols))]
+    agg_exprs = []
+    for i, sp in enumerate(cspecs):
+        name, kind, div = sp["name"], sp["kind"], sp["div"]
+        if kind == "count":
+            agg_exprs.append(F.sum("c").alias(name))
+            continue
+        s = F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}"))
+        if kind == "sum" or kind == "sumprod":
+            expr = (s.cast("double") / F.lit(float(div))) if div != 1 else s
+        else:  # avg
+            num = (s.cast("double") / F.lit(float(div))) if div != 1 else s.cast("double")
+            expr = num / F.sum(f"c{i}").cast("double")
+        agg_exprs.append(expr.alias(name))
+    merged = partial.groupBy(*keys).agg(*agg_exprs)
+    out_keys = [
+        _group_key_out(F.col(k), vt).alias(nm)
+        for k, vt, nm in zip(keys, vts, group_cols)
+    ]
+    return merged.select(*out_keys, *[sp["name"] for sp in cspecs])
+
+
 def table_count(spark: SparkSession, out_dir: str) -> DataFrame:
     """``SELECT count(*)`` answered from the MANIFEST alone — one tiny
     parquet read of per-partition row counts, no column files touched.

@@ -193,6 +193,25 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         spark, li_enc, [("range", "l_shipdate", _cut[0], _cut[1])],
         ["l_returnflag", "l_linestatus"], "l_extendedprice").count())
 
+    # the COMPLETE TPC-H Q1: eight aggregates (incl. two product sums)
+    # in one fused pass, all exact fixed-point int64
+    from arcade_spark.readops import filter_group_by_multi
+
+    _price = ("l_extendedprice", 1, 0)
+    _omd = ("l_discount", -1, 100)
+    _opt = ("l_tax", 1, 100)
+    timed("fused_q1_complete", lambda: filter_group_by_multi(
+        spark, li_enc, [("range", "l_shipdate", _cut[0], _cut[1])],
+        ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "sum", "l_quantity"),
+         ("sum_base_price", "sum", "l_extendedprice"),
+         ("sum_disc_price", "sumprod", [_price, _omd]),
+         ("sum_charge", "sumprod", [_price, _omd, _opt]),
+         ("avg_qty", "avg", "l_quantity"),
+         ("avg_price", "avg", "l_extendedprice"),
+         ("avg_disc", "avg", "l_discount"),
+         ("count_order", "count", None)]).count())
+
     # encoded-to-encoded shuffle join: (key, rowid) streams + late
     # materialization at matched rowids
     or_enc = os.path.join(

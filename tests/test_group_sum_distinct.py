@@ -437,3 +437,76 @@ def test_filter_group_by_same_column_pred_and_key(spark, gs_table):
     }
     sub = pdf.loc[pdf["lang"].isin(["en", "de", "fr"])]
     assert got == sub.groupby("lang").size().to_dict()
+
+
+def test_filter_group_by_multi_q1_shape(spark, gs_table):
+    """Round-4 multi-aggregate fused group-by: sums, a product
+    aggregate, avg, and count in one pass — checked against pandas in
+    the same fixed-point domain (v is the double column, x integer)."""
+    from arcade_spark.readops import filter_group_by_multi
+
+    out, pdf = gs_table
+    got = (
+        filter_group_by_multi(
+            spark, out, [("range", "x", -30, 30)], ["lang"],
+            [
+                ("sum_x", "sum", "x"),
+                ("sum_v", "sum", "v"),
+                ("sum_xv", "sumprod", [("x", 1, 0), ("v", 1, 0)]),
+                ("avg_v", "avg", "v"),
+                ("cnt", "count", None),
+            ],
+        )
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    sub = pdf[(pdf["x"] >= -30) & (pdf["x"] <= 30)].dropna(subset=["lang"]).copy()
+    qv = np.floor(sub["v"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    sub["qv"] = qv
+    sub["xqv"] = sub["x"].to_numpy() * qv
+    want = (
+        sub.groupby("lang")
+        .agg(sum_x=("x", "sum"), qv_sum=("qv", "sum"), xqv_sum=("xqv", "sum"),
+             n=("v", "size"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert list(got["lang"]) == list(want["lang"])
+    assert (got["sum_x"].to_numpy() == want["sum_x"].to_numpy()).all()
+    assert (got["sum_v"].to_numpy()
+            == want["qv_sum"].to_numpy().astype(np.float64) / 100.0).all()
+    assert (got["sum_xv"].to_numpy()
+            == want["xqv_sum"].to_numpy().astype(np.float64) / 100.0).all()
+    assert (got["avg_v"].to_numpy()
+            == (want["qv_sum"].to_numpy().astype(np.float64) / 100.0)
+            / want["n"].to_numpy().astype(np.float64)).all()
+    assert (got["cnt"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_filter_group_by_multi_null_agg_rows(spark, gs_table):
+    """Rows with a null referenced column feed count(*) but not the
+    sums; all-null groups report NULL sums."""
+    from arcade_spark.readops import filter_group_by_multi
+
+    out, pdf = gs_table
+    got = (
+        filter_group_by_multi(
+            spark, out, [("range", "x", -50, 50)], ["lang"],
+            [("sum_xn", "sum", "xn"), ("cnt", "count", None)],
+        )
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    sub = pdf.dropna(subset=["lang"])
+    want = (
+        sub.groupby("lang")
+        .agg(sum_xn=("xn", "sum"), cnt=("xn", "size"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert (got["sum_xn"].to_numpy() == want["sum_xn"].astype("int64").to_numpy()).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
