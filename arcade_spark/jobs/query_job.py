@@ -18,8 +18,10 @@ Subcommands:
     group-by      --columns a,b [--agg-column n]
     distinct      --column c [--count]
     minmax        --column c
-    topk          --column c -k 10 [--asc]
+    topk          --column c -k 10 [--asc]   (int/float/ts/string)
     agg           --column c
+    join          --right <encoded_dir> --key k [--right-key k2]
+                  [--project a,b] [--right-project c,d]
 
 Output: ``df.show()`` (the reference's print sink, R9) or
 ``--out <dir>`` to write parquet. Locally, plain
@@ -150,6 +152,15 @@ def build_query(spark, args):
                            descending=not args.asc)
     if args.cmd == "agg":
         return column_agg(spark, args.encoded, args.column)
+    if args.cmd == "join":
+        from arcade_spark.readops import join_encoded
+
+        return join_encoded(
+            spark, args.encoded, args.right, args.key,
+            key_b=args.right_key,
+            project_a=args.project.split(",") if args.project else None,
+            project_b=args.right_project.split(",") if args.right_project else None,
+        )
     raise SystemExit(f"unknown command {args.cmd!r}")
 
 
@@ -203,6 +214,13 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--column", required=True)
     t.add_argument("-k", type=int, default=10)
     t.add_argument("--asc", action="store_true")
+
+    j = sub.add_parser("join")
+    j.add_argument("--right", required=True, help="right side's encoded out_dir")
+    j.add_argument("--key", required=True)
+    j.add_argument("--right-key", default=None)
+    j.add_argument("--project", default=None)
+    j.add_argument("--right-project", default=None)
 
     args = p.parse_args(argv)
 

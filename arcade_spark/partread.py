@@ -1656,7 +1656,7 @@ def filter_group_by_multi_partials(
             )
         seen.add(column)
         compiled.append(_Pred(column, cols[column], pred))
-    conjuncts = [compiled]
+    conjuncts = [compiled] if compiled else None  # None = full-table scan
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from arcade_spark.core import decode_int_block, replay_str_block
@@ -1665,9 +1665,19 @@ def filter_group_by_multi_partials(
 
         for batch in batches:
             for pid in batch.column("part_id").to_pylist():
-                pos_of, nb, _blk, p_cfs, p_cms = _part_match_positions(
-                    out_dir, int(pid), conjuncts
-                )
+                if conjuncts is not None:
+                    pos_of, nb, _blk, p_cfs, p_cms = _part_match_positions(
+                        out_dir, int(pid), conjuncts
+                    )
+                else:
+                    cf0 = _ColFile(out_dir, int(pid), group_cols[0])
+                    cm0 = cf0.meta()
+                    nb = cm0.n
+                    pos_of = [
+                        np.arange(int(cm0.n_values[b]), dtype=np.int64)
+                        for b in range(nb)
+                    ]
+                    p_cfs, p_cms = {group_cols[0]: cf0}, {group_cols[0]: cm0}
                 matched = [b for b in range(nb) if len(pos_of[b])]
                 if not matched:
                     continue

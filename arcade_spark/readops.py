@@ -1650,6 +1650,18 @@ def filter_group_by_multi(
     return merged.select(*out_keys, *[sp["name"] for sp in cspecs])
 
 
+def group_by_multi(
+    spark: SparkSession,
+    out_dir: str,
+    group_cols: list[str],
+    aggs: list[tuple],
+    agg_scale: int = 100,
+) -> DataFrame:
+    """Full-table multi-aggregate GROUP BY (no predicate) — same spec
+    grammar and exactness contract as ``filter_group_by_multi``."""
+    return filter_group_by_multi(spark, out_dir, [], group_cols, aggs, agg_scale)
+
+
 def table_count(spark: SparkSession, out_dir: str) -> DataFrame:
     """``SELECT count(*)`` answered from the MANIFEST alone — one tiny
     parquet read of per-partition row counts, no column files touched.

@@ -115,3 +115,49 @@ def test_join_no_projections_key_stream_only(spark, two_tables):
     got = join_encoded(spark, oa, ob, "fk", "pk")
     want = sa.join(sb, sa["fk"] == sb["pk"]).select(sa["fk"])
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_group_by_multi_full_table(spark, two_tables):
+    """Empty-predicate multi-agg: full-table GROUP BY with sums and a
+    product aggregate (round-4)."""
+    from arcade_spark.readops import group_by_multi
+
+    oa, _, sa, _ = two_tables
+    got = {
+        r["lang"]: r
+        for r in group_by_multi(
+            spark, oa, ["lang"],
+            [("sum_qty", "sum", "qty"),
+             ("sum_fkqty", "sumprod", [("fk", 1, 0), ("qty", 1, 0)]),
+             ("cnt", "count", None)],
+        ).collect()
+    }
+    import pandas as pd
+
+    pdf = sa.toPandas()
+    want = (
+        pdf.assign(fkqty=pdf["fk"].astype("float") * pdf["qty"])
+        .groupby("lang")
+        .agg(sum_qty=("qty", "sum"), sum_fkqty=("fkqty", "sum"),
+             cnt=("qty", "size"))
+    )
+    for lang, w in want.iterrows():
+        r = got[lang]
+        assert r["sum_qty"] == int(w["sum_qty"])
+        assert r["sum_fkqty"] == int(w["sum_fkqty"])
+        assert r["cnt"] == int(w["cnt"])
+
+
+def test_query_job_join_cli(spark, two_tables):
+    import argparse
+
+    import arcade_spark.jobs.query_job as qj
+
+    oa, ob, sa, sb = two_tables
+    args = argparse.Namespace(
+        cmd="join", encoded=oa, right=ob, key="fk", right_key="pk",
+        project="qty", right_project="name",
+    )
+    df = qj.build_query(spark, args)
+    assert df.columns == ["fk", "qty", "name"]
+    assert df.count() == sa.join(sb, sa["fk"] == sb["pk"]).count()
