@@ -1578,6 +1578,8 @@ def compile_agg_specs(
     Spec forms (name, kind, arg):
       ("sum_qty",  "sum",  "l_quantity")     — Σ q(col)
       ("avg_qty",  "avg",  "l_quantity")     — Σ q(col) / (scale·valid)
+      ("min_qty",  "min",  "l_quantity")     — min q(col) (/scale)
+      ("max_qty",  "max",  "l_quantity")     — max q(col) (/scale)
       ("sum_disc", "sumprod", [(col, mult, add), ...]) — Σ Π(add+mult·q)
       ("cnt",      "count", None)            — matched rows
     Affine terms live in the QUANTIZED domain (at scale 100, 1.0 is
@@ -1591,7 +1593,7 @@ def compile_agg_specs(
         if kind == "count":
             out.append({"name": name, "kind": kind, "terms": [], "div": 1})
             continue
-        if kind in ("sum", "avg"):
+        if kind in ("sum", "avg", "min", "max"):
             terms = [(arg, 1, 0)]
         elif kind == "sumprod":
             terms = [tuple(t) for t in arg]
@@ -1789,8 +1791,18 @@ def filter_group_by_multi_partials(
                             raise ValueError(
                                 "multi-agg term product overflows int64"
                             )
-                        s_i = np.zeros(width, dtype=np.int64)
-                        np.add.at(s_i, inv[smask], val[smask])
+                        kind = sp["kind"]
+                        if kind == "min":
+                            s_i = np.full(width, np.iinfo(np.int64).max,
+                                          dtype=np.int64)
+                            np.minimum.at(s_i, inv[smask], val[smask])
+                        elif kind == "max":
+                            s_i = np.full(width, np.iinfo(np.int64).min,
+                                          dtype=np.int64)
+                            np.maximum.at(s_i, inv[smask], val[smask])
+                        else:
+                            s_i = np.zeros(width, dtype=np.int64)
+                            np.add.at(s_i, inv[smask], val[smask])
                         spec_sums.append(s_i)
                         spec_cnts.append(np.bincount(inv[smask], minlength=width))
 
@@ -1808,7 +1820,15 @@ def filter_group_by_multi_partials(
                                 vals.astype(np.int64), type=pa.int64()))
                     names = [f"k{i}" for i in range(len(group_cols))]
                     for j, i in enumerate(live):
-                        arrays.append(pa.array(spec_sums[j][used]))
+                        if cspecs[i]["kind"] in ("min", "max"):
+                            # null-mask empty groups so extremum
+                            # sentinels never merge
+                            arrays.append(pa.array(
+                                spec_sums[j][used],
+                                mask=spec_cnts[j][used] == 0,
+                            ))
+                        else:
+                            arrays.append(pa.array(spec_sums[j][used]))
                         arrays.append(pa.array(spec_cnts[j][used]))
                         names += [f"s{i}", f"c{i}"]
                     arrays.append(pa.array(cnt[used].astype(np.int64)))

@@ -1635,12 +1635,17 @@ def filter_group_by_multi(
         if kind == "count":
             agg_exprs.append(F.sum("c").alias(name))
             continue
-        s = F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}"))
-        if kind == "sum" or kind == "sumprod":
-            expr = (s.cast("double") / F.lit(float(div))) if div != 1 else s
-        else:  # avg
+        if kind == "min":
+            s = F.min(f"s{i}")  # partials null-masked when empty
+        elif kind == "max":
+            s = F.max(f"s{i}")
+        else:
+            s = F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}"))
+        if kind == "avg":
             num = (s.cast("double") / F.lit(float(div))) if div != 1 else s.cast("double")
             expr = num / F.sum(f"c{i}").cast("double")
+        else:  # sum / sumprod / min / max
+            expr = (s.cast("double") / F.lit(float(div))) if div != 1 else s
         agg_exprs.append(expr.alias(name))
     merged = partial.groupBy(*keys).agg(*agg_exprs)
     out_keys = [

@@ -510,3 +510,43 @@ def test_filter_group_by_multi_null_agg_rows(spark, gs_table):
     )
     assert (got["sum_xn"].to_numpy() == want["sum_xn"].astype("int64").to_numpy()).all()
     assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+
+def test_filter_group_by_multi_min_max(spark, gs_table):
+    """min/max kinds in the multi-agg grammar: exact for ints,
+    quantized-domain for doubles, NULL for empty groups."""
+    from arcade_spark.readops import filter_group_by_multi
+
+    out, pdf = gs_table
+    got = (
+        filter_group_by_multi(
+            spark, out, [("range", "x", 0, 50)], ["lang"],
+            [("min_x", "min", "x"), ("max_x", "max", "x"),
+             ("min_v", "min", "v"), ("max_v", "max", "v"),
+             ("min_xn", "min", "xn"), ("cnt", "count", None)],
+        )
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    sub = pdf[(pdf["x"] >= 0) & (pdf["x"] <= 50)].dropna(subset=["lang"]).copy()
+    qv = np.floor(sub["v"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    sub["qv"] = qv
+    want = (
+        sub.groupby("lang")
+        .agg(min_x=("x", "min"), max_x=("x", "max"),
+             qv_min=("qv", "min"), qv_max=("qv", "max"),
+             min_xn=("xn", "min"), cnt=("x", "size"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert (got["min_x"].to_numpy() == want["min_x"].to_numpy()).all()
+    assert (got["max_x"].to_numpy() == want["max_x"].to_numpy()).all()
+    assert (got["min_v"].to_numpy()
+            == want["qv_min"].to_numpy().astype(np.float64) / 100.0).all()
+    assert (got["max_v"].to_numpy()
+            == want["qv_max"].to_numpy().astype(np.float64) / 100.0).all()
+    assert (got["min_xn"].to_numpy()
+            == want["min_xn"].astype("int64").to_numpy()).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
