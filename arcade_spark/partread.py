@@ -1618,6 +1618,7 @@ def filter_group_by_multi_partials(
     group_cols: list[str],
     agg_specs: list[tuple],
     agg_scale: int = AGG_SCALE,
+    dnf_spec: list[list[tuple[str, tuple]]] | None = None,
 ) -> tuple[DataFrame, list[str], list[dict]]:
     """MULTI-aggregate fused ``WHERE <conj> GROUP BY g1.. `` — the
     COMPLETE TPC-H Q1 shape: one predicate pass, one positional decode
@@ -1646,19 +1647,30 @@ def filter_group_by_multi_partials(
     needed = sorted({c for sp in cspecs for c, _m, _a in sp["terms"]})
     live = [i for i, sp in enumerate(cspecs) if sp["kind"] != "count"]
 
-    seen: set[str] = set()
-    compiled = []
-    for column, pred in preds_spec:
-        if column not in cols:
-            raise KeyError(f"no such column: {column}")
-        if column in seen:
-            raise ValueError(
-                f"multiple predicates on {column!r} within one conjunct "
-                "not supported"
-            )
-        seen.add(column)
-        compiled.append(_Pred(column, cols[column], pred))
-    conjuncts = [compiled] if compiled else None  # None = full-table scan
+    def _compile_conj(spec: list[tuple[str, tuple]]) -> list:
+        seen: set[str] = set()
+        compiled = []
+        for column, pred in spec:
+            if column not in cols:
+                raise KeyError(f"no such column: {column}")
+            if column in seen:
+                raise ValueError(
+                    f"multiple predicates on {column!r} within one "
+                    "conjunct not supported"
+                )
+            seen.add(column)
+            compiled.append(_Pred(column, cols[column], pred))
+        return compiled
+
+    if dnf_spec is not None:
+        if preds_spec:
+            raise ValueError("pass either preds_spec or dnf_spec, not both")
+        conjuncts = [_compile_conj(c) for c in dnf_spec]
+        if not all(conjuncts):
+            raise ValueError("empty conjunct")
+    else:
+        compiled = _compile_conj(preds_spec)
+        conjuncts = [compiled] if compiled else None  # None = full scan
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from arcade_spark.core import decode_int_block, replay_str_block

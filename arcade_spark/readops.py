@@ -1605,6 +1605,7 @@ def filter_group_by_multi(
     group_cols: list[str],
     aggs: list[tuple],
     agg_scale: int = 100,
+    dnf: list[list[tuple]] | None = None,
 ) -> DataFrame:
     """Fused ``WHERE <conj> GROUP BY g1.. `` with MULTIPLE aggregates —
     the COMPLETE TPC-H Q1 in one pass over the encoded table. ``aggs``
@@ -1622,11 +1623,15 @@ def filter_group_by_multi(
     as exact int64 sums (partread.compile_agg_specs) with single IEEE
     divisions at output — cross-engine bit-identical. Each matched
     block decodes every referenced agg column exactly once; the merge
-    shuffle stays O(distinct tuples) regardless of aggregate count."""
+    shuffle stays O(distinct tuples) regardless of aggregate count.
+    ``preds`` is a conjunction (may be empty = full table); pass
+    ``dnf=[[conj1...], [conj2...]]`` instead for OR-of-ANDs — the
+    shared DNF predicate kernel handles both."""
     from arcade_spark.partread import filter_group_by_multi_partials
 
     partial, vts, cspecs = filter_group_by_multi_partials(
-        spark, out_dir, _preds_to_spec(preds), group_cols, aggs, agg_scale
+        spark, out_dir, _preds_to_spec(preds), group_cols, aggs, agg_scale,
+        dnf_spec=[_preds_to_spec(c) for c in dnf] if dnf is not None else None,
     )
     keys = [f"k{i}" for i in range(len(group_cols))]
     agg_exprs = []

@@ -550,3 +550,36 @@ def test_filter_group_by_multi_min_max(spark, gs_table):
     assert (got["min_xn"].to_numpy()
             == want["min_xn"].astype("int64").to_numpy()).all()
     assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+
+def test_filter_group_by_multi_dnf(spark, gs_table):
+    """DNF predicates compose with the multi-agg kernel: OR of two
+    conjuncts, then grouped sums."""
+    from arcade_spark.readops import filter_group_by_multi
+
+    out, pdf = gs_table
+    got = (
+        filter_group_by_multi(
+            spark, out, [], ["lang"],
+            [("sum_x", "sum", "x"), ("cnt", "count", None)],
+            dnf=[[("eq", "lang", "en"), ("range", "x", 0, 50)],
+                 [("eq", "lang", "de")]],
+        )
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    m = ((pdf["lang"] == "en") & (pdf["x"] >= 0) & (pdf["x"] <= 50)) | (
+        pdf["lang"] == "de"
+    )
+    sub = pdf[m].dropna(subset=["lang"])
+    want = (
+        sub.groupby("lang")
+        .agg(sum_x=("x", "sum"), cnt=("x", "size"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert list(got["lang"]) == list(want["lang"])
+    assert (got["sum_x"].to_numpy() == want["sum_x"].to_numpy()).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
