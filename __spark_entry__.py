@@ -606,6 +606,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             preds_b=[("eq", "o_orderpriority", "1-URGENT")],
         )
 
+    def arcade_join_left(spark, sf_dir):
+        """LEFT outer encoded join: unmatched left rows survive with
+        null right projections — the unmatched set is a LEFT ANTI join
+        on the same narrow key streams (key-only extra shuffle). Orders
+        side is filtered so a meaningful fraction of lineitem goes
+        unmatched."""
+        _ship_package(spark)
+        from arcade_spark.readops import join_encoded
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        out_or = _encoded_dir(spark, sf_dir, "orders", "o_orderkey")
+        return join_encoded(
+            spark, out_li, out_or, "l_orderkey", "o_orderkey",
+            project_a=["l_linenumber"],
+            project_b=["o_orderpriority"],
+            preds_b=[("eq", "o_orderpriority", "1-URGENT")],
+            how="left",
+        )
+
     def arcade_topk_text(spark, sf_dir):
         """ORDER BY <string col> DESC LIMIT 20 with zone pruning on
         PREFIX-TRUNCATED bounds (round-4): min_bin is always a lower
@@ -742,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_sum_avg_double": arcade_sum_avg_double,
         "arcade_topk_text": arcade_topk_text,
         "arcade_join": arcade_join,
+        "arcade_join_left": arcade_join_left,
         "arcade_dedup_stream": arcade_dedup_stream,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
@@ -1098,6 +1118,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "arcade_join_left": (
+            "SELECT l_orderkey, l_linenumber, o_orderpriority "
+            "FROM lineitem LEFT JOIN (SELECT * FROM orders "
+            "WHERE o_orderpriority = '1-URGENT') o "
+            "ON l_orderkey = o_orderkey"
         ),
         "arcade_dedup_stream": (
             # first-batch-per-fingerprint: batches are doc_id % 4 in

@@ -852,6 +852,7 @@ def key_rowid_parts(
     out_dir: str,
     key_col: str,
     preds_spec: list[tuple[str, tuple]] | None = None,
+    keep_null_keys: bool = False,
 ) -> tuple[DataFrame, str]:
     """(key, global row id) pairs for every [predicate-matched] row
     with a non-null key — the probe side of the encoded-to-encoded
@@ -865,7 +866,9 @@ def key_rowid_parts(
     Returns (df with columns ``k`` (binary for str keys, long lanes
     otherwise) and ``rid`` long, key vtype). Integer-family and
     str/binary keys only (double keys need canonicalization the join
-    contract doesn't define)."""
+    contract doesn't define). ``keep_null_keys`` emits null-key rows
+    too (as SQL-null ``k`` — they never equi-match but outer joins
+    must preserve them)."""
     from arcade_spark.readops import _Pred
 
     all_cols, parts = load_manifest(out_dir)
@@ -954,7 +957,7 @@ def key_rowid_parts(
                         blkd = decode_str_positions(blobs[b], meta, pos, gdec)
                         arr = blkd.to_arrow(binary=True)
                         rids = base + int(cm.row_start[b]) + pos
-                        if blkd.validity is not None:
+                        if blkd.validity is not None and not keep_null_keys:
                             keep = blkd.validity
                             arr = arr.filter(pa.array(keep))
                             rids = rids[keep]
@@ -971,14 +974,18 @@ def key_rowid_parts(
                         ib = decode_int_block(blobs[b], cm.meta_dict(b))
                         v = ib.values[pos]
                         rids = base + int(cm.row_start[b]) + pos
+                        kmask = None
                         if ib.validity is not None:
                             keep = ib.validity[pos]
-                            v = v[keep]
-                            rids = rids[keep]
+                            if keep_null_keys:
+                                kmask = ~keep  # nulls ride along as null keys
+                            else:
+                                v = v[keep]
+                                rids = rids[keep]
                         if len(v) == 0:
                             continue
                         yield pa.RecordBatch.from_arrays(
-                            [pa.array(v, type=pa.int64()),
+                            [pa.array(v, type=pa.int64(), mask=kmask),
                              pa.array(rids, type=pa.int64())],
                             names=["k", "rid"],
                         )

@@ -1801,6 +1801,7 @@ def join_encoded(
     project_b: list[str] | None = None,
     preds_a: list[tuple] | None = None,
     preds_b: list[tuple] | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Inner equi-join between TWO ENCODED tables — the shape past
     filter_semijoin's broadcast-key ceiling (readops.py semijoin cap):
@@ -1815,19 +1816,28 @@ def join_encoded(
        blocks' blobs only, applyInArrow per partition — no driver
        collect), and the projections join back by rowid.
 
-    SQL inner-join semantics: null keys never match. Output columns:
-    key (named after ``key_a``), then project_a, then project_b —
-    names must not clash. The reference lists joins as future work
-    (README.md:126-131); this is the Spark-native design for it."""
+    SQL join semantics: null keys never equi-match; ``how="left"``
+    preserves unmatched (and null-key) left rows with null right-side
+    projections — the unmatched set comes from a LEFT ANTI join on the
+    same narrow key streams, so outer-ness costs one extra key-only
+    shuffle, never a payload one. Output columns: key (named after
+    ``key_a``), then project_a, then project_b — names must not clash.
+    The reference lists joins as future work (README.md:126-131); this
+    is the Spark-native design for it."""
     from arcade_spark.partread import key_rowid_parts, materialize_rowids_parts
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left': {how!r}")
     key_b = key_b if key_b is not None else key_a
     project_a = project_a or []
     project_b = project_b or []
     clash = set(project_a) & set(project_b)
     if clash:
         raise ValueError(f"projection name clash across sides: {sorted(clash)}")
-    ka, kvt_a = key_rowid_parts(spark, out_a, key_a, _preds_to_spec(preds_a) if preds_a else None)
+    ka, kvt_a = key_rowid_parts(
+        spark, out_a, key_a, _preds_to_spec(preds_a) if preds_a else None,
+        keep_null_keys=(how == "left"),
+    )
     kb, kvt_b = key_rowid_parts(spark, out_b, key_b, _preds_to_spec(preds_b) if preds_b else None)
     str_a = kvt_a in ("str", "binary")
     str_b = kvt_b in ("str", "binary")
@@ -1835,10 +1845,15 @@ def join_encoded(
         raise ValueError(
             f"join key lanes differ: {key_a} is {kvt_a}, {key_b} is {kvt_b}"
         )
-    ids = (
-        ka.select(F.col("k"), F.col("rid").alias("rid_a"))
-        .join(kb.select(F.col("k"), F.col("rid").alias("rid_b")), "k")
-    )
+    ka_n = ka.select(F.col("k"), F.col("rid").alias("rid_a"))
+    kb_n = kb.select(F.col("k"), F.col("rid").alias("rid_b"))
+    ids = ka_n.join(kb_n, "k")
+    if how == "left":
+        unmatched = (
+            ka_n.join(kb_n.select("k").distinct(), "k", "left_anti")
+            .select("k", "rid_a", F.lit(None).cast("long").alias("rid_b"))
+        )
+        ids = ids.unionByName(unmatched)
     out_cols = [_group_key_out(F.col("k"), kvt_a).alias(key_a)]
     joined = ids
     if project_a:
@@ -1852,11 +1867,14 @@ def join_encoded(
         out_cols += [F.col(c) for c in project_a]
     if project_b:
         mat_b = materialize_rowids_parts(
-            spark, out_b, ids.select(F.col("rid_b").alias("rid")).distinct(),
+            spark, out_b,
+            ids.filter(F.col("rid_b").isNotNull())
+            .select(F.col("rid_b").alias("rid")).distinct(),
             project_b,
         )
         joined = joined.join(
-            mat_b, joined["rid_b"] == mat_b["row_id"]
+            mat_b, joined["rid_b"] == mat_b["row_id"],
+            "left" if how == "left" else "inner",
         ).drop("row_id")
         out_cols += [F.col(c) for c in project_b]
     return joined.select(*out_cols)

@@ -161,3 +161,41 @@ def test_query_job_join_cli(spark, two_tables):
     df = qj.build_query(spark, args)
     assert df.columns == ["fk", "qty", "name"]
     assert df.count() == sa.join(sb, sa["fk"] == sb["pk"]).count()
+
+
+def test_join_left_outer(spark, two_tables):
+    """LEFT join preserves unmatched and null-key left rows with null
+    right-side projections (round-4)."""
+    oa, ob, sa, sb = two_tables
+    got = join_encoded(
+        spark, oa, ob, "fk", "pk",
+        project_a=["url", "qty"], project_b=["name"], how="left",
+    )
+    want = (
+        sa.join(sb, sa["fk"] == sb["pk"], "left")
+        .select("fk", "url", "qty", "name")
+    )
+    assert _sorted_rows_none_safe(got) == _sorted_rows_none_safe(want)
+    # non-vacuous: some left rows truly unmatched / null-keyed
+    assert got.filter("name IS NULL").count() > 0
+
+
+def test_join_left_with_right_predicate(spark, two_tables):
+    oa, ob, sa, sb = two_tables
+    got = join_encoded(
+        spark, oa, ob, "fk", "pk",
+        project_a=["qty"], project_b=["name"],
+        preds_b=[("eq", "grade", "y")], how="left",
+    )
+    want = (
+        sa.join(sb.filter(sb["grade"] == "y"), sa["fk"] == sb["pk"], "left")
+        .select("fk", "qty", "name")
+    )
+    assert _sorted_rows_none_safe(got) == _sorted_rows_none_safe(want)
+
+
+def _sorted_rows_none_safe(df):
+    def key(t):
+        return tuple((v is None, v) for v in t)
+
+    return sorted((tuple(r) for r in df.collect()), key=key)
