@@ -525,6 +525,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def arcade_group_stats(spark, sf_dir):
+        """Full-table multi-aggregate stats profile (round-4): per
+        source, the exact integer moments a variance/stddev needs —
+        Σx and Σx² via a sumprod spec — plus min/max/avg/count, one
+        pass, no predicate (group_by_multi)."""
+        _ship_package(spark)
+        from arcade_spark.readops import group_by_multi
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return group_by_multi(
+            spark, out, ["source"],
+            [
+                ("sum_chars", "sum", "n_chars"),
+                ("sum_sq", "sumprod", [("n_chars", 1, 0), ("n_chars", 1, 0)]),
+                ("min_chars", "min", "n_chars"),
+                ("max_chars", "max", "n_chars"),
+                ("avg_chars", "avg", "n_chars"),
+                ("cnt", "count", None),
+            ],
+        )
+
     def arcade_sum_avg_double(spark, sf_dir):
         """column_agg over a DOUBLE column (fixed-point lane): exact
         integer partials, single-IEEE-division outputs."""
@@ -758,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_q1": arcade_q1,
         "arcade_q1_double": arcade_q1_double,
         "arcade_q1_complete": arcade_q1_complete,
+        "arcade_group_stats": arcade_group_stats,
         "arcade_sum_avg_double": arcade_sum_avg_double,
         "arcade_topk_text": arcade_topk_text,
         "arcade_join": arcade_join,
@@ -1085,6 +1107,16 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(sum(qd) AS DOUBLE)/100)/CAST(count(qd) AS DOUBLE) AS avg_disc, "
             "count(*) AS count_order "
             "FROM q GROUP BY l_returnflag, l_linestatus"
+        ),
+        "arcade_group_stats": (
+            # n_chars is an integer column: every aggregate is exact
+            # integer arithmetic; avg is one IEEE division
+            "SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(n_chars*n_chars) AS BIGINT) AS sum_sq, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+            "CAST(sum(n_chars) AS DOUBLE)/CAST(count(n_chars) AS DOUBLE) "
+            "AS avg_chars, count(*) AS cnt "
+            "FROM documents GROUP BY source"
         ),
         "arcade_sum_avg_double": (
             "SELECT CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS "
