@@ -46,7 +46,11 @@ import pyarrow.parquet as pq
 # 8: zone maps (min_int/max_int/min_bin/max_bin) are computed over
 #    NON-NULL slots only (absent for all-null chunks) so metadata
 #    min/max matches SQL null semantics, and min_exact now truthfully
-#    reflects prefix truncation on the high-cardinality stats shortcut
+#    reflects prefix truncation on the high-cardinality stats shortcut;
+# 9: variable-width FSST symbol tables — the opt-in fsst_rounds= ratio
+#    profile merges symbol pairs into 1-8-byte symbols, and the table
+#    serialization gained per-symbol length bytes, so rev-8 readers
+#    (fixed 1-2-byte symbols) cannot parse rev-9 FSST payloads
 FORMAT_REV = 9
 
 BLOCKS_ARROW_SCHEMA = pa.schema(

@@ -1527,13 +1527,15 @@ def filter_group_by_partials(
                     acnt = np.zeros(width, dtype=np.int64)
                     if agg_col is not None:
                         aib = decode_int_block(ablobs[b], acm.meta_dict(b))
+                        # quantize MATCHED rows only: a non-finite/overflow
+                        # value in a predicate-excluded row must not raise
+                        # (same contract as _filter_part_batches)
+                        avd = (None if aib.validity is None
+                               else aib.validity[pos])
                         av = quantized_agg_lane(
-                            aib.values, aib.validity, avt, agg_scale
-                        )[pos]
-                        smask = (
-                            cmask if aib.validity is None
-                            else (cmask & aib.validity[pos])
+                            aib.values[pos], avd, avt, agg_scale
                         )
+                        smask = cmask if avd is None else (cmask & avd)
                         np.add.at(sums, inv[smask], av[smask])
                         np.minimum.at(mins, inv[smask], av[smask])
                         np.maximum.at(maxs, inv[smask], av[smask])
@@ -1781,35 +1783,67 @@ def filter_group_by_multi_partials(
                     width = tuples.shape[1]
                     cnt = np.bincount(inv[cmask], minlength=width)
 
-                    # decode each referenced agg column ONCE per block
+                    # decode each referenced agg column ONCE per block;
+                    # quantize MATCHED rows only (a non-finite value in a
+                    # predicate-excluded row must not raise — same contract
+                    # as _filter_part_batches)
                     qcache: dict[str, tuple[np.ndarray, np.ndarray | None]] = {}
                     for c in needed:
                         ib = decode_int_block(
                             ablobs[c][b] if c in ablobs else gblobs[c][b],
                             (acm.get(c) or gcm[c]).meta_dict(b),
                         )
-                        q = quantized_agg_lane(
-                            ib.values, ib.validity, cols[c], agg_scale
-                        )[pos]
                         v = None if ib.validity is None else ib.validity[pos]
+                        q = quantized_agg_lane(
+                            ib.values[pos], v, cols[c], agg_scale
+                        )
                         qcache[c] = (q, v)
 
                     spec_sums, spec_cnts = [], []
                     for i in live:
                         sp = cspecs[i]
-                        val = None
+                        # SQL agg null semantics: a row feeds the spec iff
+                        # every referenced column is valid there
                         smask = cmask
-                        for c, m, a in sp["terms"]:
-                            q, v = qcache[c]
-                            t = a + m * q
-                            val = t if val is None else val * t
+                        for c, _m, _a in sp["terms"]:
+                            v = qcache[c][1]
                             if v is not None:
                                 smask = smask & v
-                        if (np.abs(val[smask]).astype(np.float64)
-                                >= 2.0 ** 62).any() if smask.any() else False:
-                            raise ValueError(
-                                "multi-agg term product overflows int64"
-                            )
+                        # guarded product chain: verify the magnitude in
+                        # float64 BEFORE each exact int64 multiply — an
+                        # intermediate that wraps past ±2^63 would pass an
+                        # after-the-fact check (e.g. 2^32·2^32 ≡ 0).  The
+                        # 2^62 bar leaves a 2× margin over int64, so the
+                        # ≤2^-52-relative float estimate can't mis-classify
+                        # a genuinely unsafe product.
+                        val = None
+                        val_f = None
+                        any_live = bool(smask.any())
+                        for c, m, a in sp["terms"]:
+                            q = qcache[c][0]
+                            t_f = float(a) + float(m) * q.astype(np.float64)
+                            if any_live and (
+                                np.abs(t_f[smask]) >= 2.0 ** 62
+                            ).any():
+                                raise ValueError(
+                                    "multi-agg affine term overflows int64: "
+                                    "|a + m·q| must stay < 2^62"
+                                )
+                            t = a + m * q
+                            if val is None:
+                                val, val_f = t, t_f
+                                continue
+                            val_f = val_f * t_f
+                            if any_live and (
+                                np.abs(val_f[smask]) >= 2.0 ** 62
+                            ).any():
+                                raise ValueError(
+                                    "multi-agg term product overflows int64: "
+                                    "the fixed-point contract requires "
+                                    "|Π terms| < 2^62 (lower agg_scale or "
+                                    "split the product)"
+                                )
+                            val = val * t
                         kind = sp["kind"]
                         if kind == "min":
                             s_i = np.full(width, np.iinfo(np.int64).max,
