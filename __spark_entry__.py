@@ -546,6 +546,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def arcade_group_distinct(spark, sf_dir):
+        """Per-group COUNT(DISTINCT lang) (round-5): the fused group
+        kernel treats (source, lang) as the composite code-tuple key,
+        each partition emits its distinct pairs once, and the merge is
+        one distinct + one O(groups) count — no per-row shuffle."""
+        _ship_package(spark)
+        from arcade_spark.readops import group_count_distinct
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return group_count_distinct(spark, out, ["source"], "lang")
+
+    def arcade_group_minmax_ts(spark, sf_dir):
+        """MIN/MAX over a TIMESTAMP aggregate column (round-5): the
+        int64 micros lane already orders timestamps, so extrema ride
+        the same fused one-pass kernel; sums over ts stay rejected."""
+        _ship_package(spark)
+        from arcade_spark.readops import filter_group_by_multi
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        return filter_group_by_multi(
+            spark, out, [("eq", "l_linestatus", "F")], ["l_returnflag"],
+            [("first_ship", "min", "l_shipdate"),
+             ("last_ship", "max", "l_shipdate"),
+             ("cnt", "count", None)],
+        )
+
     def arcade_sum_avg_double(spark, sf_dir):
         """column_agg over a DOUBLE column (fixed-point lane): exact
         integer partials, single-IEEE-division outputs."""
@@ -644,6 +670,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             project_b=["o_orderpriority"],
             preds_b=[("eq", "o_orderpriority", "1-URGENT")],
             how="left",
+        )
+
+    def arcade_q3(spark, sf_dir):
+        """Fused join+aggregate (round-5) — the TPC-H Q3 shape:
+        revenue = Σ l_extendedprice·(1−l_discount) per o_orderpriority
+        over lineitem ⋈ orders, predicates on both sides, WITHOUT
+        materializing a single joined row. Aggregation is pushed below
+        the join (eager aggregation): lineitem collapses to exact int64
+        fixed-point partials per (orderkey), orders to counts per
+        (orderkey, priority), and the final fold computes
+        Σ_k S(k)·nb(k, prio) — shuffles stay O(distinct keys), the
+        fact payload never leaves its encode partition."""
+        _ship_package(spark)
+        import datetime as _dt
+
+        from arcade_spark.readops import join_group_by
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        out_or = _encoded_dir(spark, sf_dir, "orders", "o_orderkey")
+        utc = _dt.timezone.utc
+        return join_group_by(
+            spark, out_li, out_or, "l_orderkey",
+            [("revenue", "sumprod",
+              [("l_extendedprice", 1, 0), ("l_discount", -1, 100)]),
+             ("sum_qty", "sum", "l_quantity"),
+             ("cnt", "count", None)],
+            key_b="o_orderkey",
+            group_b=["o_orderpriority"],
+            preds_a=[("range", "l_shipdate",
+                      _dt.datetime(1995, 3, 15, tzinfo=utc),
+                      _dt.datetime(1999, 1, 1, tzinfo=utc))],
+            preds_b=[("range", "o_orderdate",
+                      _dt.datetime(1990, 1, 1, tzinfo=utc),
+                      _dt.datetime(1995, 3, 15, tzinfo=utc))],
         )
 
     def arcade_topk_text(spark, sf_dir):
@@ -784,6 +844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_topk_text": arcade_topk_text,
         "arcade_join": arcade_join,
         "arcade_join_left": arcade_join_left,
+        "arcade_q3": arcade_q3,
+        "arcade_group_distinct": arcade_group_distinct,
+        "arcade_group_minmax_ts": arcade_group_minmax_ts,
         "arcade_dedup_stream": arcade_dedup_stream,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
@@ -1118,6 +1181,20 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_chars, count(*) AS cnt "
             "FROM documents GROUP BY source"
         ),
+        "arcade_group_distinct": (
+            # engine contract: null group keys dropped, a group exists
+            # iff it has >=1 non-null value row
+            "SELECT source, CAST(count(DISTINCT lang) AS BIGINT) "
+            "AS n_distinct FROM documents "
+            "WHERE source IS NOT NULL AND lang IS NOT NULL "
+            "GROUP BY source"
+        ),
+        "arcade_group_minmax_ts": (
+            "SELECT l_returnflag, min(l_shipdate) AS first_ship, "
+            "max(l_shipdate) AS last_ship, count(*) AS cnt "
+            "FROM lineitem WHERE l_linestatus = 'F' "
+            "GROUP BY l_returnflag"
+        ),
         "arcade_sum_avg_double": (
             "SELECT CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS "
             "BIGINT)) AS DOUBLE)/100 AS sum_v, count(*) AS cnt_all, "
@@ -1156,6 +1233,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem LEFT JOIN (SELECT * FROM orders "
             "WHERE o_orderpriority = '1-URGENT') o "
             "ON l_orderkey = o_orderkey"
+        ),
+        "arcade_q3": (
+            # the engine's exact fixed-point arithmetic replayed in SQL:
+            # q(x) = floor(x*100+0.5); revenue = Σ qp·(100−qd) / 10^4
+            "SELECT o_orderpriority, "
+            "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) "
+            "AS DOUBLE)/10000 AS revenue, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) "
+            "AS DOUBLE)/100 AS sum_qty, "
+            "count(*) AS cnt "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate BETWEEN TIMESTAMP '1995-03-15' AND "
+            "TIMESTAMP '1999-01-01' AND o_orderdate BETWEEN "
+            "TIMESTAMP '1990-01-01' AND TIMESTAMP '1995-03-15' "
+            "GROUP BY o_orderpriority"
         ),
         "arcade_dedup_stream": (
             # first-batch-per-fingerprint: batches are doc_id % 4 in

@@ -850,38 +850,48 @@ def _ra_part_batches(
 def key_rowid_parts(
     spark: SparkSession,
     out_dir: str,
-    key_col: str,
+    key_col: str | list[str],
     preds_spec: list[tuple[str, tuple]] | None = None,
     keep_null_keys: bool = False,
-) -> tuple[DataFrame, str]:
-    """(key, global row id) pairs for every [predicate-matched] row
-    with a non-null key — the probe side of the encoded-to-encoded
-    shuffle join. The kernel decodes ONLY the key column (positions
+) -> tuple[DataFrame, list[str]]:
+    """(key..., global row id) tuples for every [predicate-matched] row
+    with a fully-non-null key — the probe side of the encoded-to-encoded
+    shuffle join. The kernel decodes ONLY the key column(s) (positions
     from the shared DNF predicate pass when ``preds_spec`` is given;
     zone-pruned blocks replay segments only), and each emitted row is
-    (key lane, rowid) — 16-24 bytes — so the join shuffle never carries
-    payload columns. Global rowids come from the manifest prefix sums
-    (the blocksizes index, reader.cpp:113-115) + per-block row_start.
+    (key lanes, rowid) — tens of bytes — so the join shuffle never
+    carries payload columns. Global rowids come from the manifest
+    prefix sums (the blocksizes index, reader.cpp:113-115) + per-block
+    row_start.
 
-    Returns (df with columns ``k`` (binary for str keys, long lanes
-    otherwise) and ``rid`` long, key vtype). Integer-family and
-    str/binary keys only (double keys need canonicalization the join
-    contract doesn't define). ``keep_null_keys`` emits null-key rows
-    too (as SQL-null ``k`` — they never equi-match but outer joins
-    must preserve them)."""
+    ``key_col`` may be one column or a LIST (composite join keys —
+    round-5): each key column gets its own output lane ``k0..kn``
+    (binary for str/binary, long otherwise). A row's key is null if
+    ANY component is null (SQL composite equi-join: a null component
+    makes the conjunct unknown). Integer-family and str/binary keys
+    only (double keys need canonicalization the join contract doesn't
+    define). ``keep_null_keys`` emits null-key rows too — they never
+    equi-match but outer joins must preserve them.
+
+    Returns (df with columns ``k0..kn, rid``, list of key vtypes)."""
     from arcade_spark.readops import _Pred
 
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    if not key_cols:
+        raise ValueError("key_col must name at least one column")
     all_cols, parts = load_manifest(out_dir)
     cols = dict(all_cols)
-    kvt = cols.get(key_col)
-    if kvt is None:
-        raise KeyError(f"no such column: {key_col}")
-    if kvt in ("double", "float"):
-        raise NotImplementedError(
-            "join/rowid extraction on float keys is not supported "
-            "(float equality is not a sane join contract)"
-        )
-    k_str = kvt in ("str", "binary")
+    kvts = []
+    for kc in key_cols:
+        kvt = cols.get(kc)
+        if kvt is None:
+            raise KeyError(f"no such column: {kc}")
+        if kvt in ("double", "float"):
+            raise NotImplementedError(
+                "join/rowid extraction on float keys is not supported "
+                "(float equality is not a sane join contract)"
+            )
+        kvts.append(kvt)
     conjuncts = None
     if preds_spec:
         seen: set[str] = set()
@@ -902,6 +912,7 @@ def key_rowid_parts(
     for pid, n in parts:
         offsets[pid] = lo
         lo += n
+    str_flags = [vt in ("str", "binary") for vt in kvts]
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from arcade_spark.core import (
@@ -915,9 +926,14 @@ def key_rowid_parts(
             for pid in batch.column("part_id").to_pylist():
                 pid = int(pid)
                 base = offsets[pid]
-                cf = _ColFile(out_dir, pid, key_col)
-                cm = cf.meta()
-                nb = cm.n
+                cfs = {kc: _ColFile(out_dir, pid, kc) for kc in key_cols}
+                cms = {kc: cfs[kc].meta() for kc in key_cols}
+                nb = cms[key_cols[0]].n
+                for kc in key_cols[1:]:
+                    if cms[kc].n != nb:
+                        raise ValueError(
+                            f"column {kc!r}: block count mismatch in part {pid}"
+                        )
                 if conjuncts is not None:
                     pos_of, pnb, _blk, _cfs, _cms = _part_match_positions(
                         out_dir, pid, conjuncts
@@ -925,11 +941,12 @@ def key_rowid_parts(
                     if pnb != nb:
                         raise ValueError(
                             f"part {pid}: block count mismatch "
-                            f"({key_col} vs predicate columns)"
+                            f"({key_cols} vs predicate columns)"
                         )
                 else:
+                    cm0 = cms[key_cols[0]]
                     pos_of = [
-                        np.arange(int(cm.n_values[b]), dtype=np.int64)
+                        np.arange(int(cm0.n_values[b]), dtype=np.int64)
                         for b in range(nb)
                     ]
                 matched = [b for b in range(nb) if len(pos_of[b])]
@@ -937,62 +954,69 @@ def key_rowid_parts(
                     continue
                 last_m = matched[-1]
                 midx = np.asarray(matched, dtype=np.int64)
-                blobs = cf.payloads(midx, "blob")
-                if k_str:
-                    mmask = np.zeros(nb, dtype=bool)
-                    mmask[midx] = True
-                    rng = np.arange(nb)
-                    seg_rows = np.nonzero(
-                        (cm.stateful | mmask) & (rng <= last_m)
-                    )[0]
-                    segs = cf.payloads(seg_rows, "seg")
-                    gdec = GlobalDictDecoder()
+                mmask = np.zeros(nb, dtype=bool)
+                mmask[midx] = True
+                rng = np.arange(nb)
+                blobs = {kc: cfs[kc].payloads(midx, "blob") for kc in key_cols}
+                segs, gdecs = {}, {}
+                for kc, is_str in zip(key_cols, str_flags):
+                    if is_str:
+                        seg_rows = np.nonzero(
+                            (cms[kc].stateful | mmask) & (rng <= last_m)
+                        )[0]
+                        segs[kc] = cfs[kc].payloads(seg_rows, "seg")
+                        gdecs[kc] = GlobalDictDecoder()
                 for b in range(last_m + 1):
-                    if k_str:
-                        meta = cm.meta_dict(b, segs.get(b, b""))
-                        if not len(pos_of[b]):
-                            replay_str_block(meta, gdec)
+                    if not len(pos_of[b]):
+                        for kc, is_str in zip(key_cols, str_flags):
+                            if is_str:
+                                replay_str_block(
+                                    cms[kc].meta_dict(b, segs[kc].get(b, b"")),
+                                    gdecs[kc],
+                                )
+                        continue
+                    pos = pos_of[b]
+                    rids = base + int(cms[key_cols[0]].row_start[b]) + pos
+                    arrays = []
+                    null_any = None
+                    for kc, is_str in zip(key_cols, str_flags):
+                        if is_str:
+                            meta = cms[kc].meta_dict(b, segs[kc].get(b, b""))
+                            blkd = decode_str_positions(
+                                blobs[kc][b], meta, pos, gdecs[kc]
+                            )
+                            arrays.append(blkd.to_arrow(binary=True))
+                            valid = blkd.validity
+                        else:
+                            ib = decode_int_block(
+                                blobs[kc][b], cms[kc].meta_dict(b)
+                            )
+                            valid = (None if ib.validity is None
+                                     else ib.validity[pos])
+                            arrays.append(pa.array(
+                                ib.values[pos], type=pa.int64(),
+                                mask=None if valid is None else ~valid,
+                            ))
+                        if valid is not None:
+                            nv = ~valid
+                            null_any = nv if null_any is None else (null_any | nv)
+                    if null_any is not None and not keep_null_keys:
+                        keep = ~null_any
+                        if not keep.any():
                             continue
-                        pos = pos_of[b]
-                        blkd = decode_str_positions(blobs[b], meta, pos, gdec)
-                        arr = blkd.to_arrow(binary=True)
-                        rids = base + int(cm.row_start[b]) + pos
-                        if blkd.validity is not None and not keep_null_keys:
-                            keep = blkd.validity
-                            arr = arr.filter(pa.array(keep))
-                            rids = rids[keep]
-                        if len(arr) == 0:
-                            continue
-                        yield pa.RecordBatch.from_arrays(
-                            [arr, pa.array(rids, type=pa.int64())],
-                            names=["k", "rid"],
-                        )
-                    else:
-                        if not len(pos_of[b]):
-                            continue
-                        pos = pos_of[b]
-                        ib = decode_int_block(blobs[b], cm.meta_dict(b))
-                        v = ib.values[pos]
-                        rids = base + int(cm.row_start[b]) + pos
-                        kmask = None
-                        if ib.validity is not None:
-                            keep = ib.validity[pos]
-                            if keep_null_keys:
-                                kmask = ~keep  # nulls ride along as null keys
-                            else:
-                                v = v[keep]
-                                rids = rids[keep]
-                        if len(v) == 0:
-                            continue
-                        yield pa.RecordBatch.from_arrays(
-                            [pa.array(v, type=pa.int64(), mask=kmask),
-                             pa.array(rids, type=pa.int64())],
-                            names=["k", "rid"],
-                        )
+                        kmask = pa.array(keep)
+                        arrays = [a.filter(kmask) for a in arrays]
+                        rids = rids[keep]
+                    yield pa.RecordBatch.from_arrays(
+                        arrays + [pa.array(rids, type=pa.int64())],
+                        names=[f"k{i}" for i in range(len(key_cols))] + ["rid"],
+                    )
 
-    ddl = ("k binary, rid long") if k_str else ("k long, rid long")
+    ddl = ", ".join(
+        f"k{i} {'binary' if s else 'long'}" for i, s in enumerate(str_flags)
+    ) + ", rid long"
     df = _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl)
-    return df, kvt
+    return df, kvts
 
 
 def materialize_rowids_parts(
@@ -1600,7 +1624,8 @@ def compile_agg_specs(
     out = []
     for name, kind, arg in specs:
         if kind == "count":
-            out.append({"name": name, "kind": kind, "terms": [], "div": 1})
+            out.append({"name": name, "kind": kind, "terms": [], "div": 1,
+                        "vt": None})
             continue
         if kind in ("sum", "avg", "min", "max"):
             terms = [(arg, 1, 0)]
@@ -1609,14 +1634,25 @@ def compile_agg_specs(
         else:
             raise ValueError(f"unknown agg kind: {kind!r}")
         div = 1
+        col_vt = None
         for col, _m, _a in terms:
             vt = cols.get(col)
             if vt is None:
                 raise KeyError(f"no such column: {col}")
+            col_vt = vt
             if vt not in _AGG_VTS:
+                # MIN/MAX over ts/date/bool are real queries and the
+                # int64 lane already carries them (micros / days / 0-1)
+                # with order preserved; sums stay meaningless and
+                # rejected
+                if kind in ("min", "max") and vt in (
+                    "ts", "tsntz", "date", "bool"
+                ):
+                    continue
                 raise NotImplementedError(f"multi-agg {_AGG_GUARD}")
             div *= agg_scale if vt in ("double", "float") else 1
-        out.append({"name": name, "kind": kind, "terms": terms, "div": div})
+        out.append({"name": name, "kind": kind, "terms": terms, "div": div,
+                    "vt": col_vt})
     return out
 
 

@@ -1646,7 +1646,13 @@ def filter_group_by_multi(
             s = F.max(f"s{i}")
         else:
             s = F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}"))
-        if kind == "avg":
+        if kind in ("min", "max") and sp.get("vt") in (
+            "ts", "tsntz", "date", "bool"
+        ):
+            # ts/date/bool extrema ride the int64 lane; restore the
+            # logical type at output (round-5, MIN/MAX(ts) ask)
+            expr = _group_key_out(s, sp["vt"])
+        elif kind == "avg":
             num = (s.cast("double") / F.lit(float(div))) if div != 1 else s.cast("double")
             expr = num / F.sum(f"c{i}").cast("double")
         else:  # sum / sumprod / min / max
@@ -1670,6 +1676,44 @@ def group_by_multi(
     """Full-table multi-aggregate GROUP BY (no predicate) — same spec
     grammar and exactness contract as ``filter_group_by_multi``."""
     return filter_group_by_multi(spark, out_dir, [], group_cols, aggs, agg_scale)
+
+
+def group_count_distinct(
+    spark: SparkSession,
+    out_dir: str,
+    group_cols: list[str],
+    distinct_col: str,
+    preds: list[tuple] | None = None,
+) -> DataFrame:
+    """Per-group ``COUNT(DISTINCT distinct_col)`` (round-5): the fused
+    group kernel runs with (group_cols + [distinct_col]) as the
+    composite code-tuple key, so each partition emits its DISTINCT
+    (group..., value) pairs once — O(distinct pairs per part), codes
+    compared, payloads resolved only for used dictionary entries. The
+    merge is one ``.distinct()`` + one O(groups) count — never a
+    per-row shuffle. Same null contract as the engine's GROUP BY:
+    null group keys are dropped, and null values don't count
+    (SQL COUNT(DISTINCT) semantics agree on the latter). Optional
+    ``preds`` conjunction pre-filters rows in the same kernel pass."""
+    from arcade_spark.partread import filter_group_by_multi_partials
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    partial, vts, _ = filter_group_by_multi_partials(
+        spark, out_dir, _preds_to_spec(preds or []),
+        group_cols + [distinct_col], [],
+    )
+    keys = [f"k{i}" for i in range(len(group_cols))]
+    vkey = f"k{len(group_cols)}"
+    merged = (
+        partial.select(*keys, vkey).distinct()
+        .groupBy(*keys).agg(F.count(vkey).alias("n_distinct"))
+    )
+    out_keys = [
+        _group_key_out(F.col(k), vt).alias(nm)
+        for k, vt, nm in zip(keys, vts, group_cols)
+    ]
+    return merged.select(*out_keys, "n_distinct")
 
 
 def table_count(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -1795,20 +1839,20 @@ def join_encoded(
     spark: SparkSession,
     out_a: str,
     out_b: str,
-    key_a: str,
-    key_b: str | None = None,
+    key_a: str | list[str],
+    key_b: str | list[str] | None = None,
     project_a: list[str] | None = None,
     project_b: list[str] | None = None,
     preds_a: list[tuple] | None = None,
     preds_b: list[tuple] | None = None,
     how: str = "inner",
 ) -> DataFrame:
-    """Inner equi-join between TWO ENCODED tables — the shape past
+    """Equi-join between TWO ENCODED tables — the shape past
     filter_semijoin's broadcast-key ceiling (readops.py semijoin cap):
 
-    1. each side's kernel emits (key lane, global rowid) pairs ONLY —
+    1. each side's kernel emits (key lanes, global rowid) tuples ONLY —
        predicate-filtered and zone-pruned, never a payload column —
-       so the join shuffle moves 16-24-byte rows;
+       so the join shuffle moves tens-of-byte rows;
     2. Spark shuffle-joins the two key streams (Catalyst picks
        sort-merge/hash; AQE handles skewed keys);
     3. each side LATE-MATERIALIZES its projected columns at the
@@ -1816,53 +1860,86 @@ def join_encoded(
        blocks' blobs only, applyInArrow per partition — no driver
        collect), and the projections join back by rowid.
 
-    SQL join semantics: null keys never equi-match; ``how="left"``
-    preserves unmatched (and null-key) left rows with null right-side
-    projections — the unmatched set comes from a LEFT ANTI join on the
-    same narrow key streams, so outer-ness costs one extra key-only
-    shuffle, never a payload one. Output columns: key (named after
-    ``key_a``), then project_a, then project_b — names must not clash.
-    The reference lists joins as future work (README.md:126-131); this
-    is the Spark-native design for it."""
+    Round-5 generality: ``key_a``/``key_b`` may be LISTS (composite
+    keys — each component gets its own narrow lane; a key is null if
+    ANY component is, per SQL composite equi-join), and ``how`` covers
+    ``inner | left | right | full``. SQL join semantics: null keys
+    never equi-match; outer variants preserve unmatched (and null-key)
+    rows of the outer side(s) with null other-side projections — each
+    unmatched set is an ANTI join on the same narrow key streams, so
+    outer-ness costs key-only shuffles, never payload ones. Output
+    columns: key components (named after ``key_a``, carrying
+    COALESCE(a.k, b.k) as in a USING join), then project_a, then
+    project_b — names must not clash. The reference lists joins as
+    future work (README.md:126-131); this is the Spark-native design
+    for it."""
     from arcade_spark.partread import key_rowid_parts, materialize_rowids_parts
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left': {how!r}")
-    key_b = key_b if key_b is not None else key_a
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'right' or 'full': {how!r}"
+        )
+    keys_a = [key_a] if isinstance(key_a, str) else list(key_a)
+    keys_b = keys_a if key_b is None else (
+        [key_b] if isinstance(key_b, str) else list(key_b)
+    )
+    if len(keys_a) != len(keys_b):
+        raise ValueError(
+            f"key count mismatch: {keys_a} vs {keys_b}"
+        )
     project_a = project_a or []
     project_b = project_b or []
     clash = set(project_a) & set(project_b)
     if clash:
         raise ValueError(f"projection name clash across sides: {sorted(clash)}")
-    ka, kvt_a = key_rowid_parts(
-        spark, out_a, key_a, _preds_to_spec(preds_a) if preds_a else None,
-        keep_null_keys=(how == "left"),
+    keep_a = how in ("left", "full")
+    keep_b = how in ("right", "full")
+    ka, kvts_a = key_rowid_parts(
+        spark, out_a, keys_a, _preds_to_spec(preds_a) if preds_a else None,
+        keep_null_keys=keep_a,
     )
-    kb, kvt_b = key_rowid_parts(spark, out_b, key_b, _preds_to_spec(preds_b) if preds_b else None)
-    str_a = kvt_a in ("str", "binary")
-    str_b = kvt_b in ("str", "binary")
-    if str_a != str_b:
-        raise ValueError(
-            f"join key lanes differ: {key_a} is {kvt_a}, {key_b} is {kvt_b}"
+    kb, kvts_b = key_rowid_parts(
+        spark, out_b, keys_b, _preds_to_spec(preds_b) if preds_b else None,
+        keep_null_keys=keep_b,
+    )
+    for i, (va, vb) in enumerate(zip(kvts_a, kvts_b)):
+        if (va in ("str", "binary")) != (vb in ("str", "binary")):
+            raise ValueError(
+                f"join key lanes differ: {keys_a[i]} is {va}, "
+                f"{keys_b[i]} is {vb}"
+            )
+    knames = [f"k{i}" for i in range(len(keys_a))]
+    ka_n = ka.select(*knames, F.col("rid").alias("rid_a"))
+    kb_n = kb.select(*knames, F.col("rid").alias("rid_b"))
+    ids = ka_n.join(kb_n, knames)
+    if keep_a:
+        # ANTI join keeps null-key rows too (null never equi-matches)
+        unmatched_a = (
+            ka_n.join(kb_n.select(*knames).distinct(), knames, "left_anti")
+            .select(*knames, "rid_a", F.lit(None).cast("long").alias("rid_b"))
         )
-    ka_n = ka.select(F.col("k"), F.col("rid").alias("rid_a"))
-    kb_n = kb.select(F.col("k"), F.col("rid").alias("rid_b"))
-    ids = ka_n.join(kb_n, "k")
-    if how == "left":
-        unmatched = (
-            ka_n.join(kb_n.select("k").distinct(), "k", "left_anti")
-            .select("k", "rid_a", F.lit(None).cast("long").alias("rid_b"))
+        ids = ids.unionByName(unmatched_a)
+    if keep_b:
+        unmatched_b = (
+            kb_n.join(ka_n.select(*knames).distinct(), knames, "left_anti")
+            .select(*knames, F.lit(None).cast("long").alias("rid_a"), "rid_b")
         )
-        ids = ids.unionByName(unmatched)
-    out_cols = [_group_key_out(F.col("k"), kvt_a).alias(key_a)]
+        ids = ids.unionByName(unmatched_b)
+    out_cols = [
+        _group_key_out(F.col(kn), va).alias(ka_name)
+        for kn, va, ka_name in zip(knames, kvts_a, keys_a)
+    ]
     joined = ids
     if project_a:
         mat_a = materialize_rowids_parts(
-            spark, out_a, ids.select(F.col("rid_a").alias("rid")).distinct(),
+            spark, out_a,
+            ids.filter(F.col("rid_a").isNotNull())
+            .select(F.col("rid_a").alias("rid")).distinct(),
             project_a,
         )
         joined = joined.join(
-            mat_a, joined["rid_a"] == mat_a["row_id"]
+            mat_a, joined["rid_a"] == mat_a["row_id"],
+            "left" if keep_b else "inner",
         ).drop("row_id")
         out_cols += [F.col(c) for c in project_a]
     if project_b:
@@ -1874,10 +1951,176 @@ def join_encoded(
         )
         joined = joined.join(
             mat_b, joined["rid_b"] == mat_b["row_id"],
-            "left" if how == "left" else "inner",
+            "left" if keep_a else "inner",
         ).drop("row_id")
         out_cols += [F.col(c) for c in project_b]
     return joined.select(*out_cols)
+
+
+def join_group_by(
+    spark: SparkSession,
+    out_a: str,
+    out_b: str,
+    key_a: str,
+    aggs: list[tuple],
+    key_b: str | None = None,
+    group_a: list[str] | None = None,
+    group_b: list[str] | None = None,
+    preds_a: list[tuple] | None = None,
+    preds_b: list[tuple] | None = None,
+    agg_scale: int = 100,
+    include_key: bool = False,
+) -> DataFrame:
+    """Fused inner-equi-join + GROUP BY + aggregates — the TPC-H Q3/Q4
+    shape (``SELECT g..., sum(expr_a) FROM a JOIN b ON a.k = b.k WHERE
+    ... GROUP BY g...``) WITHOUT materializing any joined row.
+
+    The aggregation is pushed BELOW the join on both sides (eager
+    aggregation — the classic groupjoin transformation):
+
+    1. side A runs the fused predicate+group kernel grouped by
+       (join key, group_a...) and emits exact int64 fixed-point
+       partials per spec (``filter_group_by_multi_partials`` — the Q1
+       machinery, one pass, no payload materialization);
+    2. side B runs the same kernel grouped by (join key, group_b...)
+       and emits row COUNTS per tuple;
+    3. each side merges to one row per distinct tuple, the two
+       O(distinct) streams equi-join on the key lane (AQE broadcasts
+       the dim side when it is small), and the final group-by folds
+       ``Σ_k S_A(k, ga)·nb(k, gb)`` — valid because every B row with
+       key k duplicates A's matched rows exactly once, and the exact
+       integer sums distribute over that multiplication. min/max
+       ignore the multiplicity (a pair exists iff nb ≥ 1); avg divides
+       by ``Σ valid_A(k)·nb(k)``.
+
+    Shuffle accounting at 100 TB: two O(distinct-tuples) partial
+    merges + one key equi-join of those partials + one O(groups)
+    fold — the fact table's payload columns are decoded once inside
+    the A kernel and never shuffled; no rowid late materialization at
+    all (contrast join_encoded, which ships (k, rid) per ROW).
+
+    ``aggs`` uses the filter_group_by_multi spec grammar over SIDE-A
+    columns. Group columns may come from both sides (``group_a`` /
+    ``group_b``); ``include_key=True`` adds the join key itself to the
+    output groups (named ``key_a``). SQL inner-join semantics: null
+    keys never match (the group kernels drop null-key rows); rows with
+    null group columns are dropped per the engine's group-by contract.
+    Exactness: |S_A(k,ga)| and |S_A·nb| must stay under 2^63 — the
+    per-value 2^62 bar plus realistic key multiplicities; the final
+    division per spec is one IEEE op (cross-engine bit-identical).
+    The reference lists joins and aggregations as future work
+    (README.md:115-138)."""
+    from arcade_spark.partread import filter_group_by_multi_partials
+
+    key_b = key_b if key_b is not None else key_a
+    group_a = group_a or []
+    group_b = group_b or []
+    if not aggs:
+        raise ValueError("aggs must be non-empty")
+    out_names = ((([key_a] if include_key else []) + group_a + group_b)
+                 + [a[0] for a in aggs])
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"output name clash: {out_names}")
+
+    partial_a, vts_a, cspecs = filter_group_by_multi_partials(
+        spark, out_a, _preds_to_spec(preds_a or []), [key_a] + group_a,
+        aggs, agg_scale,
+    )
+    partial_b, vts_b, _ = filter_group_by_multi_partials(
+        spark, out_b, _preds_to_spec(preds_b or []), [key_b] + group_b,
+        [], agg_scale,
+    )
+    str_a = vts_a[0] in ("str", "binary")
+    str_b = vts_b[0] in ("str", "binary")
+    if vts_a[0] in ("double", "float") or vts_b[0] in ("double", "float"):
+        raise NotImplementedError(
+            "join on float keys is not supported "
+            "(float equality is not a sane join contract)"
+        )
+    if str_a != str_b:
+        raise ValueError(
+            f"join key lanes differ: {key_a} is {vts_a[0]}, "
+            f"{key_b} is {vts_b[0]}"
+        )
+    live = [i for i, sp in enumerate(cspecs) if sp["kind"] != "count"]
+
+    # per-side merge to one row per distinct (key, groups) tuple — keeps
+    # the key join distinct×distinct (scale-safe for hot keys) instead
+    # of partials×partials
+    a_keys = [f"k{i}" for i in range(1 + len(group_a))]
+    a_aggs = []
+    for i in live:
+        kind = cspecs[i]["kind"]
+        if kind == "min":
+            a_aggs.append(F.min(f"s{i}").alias(f"s{i}"))
+        elif kind == "max":
+            a_aggs.append(F.max(f"s{i}").alias(f"s{i}"))
+        else:
+            a_aggs.append(
+                F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}")).alias(f"s{i}")
+            )
+        a_aggs.append(F.sum(f"c{i}").alias(f"c{i}"))
+    a_aggs.append(F.sum("c").alias("ca"))
+    A = partial_a.groupBy(*a_keys).agg(*a_aggs)
+    A = A.select(
+        F.col("k0").alias("jk"),
+        *[F.col(f"k{i + 1}").alias(f"ga{i}") for i in range(len(group_a))],
+        *[c for i in live for c in (f"s{i}", f"c{i}")],
+        "ca",
+    )
+    B = partial_b.groupBy(
+        *[f"k{i}" for i in range(1 + len(group_b))]
+    ).agg(F.sum("c").alias("nb"))
+    B = B.select(
+        F.col("k0").alias("jk_b"),
+        *[F.col(f"k{i + 1}").alias(f"gb{i}") for i in range(len(group_b))],
+        "nb",
+    )
+    j = A.join(B, A["jk"] == B["jk_b"])
+
+    gkeys = ((["jk"] if include_key else [])
+             + [f"ga{i}" for i in range(len(group_a))]
+             + [f"gb{i}" for i in range(len(group_b))])
+    final_aggs = []
+    for i, sp in enumerate(cspecs):
+        name, kind, div = sp["name"], sp["kind"], sp["div"]
+        if kind == "count":
+            final_aggs.append(F.sum(F.col("ca") * F.col("nb")).alias(name))
+            continue
+        if kind in ("min", "max"):
+            s = F.min(f"s{i}") if kind == "min" else F.max(f"s{i}")
+        else:
+            s = F.when(
+                F.sum(F.col(f"c{i}") * F.col("nb")) > 0,
+                F.sum(F.col(f"s{i}") * F.col("nb")),
+            )
+        if kind in ("min", "max") and sp.get("vt") in (
+            "ts", "tsntz", "date", "bool"
+        ):
+            final_aggs.append(_group_key_out(s, sp["vt"]).alias(name))
+            continue
+        if kind == "avg":
+            num = (s.cast("double") / F.lit(float(div))) if div != 1 \
+                else s.cast("double")
+            expr = num / F.sum(F.col(f"c{i}") * F.col("nb")).cast("double")
+        else:
+            expr = (s.cast("double") / F.lit(float(div))) if div != 1 else s
+        final_aggs.append(expr.alias(name))
+    merged = j.groupBy(*gkeys).agg(*final_aggs) if gkeys \
+        else j.agg(*final_aggs)
+
+    out_cols = []
+    if include_key:
+        out_cols.append(_group_key_out(F.col("jk"), vts_a[0]).alias(key_a))
+    out_cols += [
+        _group_key_out(F.col(f"ga{i}"), vts_a[i + 1]).alias(g)
+        for i, g in enumerate(group_a)
+    ]
+    out_cols += [
+        _group_key_out(F.col(f"gb{i}"), vts_b[i + 1]).alias(g)
+        for i, g in enumerate(group_b)
+    ]
+    return merged.select(*out_cols, *[sp["name"] for sp in cspecs])
 
 
 def _random_access_targets(out_dir: str, row_ids: list[int]):

@@ -199,3 +199,113 @@ def _sorted_rows_none_safe(df):
         return tuple((v is None, v) for v in t)
 
     return sorted((tuple(r) for r in df.collect()), key=key)
+
+
+def test_join_right_outer(spark, two_tables):
+    """RIGHT join (round-5): unmatched and null-key RIGHT rows survive
+    with null left projections; the key column carries
+    COALESCE(a.k, b.k) as in a USING join."""
+    from pyspark.sql import functions as F
+
+    oa, ob, sa, sb = two_tables
+    got = join_encoded(
+        spark, oa, ob, "fk", "pk",
+        project_a=["url", "qty"], project_b=["name"], how="right",
+    )
+    want = (
+        sa.join(sb, sa["fk"] == sb["pk"], "right")
+        .select(F.coalesce(sa["fk"], sb["pk"]).alias("fk"),
+                "url", "qty", "name")
+    )
+    assert _sorted_rows_none_safe(got) == _sorted_rows_none_safe(want)
+    assert got.filter("url IS NULL").count() > 0
+
+
+def test_join_full_outer(spark, two_tables):
+    """FULL join (round-5): both sides' unmatched rows survive."""
+    from pyspark.sql import functions as F
+
+    oa, ob, sa, sb = two_tables
+    got = join_encoded(
+        spark, oa, ob, "fk", "pk",
+        project_a=["qty"], project_b=["name"], how="full",
+    )
+    want = (
+        sa.join(sb, sa["fk"] == sb["pk"], "full")
+        .select(F.coalesce(sa["fk"], sb["pk"]).alias("fk"), "qty", "name")
+    )
+    assert _sorted_rows_none_safe(got) == _sorted_rows_none_safe(want)
+    assert got.filter("qty IS NULL").count() > 0
+    assert got.filter("name IS NULL").count() > 0
+
+
+@pytest.fixture(scope="module")
+def composite_tables(spark, tmp_path_factory):
+    """Composite (int, str) join keys with nulls in either component."""
+    rng = np.random.default_rng(17)
+    n = 900
+    left = pd.DataFrame(
+        {
+            "url": [f"u{i:04d}" for i in range(n)],
+            "k1": pd.array(rng.integers(0, 12, n).astype(np.int64),
+                           dtype="Int64"),
+            "k2": np.array(["x", "y", "z"])[rng.integers(0, 3, n)],
+            "qty": rng.integers(1, 9, n).astype(np.int64),
+        }
+    )
+    left.loc[rng.random(n) < 0.05, "k1"] = pd.NA
+    left.loc[rng.random(n) < 0.05, "k2"] = None
+    m = 30
+    right = pd.DataFrame(
+        {
+            "r1": pd.array(rng.integers(0, 14, m).astype(np.int64),
+                           dtype="Int64"),
+            "r2": np.array(["x", "y", "w"])[rng.integers(0, 3, m)],
+            "label": [f"L{i:02d}" for i in range(m)],
+        }
+    )
+    right.loc[2, "r1"] = pd.NA
+    sa = spark.createDataFrame(left)
+    sb = spark.createDataFrame(right)
+    oa = str(tmp_path_factory.mktemp("jc") / "a")
+    ob = str(tmp_path_factory.mktemp("jc") / "b")
+    encode_job(spark, sa, oa, num_parts=2, block_rows=128, order_col="url")
+    encode_job(spark, sb, ob, num_parts=1, block_rows=16, order_col="label")
+    return oa, ob, sa, sb
+
+
+def test_join_composite_key_inner(spark, composite_tables):
+    oa, ob, sa, sb = composite_tables
+    got = join_encoded(
+        spark, oa, ob, ["k1", "k2"], ["r1", "r2"],
+        project_a=["url", "qty"], project_b=["label"],
+    )
+    assert got.columns == ["k1", "k2", "url", "qty", "label"]
+    want = (
+        sa.join(sb, (sa["k1"] == sb["r1"]) & (sa["k2"] == sb["r2"]))
+        .select("k1", "k2", "url", "qty", "label")
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert got.count() > 0
+
+
+def test_join_composite_key_left(spark, composite_tables):
+    """Rows with ANY null key component never match but survive a LEFT
+    join with their per-component null pattern intact."""
+    oa, ob, sa, sb = composite_tables
+    got = join_encoded(
+        spark, oa, ob, ["k1", "k2"], ["r1", "r2"],
+        project_a=["qty"], project_b=["label"], how="left",
+    )
+    want = (
+        sa.join(sb, (sa["k1"] == sb["r1"]) & (sa["k2"] == sb["r2"]), "left")
+        .select("k1", "k2", "qty", "label")
+    )
+    assert _sorted_rows_none_safe(got) == _sorted_rows_none_safe(want)
+    assert got.filter("k1 IS NULL AND k2 IS NOT NULL").count() > 0
+
+
+def test_join_composite_key_count_mismatch(spark, composite_tables):
+    oa, ob, *_ = composite_tables
+    with pytest.raises(ValueError, match="key count"):
+        join_encoded(spark, oa, ob, ["k1", "k2"], "r1")

@@ -34,39 +34,60 @@ def _out_base() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
-def encode_once(cores: int, corpus_path: str, num_parts: int, mode: str = "files",
-                files_per_task: int = 1) -> dict:
+def session_runs(cores: int, corpus_path: str, num_parts: int,
+                 mode: str = "files", files_per_task: int = 1,
+                 timed_reps: int = 2) -> list[dict]:
+    """One Spark session at `cores`: ONE untimed warmup encode (spawns
+    the python workers, pays imports/JIT/allocator growth), then
+    `timed_reps` timed steady-state encodes.
+
+    Why: the north rule's scaling criterion is about sustained encode
+    THROUGHPUT at two cluster sizes. On a real cluster the one-time
+    per-executor warmup (worker spawn, module import) is amortized over
+    hours of work; in a ~10 s sandbox window it is 25-40 % of the
+    4-core wall but only ~5 % of the 1-core wall, so a cold-first-run
+    measurement mis-attributes fixed startup cost as an engine scaling
+    deficit (measured: cold local[4] 8.9 s vs steady-state 6.1-6.7 s,
+    while local[1] moves 25→24.5 s). Both levels warm up identically;
+    the timed runs measure the same full job, nothing skipped."""
     from arcade_spark.encode import encode_files_job, encode_job
     from arcade_spark.session import get_spark
 
     spark = get_spark(app=f"scaling-{cores}", cores=cores)
-    out = os.path.join(_out_base(), f"arcade_scaling_{uuid.uuid4().hex[:8]}")
+    runs = []
     try:
         src = spark.read.parquet(corpus_path)
-        # warm the JVM + python workers with a tiny job first so the
-        # measured run is steady-state
-        src.limit(1000).count()
-        t0 = time.time()
-        if mode == "files":
-            m = encode_files_job(spark, corpus_path, out, resume=False,
-                                 files_per_task=files_per_task)
-        else:
-            m = encode_job(spark, src, out, num_parts=num_parts, resume=False)
-        wall = time.time() - t0
+        for rep in range(timed_reps + 1):
+            out = os.path.join(
+                _out_base(), f"arcade_scaling_{uuid.uuid4().hex[:8]}"
+            )
+            try:
+                t0 = time.time()
+                if mode == "files":
+                    m = encode_files_job(spark, corpus_path, out, resume=False,
+                                         files_per_task=files_per_task)
+                else:
+                    m = encode_job(spark, src, out, num_parts=num_parts,
+                                   resume=False)
+                wall = time.time() - t0
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+            if rep == 0:
+                continue  # warmup run: JVM+python workers now hot
+            runs.append({
+                "cores": cores,
+                "mode": mode,
+                "files_per_task": files_per_task,
+                "wall_seconds": round(wall, 2),
+                "raw_bytes": m["raw_bytes"],
+                "encoded_bytes": m["encoded_bytes"],
+                "ratio": round(m["ratio"], 4),
+                "gbps": round(m["raw_bytes"] / wall / 1e9, 4),
+                "kernel_seconds": round(m["kernel_seconds"], 2),
+            })
     finally:
-        shutil.rmtree(out, ignore_errors=True)
         spark.stop()
-    return {
-        "cores": cores,
-        "mode": mode,
-        "files_per_task": files_per_task,
-        "wall_seconds": round(wall, 2),
-        "raw_bytes": m["raw_bytes"],
-        "encoded_bytes": m["encoded_bytes"],
-        "ratio": round(m["ratio"], 4),
-        "gbps": round(m["raw_bytes"] / wall / 1e9, 4),
-        "kernel_seconds": round(m["kernel_seconds"], 2),
-    }
+    return runs
 
 
 def _median(xs: list[float]) -> float:
@@ -97,8 +118,10 @@ def main() -> None:
 
     import hashlib
 
-    # key runs by a fingerprint of the ENCODE-path sources, not the git
-    # rev — unrelated commits must not reset the accumulated runs
+    # key runs by a fingerprint of the ENCODE-path sources plus this
+    # harness (the methodology is part of the evidence: cold-first-run
+    # and steady-state numbers must never pool), not the git rev —
+    # unrelated commits must not reset the accumulated runs
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.md5()
     for rel in [
@@ -107,6 +130,7 @@ def main() -> None:
         "arcade_spark/postpass.py", "arcade_spark/gdict.py", "arcade_spark/manifest.py",
         "arcade_spark/convert.py", "arcade_spark/corpus.py", "arcade_spark/session.py",
         "arcade_spark/codecs/strcodecs.py", "arcade_spark/codecs/intcodecs.py",
+        "tools/bench_scaling.py",
     ]:
         h.update(open(os.path.join(repo, rel), "rb").read())
     rev = h.hexdigest()[:10]
@@ -114,13 +138,14 @@ def main() -> None:
     history = "BENCH/scaling_runs.jsonl"
     for i in range(reps):
         for cores in (n_small, n_large):
-            r = encode_once(cores, corpus_path, num_parts,
-                            files_per_task=files_per_task)
-            r["code_rev"] = rev
-            r["corpus_rows"] = rows
-            print(f"rep {i + 1}/{reps} run[{cores}]:", json.dumps(r), flush=True)
-            with open(history, "a") as f:
-                f.write(json.dumps(r) + "\n")
+            for r in session_runs(cores, corpus_path, num_parts,
+                                  files_per_task=files_per_task):
+                r["code_rev"] = rev
+                r["corpus_rows"] = rows
+                print(f"rep {i + 1}/{reps} run[{cores}]:", json.dumps(r),
+                      flush=True)
+                with open(history, "a") as f:
+                    f.write(json.dumps(r) + "\n")
 
     all_runs = [json.loads(line) for line in open(history)]
     cur = [r for r in all_runs if r.get("code_rev") == rev and r.get("corpus_rows") == rows]
@@ -176,7 +201,14 @@ Same job, same input ({rows:,} corpus rows, {small['raw_bytes']/1e6:.0f} MB raw,
 tasks), two parallelism levels — the sandbox proxy for N vs 4N
 executors per the hardware calibration below. **All numbers below are
 from ONE code revision ({rev}), {result['n_runs_small']}+{result['n_runs_large']}
-A/B-interleaved runs; no cross-revision merging.**
+A/B-interleaved runs; no cross-revision merging.** Each Spark session
+runs ONE untimed warmup encode before its timed runs: python-worker
+spawn + module import + JIT is a one-time per-executor cost that a real
+cluster amortizes over hours, and in a ~10 s window it lands 25-40 % on
+the 4-core wall but ~5 % on the 1-core wall — a cold-first-run
+measurement would mis-attribute startup cost as an engine scaling
+deficit. Timed runs execute the identical full job (fresh output dir,
+resume off, nothing skipped).
 
 | parallelism | best GB/s | median GB/s | best wall (s) | ratio |
 |---|---|---|---|---|
