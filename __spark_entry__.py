@@ -546,6 +546,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    def arcade_orderby(spark, sf_dir):
+        """General ORDER BY export (round-5): full sort of the lineitem
+        projection by (l_shipdate, l_orderkey, l_linenumber) — range
+        buckets from zone maps (no sampling pass), per-bucket Arrow
+        sorts, global rank ``pos``, projection late-materialized at the
+        sorted rowids. No single-task global sort anywhere in the
+        plan."""
+        _ship_package(spark)
+        from arcade_spark.readops import orderby_export
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        return orderby_export(
+            spark, out,
+            ["l_shipdate", "l_orderkey", "l_linenumber"],
+            ["l_orderkey", "l_linenumber", "l_shipdate"],
+        )
+
     def arcade_group_distinct(spark, sf_dir):
         """Per-group COUNT(DISTINCT lang) (round-5): the fused group
         kernel treats (source, lang) as the composite code-tuple key,
@@ -845,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_join": arcade_join,
         "arcade_join_left": arcade_join_left,
         "arcade_q3": arcade_q3,
+        "arcade_orderby": arcade_orderby,
         "arcade_group_distinct": arcade_group_distinct,
         "arcade_group_minmax_ts": arcade_group_minmax_ts,
         "arcade_dedup_stream": arcade_dedup_stream,
@@ -1180,6 +1198,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS DOUBLE)/CAST(count(n_chars) AS DOUBLE) "
             "AS avg_chars, count(*) AS cnt "
             "FROM documents GROUP BY source"
+        ),
+        "arcade_orderby": (
+            # unique order tuple pins the total order cross-engine
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_shipdate, "
+            "l_orderkey, l_linenumber) - 1 AS BIGINT) AS pos, "
+            "l_orderkey, l_linenumber, l_shipdate FROM lineitem"
         ),
         "arcade_group_distinct": (
             # engine contract: null group keys dropped, a group exists

@@ -156,10 +156,26 @@ def build_query(spark, args):
         from arcade_spark.readops import join_encoded
 
         return join_encoded(
-            spark, args.encoded, args.right, args.key,
-            key_b=args.right_key,
+            spark, args.encoded, args.right,
+            args.key.split(",") if "," in args.key else args.key,
+            key_b=(args.right_key.split(",") if "," in (args.right_key or "")
+                   else args.right_key),
             project_a=args.project.split(",") if args.project else None,
             project_b=args.right_project.split(",") if args.right_project else None,
+            how=getattr(args, "how", "inner"),
+        )
+    if args.cmd == "orderby":
+        from arcade_spark.readops import orderby_export
+
+        return orderby_export(
+            spark, args.encoded, args.columns.split(","),
+            proj or args.columns.split(","), desc=args.desc,
+        )
+    if args.cmd == "group-distinct":
+        from arcade_spark.readops import group_count_distinct
+
+        return group_count_distinct(
+            spark, args.encoded, args.columns.split(","), args.distinct_column
         )
     raise SystemExit(f"unknown command {args.cmd!r}")
 
@@ -217,10 +233,24 @@ def main(argv: list[str] | None = None) -> int:
 
     j = sub.add_parser("join")
     j.add_argument("--right", required=True, help="right side's encoded out_dir")
-    j.add_argument("--key", required=True)
+    j.add_argument("--key", required=True,
+                   help="join key (comma-separated for composite keys)")
     j.add_argument("--right-key", default=None)
     j.add_argument("--project", default=None)
     j.add_argument("--right-project", default=None)
+    j.add_argument("--how", default="inner",
+                   choices=("inner", "left", "right", "full"))
+
+    ob = sub.add_parser("orderby")
+    ob.add_argument("--columns", required=True,
+                    help="comma-separated ORDER BY columns")
+    ob.add_argument("--project", default=None)
+    ob.add_argument("--desc", action="store_true")
+
+    gd = sub.add_parser("group-distinct")
+    gd.add_argument("--columns", required=True,
+                    help="comma-separated group keys")
+    gd.add_argument("--distinct-column", required=True)
 
     args = p.parse_args(argv)
 

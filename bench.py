@@ -227,6 +227,64 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         project_b=["o_orderpriority"],
         preds_b=[("eq", "o_orderpriority", "1-URGENT")]).count())
 
+    # fused join+aggregate (round-5, TPC-H Q3 shape): aggregation
+    # pushed below the join on both sides — no joined row materializes
+    from arcade_spark.readops import join_group_by
+
+    timed("join_q3_fused", lambda: join_group_by(
+        spark, li_enc, or_enc, "l_orderkey",
+        [("revenue", "sumprod", [_price, _omd]),
+         ("cnt", "count", None)],
+        key_b="o_orderkey", group_b=["o_orderpriority"],
+        preds_a=[("range", "l_shipdate", _cut[0], _cut[1])]).count())
+
+    # general ORDER BY export (round-5): zone-map range buckets,
+    # per-bucket sorts, global rank, late-materialized projection
+    from arcade_spark.readops import orderby_export
+
+    timed("orderby_lineitem", lambda: orderby_export(
+        spark, li_enc, ["l_shipdate", "l_orderkey", "l_linenumber"],
+        ["l_orderkey", "l_linenumber", "l_shipdate"]).count())
+
+    # join-skew evidence (round-5): Zipfian fact keys (one key owns 25%
+    # of rows) vs a uniform twin of identical size — the narrow
+    # (key, rowid) stream keeps the skew payload-free, and AQE's skew
+    # split handles the hot sort-merge partition; the two walls should
+    # sit within ~1.5× of each other
+    n_fact = max(int(2_000_000 * sf_num), 20_000)
+    skew_base = os.path.join(
+        tempfile.gettempdir(), f"arcade_bench_skew_v{FORMAT_REV}_{sf}_{n_cores}"
+    )
+    from pyspark.sql import functions as F
+
+    def _mk_join_tables():
+        dim = spark.range(5000).select(
+            F.col("id").alias("dk"),
+            F.concat(F.lit("label-"), F.col("id")).alias("label"),
+        )
+        zipf = spark.range(n_fact).select(
+            F.col("id").alias("row_id"),
+            F.when(F.col("id") % 4 == 0, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("id"), F.lit(4999)) + 1).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        unif = spark.range(n_fact).select(
+            F.col("id").alias("row_id"),
+            F.pmod(F.xxhash64("id"), F.lit(5000)).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        for name, df in (("dim", dim), ("zipf", zipf), ("unif", unif)):
+            _ej(spark, df, os.path.join(skew_base, name),
+                num_parts=n_cores, order_col="dk" if name == "dim" else "row_id")
+
+    _mk_join_tables()
+    timed("join_skew_zipf25", lambda: join_encoded(
+        spark, os.path.join(skew_base, "zipf"), os.path.join(skew_base, "dim"),
+        "k", "dk", project_a=["v"], project_b=["label"]).count())
+    timed("join_skew_uniform_twin", lambda: join_encoded(
+        spark, os.path.join(skew_base, "unif"), os.path.join(skew_base, "dim"),
+        "k", "dk", project_a=["v"], project_b=["label"]).count())
+
     # string ORDER BY LIMIT k over prefix-truncated zone envelopes
     from arcade_spark.readops import column_topk as _ctopk
 
@@ -264,6 +322,58 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         return n
 
     timed("dedup_stream_4batches", dedup_stream_rep, reps=1)
+
+    # overhead-amortization evidence (round-5, VERDICT finding #2): the
+    # same 4-trigger replay with 4× the rows per batch (4 shifted
+    # copies, distinct fingerprints). If the 4-batch wall were O(rows)
+    # this would take ~4× as long; a near-flat wall proves it is
+    # dominated by fixed per-trigger streaming/state-store cost that
+    # amortizes at real batch sizes.
+    ds4_base = os.path.join(
+        tempfile.gettempdir(), f"arcade_bench_dstream4x_v{FORMAT_REV}_{sf}"
+    )
+    ds4_in = os.path.join(ds4_base, "in")
+    if not os.path.isdir(ds4_in) or not os.listdir(ds4_in):
+        os.makedirs(ds4_in, exist_ok=True)
+        docs_src = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .filter("text IS NOT NULL")
+        )
+        n_docs = docs_src.count()
+        from pyspark.sql import functions as _F
+
+        for k in range(4):
+            big = docs_src.filter(f"doc_id % 4 = {k}")
+            copies = [
+                big.select(
+                    (_F.col("doc_id") + _F.lit(i * 4 * n_docs)).alias("doc_id"),
+                    _F.concat(_F.lit(f"v{i}:"), _F.col("text")).alias("text"),
+                )
+                for i in range(4)
+            ]
+            u = copies[0]
+            for c in copies[1:]:
+                u = u.unionByName(c)
+            pdf = u.orderBy("doc_id").toPandas()
+            fpath = os.path.join(ds4_in, f"batch{k:02d}.parquet")
+            pdf.to_parquet(fpath, index=False)
+            os.utime(fpath, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    def dedup_stream_4x_rep():
+        from arcade_spark.streaming import dedup_stream
+
+        run = os.path.join(ds4_base, f"run_{uuid.uuid4().hex[:8]}")
+        q = dedup_stream(
+            spark, ds4_in, os.path.join(run, "out"),
+            os.path.join(run, "ckpt"), "doc_id long, text string", buckets=8,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(os.path.join(run, "out")).count()
+        shutil.rmtree(run, ignore_errors=True)
+        return n
+
+    timed("dedup_stream_4x_rows", dedup_stream_4x_rep, reps=1)
 
     from arcade_spark.dedup import dedup_minhash_lsh
     from arcade_spark.simsearch import (

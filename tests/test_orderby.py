@@ -1,0 +1,112 @@
+"""orderby_export (round-5): zone-map range buckets + per-bucket sort +
+late-materialized projection — full ORDER BY with global rank, no
+single-task sort. Checked against pandas orderings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcade_spark.encode import encode_job
+from arcade_spark.readops import orderby_export
+
+
+@pytest.fixture(scope="module")
+def ob_table(spark, tmp_path_factory):
+    rng = np.random.default_rng(23)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://h{rng.integers(0, 9)}.ex/p{i:05d}" for i in range(n)],
+            "x": pd.array(rng.integers(-500, 500, n).astype(np.int64),
+                          dtype="Int64"),
+            "s": np.array(["kappa", "lambda", "mu", "nu", "xi"])[
+                rng.integers(0, 5, n)],
+            "qty": rng.integers(1, 100, n).astype(np.int64),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.03, "x"] = pd.NA
+    src = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("ob") / "enc")
+    encode_job(spark, src, out, num_parts=4, block_rows=256, order_col="url")
+    return out, pdf
+
+
+def test_orderby_int_unique_tuple(spark, ob_table):
+    """ORDER BY (x, url): unique tuple → exact pos match vs pandas;
+    nulls last."""
+    out, pdf = ob_table
+    got = (
+        orderby_export(spark, out, ["x", "url"], ["url", "x", "qty"],
+                       buckets=7)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    want = (
+        pdf.sort_values(["x", "url"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert list(got["pos"]) == list(range(len(want)))
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["qty"]) == list(want["qty"])
+    # nulls sorted last
+    nn = want["x"].notna().sum()
+    assert got["x"].iloc[:nn].notna().all() and got["x"].iloc[nn:].isna().all()
+
+
+def test_orderby_str_desc(spark, ob_table):
+    """ORDER BY (url) DESC on a string column — url is unique."""
+    out, pdf = ob_table
+    got = (
+        orderby_export(spark, out, ["url"], ["url", "s"], desc=True,
+                       buckets=5)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    want = pdf.sort_values("url", ascending=False).reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["s"]) == list(want["s"])
+
+
+def test_orderby_with_preds(spark, ob_table):
+    out, pdf = ob_table
+    got = (
+        orderby_export(spark, out, ["s", "url"], ["url", "s"],
+                       preds=[("range", "qty", 10, 60)], buckets=4)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    sub = pdf[(pdf["qty"] >= 10) & (pdf["qty"] <= 60)]
+    want = sub.sort_values(["s", "url"]).reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["s"]) == list(want["s"])
+
+
+def test_orderby_ties_are_permutation_and_monotone(spark, ob_table):
+    """Non-unique order col: pos must be a permutation of 0..n-1 and
+    the order-col sequence non-decreasing (ties broken by rowid —
+    deterministic across runs)."""
+    out, pdf = ob_table
+    got1 = (
+        orderby_export(spark, out, ["s"], ["url", "s"], buckets=6)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    got2 = (
+        orderby_export(spark, out, ["s"], ["url", "s"], buckets=6)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    n = len(pdf)
+    assert list(got1["pos"]) == list(range(n))
+    sv = list(got1["s"])
+    assert sv == sorted(sv)
+    # deterministic tie-break: two runs agree exactly
+    assert list(got1["url"]) == list(got2["url"])
+
+
+def test_orderby_float_rejected(spark, tmp_path_factory):
+    src = spark.createDataFrame(
+        [(f"u{i}", float(i)) for i in range(20)], "url string, v double"
+    )
+    out = str(tmp_path_factory.mktemp("obf") / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=8)
+    with pytest.raises(NotImplementedError, match="float"):
+        orderby_export(spark, out, ["v"], ["url"])
