@@ -563,6 +563,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["l_orderkey", "l_linenumber", "l_shipdate"],
         )
 
+    def arcade_orderby_double(spark, sf_dir):
+        """ORDER BY a DOUBLE column (round-5): the sort rides the
+        order-preserving int64 key lane (bits.float_order_keys), so
+        range bucketing and within-bucket sorts agree with IEEE float
+        order; trailing unique ints pin the total order."""
+        _ship_package(spark)
+        from arcade_spark.readops import orderby_export
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        return orderby_export(
+            spark, out,
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ["l_orderkey", "l_linenumber", "l_extendedprice"],
+            preds=[("range", "l_quantity", 1.0, 10.0)],
+        )
+
     def arcade_group_distinct(spark, sf_dir):
         """Per-group COUNT(DISTINCT lang) (round-5): the fused group
         kernel treats (source, lang) as the composite code-tuple key,
@@ -863,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_join_left": arcade_join_left,
         "arcade_q3": arcade_q3,
         "arcade_orderby": arcade_orderby,
+        "arcade_orderby_double": arcade_orderby_double,
         "arcade_group_distinct": arcade_group_distinct,
         "arcade_group_minmax_ts": arcade_group_minmax_ts,
         "arcade_dedup_stream": arcade_dedup_stream,
@@ -1204,6 +1221,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_shipdate, "
             "l_orderkey, l_linenumber) - 1 AS BIGINT) AS pos, "
             "l_orderkey, l_linenumber, l_shipdate FROM lineitem"
+        ),
+        "arcade_orderby_double": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_extendedprice, "
+            "l_orderkey, l_linenumber) - 1 AS BIGINT) AS pos, "
+            "l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+            "WHERE l_quantity BETWEEN 1.0 AND 10.0"
         ),
         "arcade_group_distinct": (
             # engine contract: null group keys dropped, a group exists

@@ -853,6 +853,7 @@ def key_rowid_parts(
     key_col: str | list[str],
     preds_spec: list[tuple[str, tuple]] | None = None,
     keep_null_keys: bool = False,
+    float_order_lane: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     """(key..., global row id) tuples for every [predicate-matched] row
     with a fully-non-null key — the probe side of the encoded-to-encoded
@@ -870,7 +871,11 @@ def key_rowid_parts(
     ANY component is null (SQL composite equi-join: a null component
     makes the conjunct unknown). Integer-family and str/binary keys
     only (double keys need canonicalization the join contract doesn't
-    define). ``keep_null_keys`` emits null-key rows too — they never
+    define) — unless ``float_order_lane`` is set, which emits
+    double/float columns as their ORDER-PRESERVING int64 key
+    (bits.float_order_keys) instead of raising: valid for ORDER BY /
+    range semantics, NOT for equality joins (-0.0 and 0.0 get distinct
+    keys). ``keep_null_keys`` emits null-key rows too — they never
     equi-match but outer joins must preserve them.
 
     Returns (df with columns ``k0..kn, rid``, list of key vtypes)."""
@@ -886,7 +891,7 @@ def key_rowid_parts(
         kvt = cols.get(kc)
         if kvt is None:
             raise KeyError(f"no such column: {kc}")
-        if kvt in ("double", "float"):
+        if kvt in ("double", "float") and not float_order_lane:
             raise NotImplementedError(
                 "join/rowid extraction on float keys is not supported "
                 "(float equality is not a sane join contract)"
@@ -993,8 +998,13 @@ def key_rowid_parts(
                             )
                             valid = (None if ib.validity is None
                                      else ib.validity[pos])
+                            vvals = ib.values[pos]
+                            if cols[kc] in ("double", "float"):
+                                from arcade_spark.bits import float_order_keys
+
+                                vvals = float_order_keys(vvals)
                             arrays.append(pa.array(
-                                ib.values[pos], type=pa.int64(),
+                                vvals, type=pa.int64(),
                                 mask=None if valid is None else ~valid,
                             ))
                         if valid is not None:
@@ -1017,6 +1027,9 @@ def key_rowid_parts(
     ) + ", rid long"
     df = _assign_df(spark, [p for p, _ in parts]).mapInArrow(kernel, schema=ddl)
     return df, kvts
+
+
+_MAT_SPLIT_ROWS = 1 << 18  # late-materialization task cap (rows per split)
 
 
 def materialize_rowids_parts(
@@ -1045,6 +1058,14 @@ def materialize_rowids_parts(
         [[0], np.cumsum([n for _, n in parts])]
     ).astype(np.int64)
 
+    # secondary split key (round-5, VERDICT r4 latent finding #4): a
+    # join matching most of a hot partition must not serialize its
+    # whole late-materialization into one task — local positions split
+    # into contiguous ranges of ≤ _MAT_SPLIT_ROWS, so task size is
+    # capped and each split still touches a contiguous block range
+    # (the dictionary-replay prefix it repeats is bounded by its start)
+    SPLIT_ROWS = _MAT_SPLIT_ROWS
+
     def tag(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             r = batch.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1053,15 +1074,17 @@ def materialize_rowids_parts(
             pi = np.searchsorted(offs, r, side="right") - 1
             if (pi < 0).any() or (pi >= len(pids)).any() or (r >= offs[pi + 1]).any():
                 raise IndexError("row id out of range")
+            lp = r - offs[pi]
             yield pa.RecordBatch.from_arrays(
                 [pa.array(pids[pi], type=pa.int32()),
-                 pa.array(r - offs[pi], type=pa.int64()),
+                 pa.array((lp // SPLIT_ROWS).astype(np.int32), type=pa.int32()),
+                 pa.array(lp, type=pa.int64()),
                  pa.array(r, type=pa.int64())],
-                names=["part_id", "lp", "rid"],
+                names=["part_id", "split", "lp", "rid"],
             )
 
     tagged = rids.select("rid").mapInArrow(
-        tag, schema="part_id int, lp long, rid long"
+        tag, schema="part_id int, split int, lp long, rid long"
     )
     out_schema = _out_schema(cols, lead=[pa.field("row_id", pa.int64())])
 
@@ -1075,7 +1098,7 @@ def materialize_rowids_parts(
     ddl = "row_id long, " + ", ".join(
         f"{n} {spark_type_for(v)}" for n, v in cols
     )
-    return tagged.groupBy("part_id").applyInArrow(fn, schema=ddl)
+    return tagged.groupBy("part_id", "split").applyInArrow(fn, schema=ddl)
 
 
 def group_count_partials(

@@ -1750,9 +1750,9 @@ def orderby_export(
     the exact reverse (nulls first) — state NULLS FIRST/LAST
     explicitly in cross-engine SQL. Ties beyond ``order_cols`` break
     by encoded-table rowid (deterministic); pass a unique trailing
-    order column to pin cross-engine total order. Float order columns
-    are not supported (use column_topk's envelope path or add an
-    order-key lane)."""
+    order column to pin cross-engine total order. Double/float order
+    columns sort via their order-preserving int64 keys
+    (bits.float_order_keys — NaN above +inf, -0.0 just before 0.0)."""
     import pyarrow as pa
     from arcade_spark.partread import (
         _ColFile,
@@ -1770,10 +1770,10 @@ def orderby_export(
     for c in order_cols + list(project):
         if c not in cols:
             raise KeyError(f"no such column: {c}")
-        if c in order_cols and cols[c] in ("double", "float"):
-            raise NotImplementedError(
-                "orderby_export on float columns is not supported"
-            )
+    # double/float order columns ride the order-preserving int64 key
+    # lane (bits.float_order_keys): sort order matches float <, NaN
+    # sorts above +inf (its key exceeds every finite key), and -0.0
+    # orders just before 0.0 (deterministic; SQL considers them equal)
     first = order_cols[0]
     first_str = cols[first] in ("str", "binary")
 
@@ -1835,6 +1835,7 @@ def orderby_export(
         spark, out_dir, order_cols,
         _preds_to_spec(preds) if preds else None,
         keep_null_keys=True,
+        float_order_lane=True,
     )
     null_bucket = len(splits) + 1  # one past the last range bucket
     ksplits = splits

@@ -102,11 +102,26 @@ def test_orderby_ties_are_permutation_and_monotone(spark, ob_table):
     assert list(got1["url"]) == list(got2["url"])
 
 
-def test_orderby_float_rejected(spark, tmp_path_factory):
+def test_orderby_double_order_col(spark, tmp_path_factory):
+    """Double order columns ride the order-preserving int64 key lane —
+    including negatives and a NaN (sorts above +inf)."""
+    rng = np.random.default_rng(3)
+    vals = list(np.round(rng.normal(0, 100, 500), 2))
+    vals[7] = float("nan")
     src = spark.createDataFrame(
-        [(f"u{i}", float(i)) for i in range(20)], "url string, v double"
+        [(f"u{i:03d}", float(v)) for i, v in enumerate(vals)],
+        "url string, v double",
     )
     out = str(tmp_path_factory.mktemp("obf") / "enc")
-    encode_job(spark, src, out, num_parts=1, block_rows=8)
-    with pytest.raises(NotImplementedError, match="float"):
-        orderby_export(spark, out, ["v"], ["url"])
+    encode_job(spark, src, out, num_parts=2, block_rows=64, order_col="url")
+    got = (
+        orderby_export(spark, out, ["v", "url"], ["url", "v"], buckets=5)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    pdf = pd.DataFrame({"url": [f"u{i:03d}" for i in range(500)], "v": vals})
+    # numpy/pandas sort NaN last among non-null — same as the key
+    # domain (NaN key exceeds every finite key)
+    want = pdf.sort_values(["v", "url"]).reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    gv, wv = got["v"].to_numpy(), want["v"].to_numpy()
+    assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
