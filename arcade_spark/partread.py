@@ -2200,6 +2200,7 @@ def _column_topk_str_parts(
 def column_agg_parts(
     spark: SparkSession, out_dir: str, column: str,
     agg_scale: int = AGG_SCALE,
+    mode: str = "fixed",
 ) -> DataFrame:
     """``SELECT sum(col), count(*), count(col), avg(col)``: per-
     partition exact integer partials (nulls excluded from sum/avg, SQL
@@ -2208,7 +2209,17 @@ def column_agg_parts(
     engine reproduces the bytes. double/float columns aggregate through
     the fixed-point contract (quantized_agg_lane): sum_v/avg_v come
     from the exact int64 sum of floor(x·scale+0.5) with single IEEE
-    divisions at the end, so they too are cross-engine bit-identical."""
+    divisions at the end, so they too are cross-engine bit-identical.
+
+    ``mode="ieee"`` (round-5, double/float only): TRUE IEEE float64
+    sums for arbitrary doubles the fixed-point contract can't carry
+    (huge magnitudes, full precision, ±inf/NaN propagate per IEEE).
+    Summation order is PINNED — per-block pairwise np.sum, Kahan
+    compensation across blocks in block order, parts folded in part_id
+    order on the driver — so the result is deterministic across runs
+    and cluster sizes, but only tolerance-comparable (≈1e-15 relative)
+    against other engines, which own different orders. Pick fixed for
+    cross-engine hashes, ieee for arbitrary-double fidelity."""
     from arcade_spark.core import decode_int_block
     from arcade_spark.schema import spark_type_for  # noqa: F401
 
@@ -2219,6 +2230,99 @@ def column_agg_parts(
     if vt not in _AGG_VTS:
         raise NotImplementedError(f"column_agg {_AGG_GUARD}")
     is_dbl = vt in ("double", "float")
+    if mode not in ("fixed", "ieee"):
+        raise ValueError(f"mode must be 'fixed' or 'ieee': {mode!r}")
+    if mode == "ieee" and not is_dbl:
+        raise ValueError("mode='ieee' applies to double/float columns only")
+
+    if mode == "ieee":
+        def ikernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            from arcade_spark.decode import _binary_views
+
+            for batch in batches:
+                for pid in batch.column("part_id").to_pylist():
+                    cf = _ColFile(out_dir, int(pid), column)
+                    s = 0.0
+                    comp = 0.0  # Kahan compensation across blocks
+                    mn = mx = None
+                    cnt_all = 0
+                    cnt_col = 0
+                    for rg in range(cf.pf.metadata.num_row_groups):
+                        tbl = cf.pf.read_row_group(
+                            rg, columns=_META_COLS + ["blob"])
+                        cm = _ColMeta(tbl)
+                        b_off, b_mv = _binary_views(
+                            tbl.column("blob").combine_chunks())
+                        for i in range(cm.n):
+                            iblock = decode_int_block(
+                                b_mv[b_off[i]: b_off[i + 1]], cm.meta_dict(i)
+                            )
+                            v = iblock.values
+                            if iblock.validity is not None:
+                                v = v[iblock.validity]
+                            f = v.view(np.float64)
+                            cnt_all += int(cm.n_values[i])
+                            cnt_col += len(f)
+                            if len(f):
+                                bs = float(f.sum())
+                                if np.isfinite(bs) and np.isfinite(s):
+                                    y = bs - comp
+                                    t = s + y
+                                    comp = (t - s) - y
+                                    s = t
+                                else:
+                                    # Kahan compensation is NaN-poison
+                                    # around ±inf — fall back to plain
+                                    # IEEE accumulation
+                                    s = s + bs
+                                    comp = 0.0
+                                bmn = float(np.min(f))
+                                bmx = float(np.max(f))
+                                mn = bmn if mn is None else min(mn, bmn)
+                                mx = bmx if mx is None else max(mx, bmx)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([int(pid)], type=pa.int64()),
+                         pa.array([s], type=pa.float64()),
+                         pa.array([mn], type=pa.float64()),
+                         pa.array([mx], type=pa.float64()),
+                         pa.array([cnt_all], type=pa.int64()),
+                         pa.array([cnt_col], type=pa.int64())],
+                        names=["pid", "s", "mn", "mx", "ca", "cc"],
+                    )
+
+        rows = (
+            _assign_df(spark, [p for p, _ in parts])
+            .mapInArrow(
+                ikernel,
+                schema="pid long, s double, mn double, mx double, "
+                       "ca long, cc long",
+            )
+            .collect()
+        )
+        rows = sorted(rows, key=lambda r: r["pid"])  # pinned fold order
+        s = comp = 0.0
+        ca = cc = 0
+        mn = mx = None
+        for r in rows:
+            if np.isfinite(r["s"]) and np.isfinite(s):
+                y = r["s"] - comp
+                t = s + y
+                comp = (t - s) - y
+                s = t
+            else:
+                s = s + r["s"]
+                comp = 0.0
+            ca += r["ca"]
+            cc += r["cc"]
+            if r["mn"] is not None:
+                mn = r["mn"] if mn is None else min(mn, r["mn"])
+                mx = r["mx"] if mx is None else max(mx, r["mx"])
+        avg = (s / float(cc)) if cc else None
+        return spark.createDataFrame(
+            [(s if cc else None, mn, mx, ca, cc, avg)],
+            "sum_v double, min_v double, max_v double, "
+            "cnt_all long, cnt_col long, avg_v double",
+        )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from arcade_spark.decode import _binary_views

@@ -1323,15 +1323,21 @@ def column_topk(
 
 
 def column_agg(
-    spark: SparkSession, out_dir: str, column: str, agg_scale: int = 100
+    spark: SparkSession, out_dir: str, column: str, agg_scale: int = 100,
+    mode: str = "fixed",
 ) -> DataFrame:
     """``SELECT sum(col), count(*), count(col), avg(col)`` — exact
     integer partials per partition, one-row fold; double/float columns
-    aggregate through the fixed-point contract at ``agg_scale``. See
+    aggregate through the fixed-point contract at ``agg_scale``.
+    ``mode="ieee"`` instead computes TRUE IEEE float64 sums with a
+    pinned deterministic order (per-block pairwise, Kahan across
+    blocks and parts) for arbitrary doubles — tolerance-comparable
+    cross-engine rather than hash-exact. See
     partread.column_agg_parts / partread.quantized_agg_lane."""
     from arcade_spark.partread import column_agg_parts
 
-    return column_agg_parts(spark, out_dir, column, agg_scale=agg_scale)
+    return column_agg_parts(spark, out_dir, column, agg_scale=agg_scale,
+                            mode=mode)
 
 
 def group_count(
@@ -1921,32 +1927,37 @@ def group_count_distinct(
     spark: SparkSession,
     out_dir: str,
     group_cols: list[str],
-    distinct_col: str,
+    distinct_col: str | list[str],
     preds: list[tuple] | None = None,
 ) -> DataFrame:
-    """Per-group ``COUNT(DISTINCT distinct_col)`` (round-5): the fused
-    group kernel runs with (group_cols + [distinct_col]) as the
+    """Per-group ``COUNT(DISTINCT distinct_col[s])`` (round-5): the
+    fused group kernel runs with (group_cols + distinct_cols) as the
     composite code-tuple key, so each partition emits its DISTINCT
-    (group..., value) pairs once — O(distinct pairs per part), codes
-    compared, payloads resolved only for used dictionary entries. The
-    merge is one ``.distinct()`` + one O(groups) count — never a
-    per-row shuffle. Same null contract as the engine's GROUP BY:
-    null group keys are dropped, and null values don't count
-    (SQL COUNT(DISTINCT) semantics agree on the latter). Optional
-    ``preds`` conjunction pre-filters rows in the same kernel pass."""
+    (group..., value...) tuples once — O(distinct tuples per part),
+    codes compared, payloads resolved only for used dictionary
+    entries. The merge is one ``.distinct()`` + one O(groups) count —
+    never a per-row shuffle. Same null contract as the engine's GROUP
+    BY: null group keys are dropped, and tuples with any null value
+    column don't count (SQL COUNT(DISTINCT a, b) agrees). Optional
+    ``preds`` conjunction pre-filters rows in the same kernel pass.
+    ``distinct_col`` may be a list for composite distinct tuples."""
     from arcade_spark.partread import filter_group_by_multi_partials
 
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
+    dcols = ([distinct_col] if isinstance(distinct_col, str)
+             else list(distinct_col))
+    if not dcols:
+        raise ValueError("distinct_col must name at least one column")
     partial, vts, _ = filter_group_by_multi_partials(
         spark, out_dir, _preds_to_spec(preds or []),
-        group_cols + [distinct_col], [],
+        group_cols + dcols, [],
     )
     keys = [f"k{i}" for i in range(len(group_cols))]
-    vkey = f"k{len(group_cols)}"
+    vkeys = [f"k{len(group_cols) + j}" for j in range(len(dcols))]
     merged = (
-        partial.select(*keys, vkey).distinct()
-        .groupBy(*keys).agg(F.count(vkey).alias("n_distinct"))
+        partial.select(*keys, *vkeys).distinct()
+        .groupBy(*keys).agg(F.count("*").alias("n_distinct"))
     )
     out_keys = [
         _group_key_out(F.col(k), vt).alias(nm)
@@ -2209,6 +2220,8 @@ def join_group_by(
     preds_b: list[tuple] | None = None,
     agg_scale: int = 100,
     include_key: bool = False,
+    dnf_a: list[list[tuple]] | None = None,
+    dnf_b: list[list[tuple]] | None = None,
 ) -> DataFrame:
     """Fused inner-equi-join + GROUP BY + aggregates — the TPC-H Q3/Q4
     shape (``SELECT g..., sum(expr_a) FROM a JOIN b ON a.k = b.k WHERE
@@ -2264,10 +2277,12 @@ def join_group_by(
     partial_a, vts_a, cspecs = filter_group_by_multi_partials(
         spark, out_a, _preds_to_spec(preds_a or []), [key_a] + group_a,
         aggs, agg_scale,
+        dnf_spec=[_preds_to_spec(c) for c in dnf_a] if dnf_a else None,
     )
     partial_b, vts_b, _ = filter_group_by_multi_partials(
         spark, out_b, _preds_to_spec(preds_b or []), [key_b] + group_b,
         [], agg_scale,
+        dnf_spec=[_preds_to_spec(c) for c in dnf_b] if dnf_b else None,
     )
     str_a = vts_a[0] in ("str", "binary")
     str_b = vts_b[0] in ("str", "binary")
