@@ -739,6 +739,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       _dt.datetime(1995, 3, 15, tzinfo=utc))],
         )
 
+    def arcade_q4(spark, sf_dir):
+        """TPC-H Q4 shape (round-5): orders per priority that have at
+        least one matching lineitem — EXISTS expressed in the fused
+        join+aggregate by clamping the probe side's multiplicity to 1
+        (join_group_by b_exists mode). Aggregation side = orders,
+        semijoin side = lineitem; no joined row materializes."""
+        _ship_package(spark)
+        import datetime as _dt
+
+        from arcade_spark.readops import join_group_by
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        out_or = _encoded_dir(spark, sf_dir, "orders", "o_orderkey")
+        utc = _dt.timezone.utc
+        return join_group_by(
+            spark, out_or, out_li, "o_orderkey",
+            [("order_count", "count", None)],
+            key_b="l_orderkey",
+            group_a=["o_orderpriority"],
+            preds_a=[("range", "o_orderdate",
+                      _dt.datetime(1995, 1, 1, tzinfo=utc),
+                      _dt.datetime(1995, 6, 30, tzinfo=utc))],
+            preds_b=[("range", "l_shipdate",
+                      _dt.datetime(1995, 1, 1, tzinfo=utc),
+                      _dt.datetime(1999, 1, 1, tzinfo=utc))],
+            b_exists=True,
+        )
+
     def arcade_topk_text(spark, sf_dir):
         """ORDER BY <string col> DESC LIMIT 20 with zone pruning on
         PREFIX-TRUNCATED bounds (round-4): min_bin is always a lower
@@ -878,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_join": arcade_join,
         "arcade_join_left": arcade_join_left,
         "arcade_q3": arcade_q3,
+        "arcade_q4": arcade_q4,
         "arcade_orderby": arcade_orderby,
         "arcade_orderby_double": arcade_orderby_double,
         "arcade_group_distinct": arcade_group_distinct,
@@ -1215,6 +1244,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS DOUBLE)/CAST(count(n_chars) AS DOUBLE) "
             "AS avg_chars, count(*) AS cnt "
             "FROM documents GROUP BY source"
+        ),
+        "arcade_q4": (
+            "SELECT o_orderpriority, count(*) AS order_count "
+            "FROM orders WHERE o_orderdate BETWEEN "
+            "TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-06-30' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE "
+            "l_orderkey = o_orderkey AND l_shipdate BETWEEN "
+            "TIMESTAMP '1995-01-01' AND TIMESTAMP '1999-01-01') "
+            "GROUP BY o_orderpriority"
         ),
         "arcade_orderby": (
             # unique order tuple pins the total order cross-engine

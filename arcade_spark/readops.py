@@ -2222,6 +2222,7 @@ def join_group_by(
     include_key: bool = False,
     dnf_a: list[list[tuple]] | None = None,
     dnf_b: list[list[tuple]] | None = None,
+    b_exists: bool = False,
 ) -> DataFrame:
     """Fused inner-equi-join + GROUP BY + aggregates — the TPC-H Q3/Q4
     shape (``SELECT g..., sum(expr_a) FROM a JOIN b ON a.k = b.k WHERE
@@ -2260,13 +2261,19 @@ def join_group_by(
     Exactness: |S_A(k,ga)| and |S_A·nb| must stay under 2^63 — the
     per-value 2^62 bar plus realistic key multiplicities; the final
     division per spec is one IEEE op (cross-engine bit-identical).
-    The reference lists joins and aggregations as future work
-    (README.md:115-138)."""
+    ``b_exists=True`` turns side B into an EXISTS semijoin (the TPC-H
+    Q4 shape): B's multiplicity is clamped to 1, so each matched A row
+    aggregates exactly once regardless of how many B rows share its
+    key — ``WHERE EXISTS (SELECT .. FROM b WHERE b.k = a.k AND
+    preds_b)`` (group_b must be empty in this mode). The reference
+    lists joins and aggregations as future work (README.md:115-138)."""
     from arcade_spark.partread import filter_group_by_multi_partials
 
     key_b = key_b if key_b is not None else key_a
     group_a = group_a or []
     group_b = group_b or []
+    if b_exists and group_b:
+        raise ValueError("b_exists mode cannot take group_b columns")
     if not aggs:
         raise ValueError("aggs must be non-empty")
     out_names = ((([key_a] if include_key else []) + group_a + group_b)
@@ -2322,9 +2329,13 @@ def join_group_by(
         *[c for i in live for c in (f"s{i}", f"c{i}")],
         "ca",
     )
+    # EXISTS: clamp B's multiplicity to 1 (groups only exist with
+    # c >= 1, so least(sum(c), 1) is exactly the indicator)
+    nb_expr = (F.least(F.sum("c"), F.lit(1).cast("long")) if b_exists
+               else F.sum("c")).alias("nb")
     B = partial_b.groupBy(
         *[f"k{i}" for i in range(1 + len(group_b))]
-    ).agg(F.sum("c").alias("nb"))
+    ).agg(nb_expr)
     B = B.select(
         F.col("k0").alias("jk_b"),
         *[F.col(f"k{i + 1}").alias(f"gb{i}") for i in range(len(group_b))],

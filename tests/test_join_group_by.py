@@ -189,3 +189,35 @@ def test_validation_errors(spark, jg_tables):
                       aggs=[("cnt", "count", None)])
     with pytest.raises(ValueError, match="non-empty"):
         join_group_by(spark, out_f, out_d, "k", [])
+
+
+def test_b_exists_semijoin_mode(spark, jg_tables):
+    """b_exists=True (TPC-H Q4 shape): each matched A row aggregates
+    once regardless of duplicate B keys — EXISTS, not a join
+    multiplicity."""
+    from arcade_spark.readops import join_group_by
+
+    out_f, out_d, fpdf, dpdf = jg_tables
+    got = {
+        r["flag"]: (r["sum_qty"], r["cnt"])
+        for r in join_group_by(
+            spark, out_f, out_d, "k",
+            [("sum_qty", "sum", "qty"), ("cnt", "count", None)],
+            group_a=["flag"],
+            preds_b=[("in", "region", [0, 1])],
+            b_exists=True,
+        ).collect()
+    }
+    d = dpdf.dropna(subset=["k"])
+    keys = set(d[d["region"].isin([0, 1])]["k"].astype(int))
+    f = fpdf.dropna(subset=["k"])
+    sub = f[f["k"].astype(int).isin(keys)]
+    want = {
+        flag: (int(g["qty"].sum()), len(g))
+        for flag, g in sub.groupby("flag")
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="b_exists"):
+        join_group_by(spark, out_f, out_d, "k",
+                      [("cnt", "count", None)],
+                      group_b=["prio"], b_exists=True)

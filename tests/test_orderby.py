@@ -125,3 +125,20 @@ def test_orderby_double_order_col(spark, tmp_path_factory):
     assert list(got["url"]) == list(want["url"])
     gv, wv = got["v"].to_numpy(), want["v"].to_numpy()
     assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+
+
+def test_orderby_plan_has_no_global_sort(spark, ob_table):
+    """The plan must not contain Spark's global-sort signature
+    (Exchange rangepartitioning + Sort): sorting happens inside the
+    per-bucket applyInArrow kernel."""
+    out, _ = ob_table
+    df = orderby_export(spark, out, ["x", "url"], ["url"], buckets=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan
+    # local (within-partition) sorts are fine — SMJ join keys and the
+    # applyInArrow group key; a GLOBAL sort (`Sort [...], true, 0`)
+    # would mean Spark planned the single-range-exchange sort we exist
+    # to avoid
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert ", true, " not in line, line
