@@ -579,6 +579,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             preds=[("range", "l_quantity", 1.0, 10.0)],
         )
 
+    def arcade_quantiles(spark, sf_dir):
+        """Exact order statistics WITHOUT a global sort (round-5):
+        values at the p25/p50/p75/p99 ranks of l_extendedprice — zone
+        -map range buckets locate each target rank's bucket from
+        counts alone, only those buckets sort their narrow key
+        streams, zero payload columns read."""
+        _ship_package(spark)
+        from arcade_spark.readops import column_rank_values
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        return column_rank_values(
+            spark, out, "l_extendedprice",
+            quantiles=[0.25, 0.5, 0.75, 0.99],
+        )
+
     def arcade_group_distinct(spark, sf_dir):
         """Per-group COUNT(DISTINCT lang) (round-5): the fused group
         kernel treats (source, lang) as the composite code-tuple key,
@@ -909,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_q4": arcade_q4,
         "arcade_orderby": arcade_orderby,
         "arcade_orderby_double": arcade_orderby_double,
+        "arcade_quantiles": arcade_quantiles,
         "arcade_group_distinct": arcade_group_distinct,
         "arcade_group_minmax_ts": arcade_group_minmax_ts,
         "arcade_dedup_stream": arcade_dedup_stream,
@@ -1265,6 +1281,19 @@ def oracle_sql() -> dict[str, str]:
             "l_orderkey, l_linenumber) - 1 AS BIGINT) AS pos, "
             "l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
             "WHERE l_quantity BETWEEN 1.0 AND 10.0"
+        ),
+        "arcade_quantiles": (
+            # rank = floor(q*(n-1)): both engines compute the same
+            # IEEE double product, so the rank literals agree
+            "WITH s AS (SELECT l_extendedprice AS v, "
+            "ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS pos "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM s) "
+            "SELECT CAST(s.pos AS BIGINT) AS pos, s.v FROM s, n "
+            "WHERE s.pos IN (CAST(floor(0.25*(c-1)) AS BIGINT), "
+            "CAST(floor(0.5*(c-1)) AS BIGINT), "
+            "CAST(floor(0.75*(c-1)) AS BIGINT), "
+            "CAST(floor(0.99*(c-1)) AS BIGINT))"
         ),
         "arcade_group_distinct": (
             # engine contract: null group keys dropped, a group exists

@@ -177,6 +177,17 @@ def build_query(spark, args):
         return group_count_distinct(
             spark, args.encoded, args.columns.split(","), args.distinct_column
         )
+    if args.cmd == "quantiles":
+        from arcade_spark.readops import column_rank_values
+
+        if args.ranks:
+            return column_rank_values(
+                spark, args.encoded, args.column,
+                ranks=[int(x) for x in args.ranks.split(",")],
+            )
+        qs = [float(x) for x in (args.q or "0.25,0.5,0.75").split(",")]
+        return column_rank_values(spark, args.encoded, args.column,
+                                  quantiles=qs)
     raise SystemExit(f"unknown command {args.cmd!r}")
 
 
@@ -251,6 +262,13 @@ def main(argv: list[str] | None = None) -> int:
     gd.add_argument("--columns", required=True,
                     help="comma-separated group keys")
     gd.add_argument("--distinct-column", required=True)
+
+    qt = sub.add_parser("quantiles")
+    qt.add_argument("--column", required=True)
+    qt.add_argument("-q", default=None,
+                    help="comma-separated quantiles, default 0.25,0.5,0.75")
+    qt.add_argument("--ranks", default=None,
+                    help="comma-separated absolute 0-based ranks instead")
 
     args = p.parse_args(argv)
 

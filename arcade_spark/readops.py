@@ -1718,6 +1718,231 @@ def _prefix56_array(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
     return key, valid
 
 
+def _zone_splits(
+    spark: SparkSession, out_dir: str, column: str, is_str: bool,
+    parts: list[tuple[int, int]], n_buckets: int,
+) -> np.ndarray:
+    """Range split points for ``column`` from the ZONE MAPS: a
+    metadata-only kernel emits weighted per-block-minimum candidates
+    (capped at 64 per partition), the driver takes weighted quantiles.
+    No sampling pass over data — where Spark's orderBy re-runs the
+    upstream to sample ranges. Binary columns use the monotone 7-byte
+    big-endian prefix lane (_prefix56); double/float columns' zone
+    min_int already holds order-preserving keys."""
+    import pyarrow as pa
+    from arcade_spark.partread import _ColFile, _assign_df
+
+    def cand_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for pid in batch.column("part_id").to_pylist():
+                cm = _ColFile(out_dir, int(pid), column).meta()
+                w = cm.n_values - cm.n_nulls
+                if is_str:
+                    keys = np.array(
+                        [_prefix56(b) if b is not None else -1
+                         for b in cm.min_bin],
+                        dtype=np.int64,
+                    )
+                    ok = keys >= 0
+                else:
+                    keys = cm.min_int
+                    ok = cm.has_zone
+                ok = ok & (w > 0)
+                if not ok.any():
+                    continue
+                keys, w = keys[ok], w[ok]
+                uniq, inv = np.unique(keys, return_inverse=True)
+                uw = np.bincount(inv, weights=w.astype(np.float64))
+                if len(uniq) > 64:
+                    # cap per-part candidates: even slices, weights
+                    # aggregated so totals are preserved
+                    cuts = np.linspace(0, len(uniq), 65).astype(np.int64)
+                    cw = np.add.reduceat(uw, cuts[:-1])
+                    uniq, uw = uniq[cuts[:-1]], cw
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(uniq, type=pa.int64()),
+                     pa.array(uw.astype(np.int64))],
+                    names=["cand", "w"],
+                )
+
+    cand = (
+        _assign_df(spark, [p for p, _ in parts])
+        .mapInArrow(cand_kernel, schema="cand long, w long")
+        .groupBy("cand").agg(F.sum("w").alias("w"))
+        .orderBy("cand").collect()
+    )
+    splits = np.zeros(0, dtype=np.int64)
+    if cand:
+        cv = np.array([r["cand"] for r in cand], dtype=np.int64)
+        cw = np.array([r["w"] for r in cand], dtype=np.float64)
+        cum = np.cumsum(cw)
+        targets = cum[-1] * np.arange(1, n_buckets) / n_buckets
+        idx = np.searchsorted(cum, targets, side="left")
+        splits = np.unique(cv[np.minimum(idx, len(cv) - 1)])
+    return splits
+
+
+def _bucketize_stream(
+    keyed: DataFrame, kvts: list[str], first_str: bool,
+    splits: np.ndarray, null_bucket: int,
+) -> DataFrame:
+    """Vectorized range-bucket assignment over a (k0.., rid) key
+    stream: searchsorted on the first lane (binary lanes by monotone
+    7-byte prefix — equal prefixes never straddle buckets), nulls to
+    ``null_bucket``."""
+    import pyarrow as pa
+
+    ksplits = splits
+
+    def bucketize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            arr = batch.column("k0")
+            if first_str:
+                key, valid = _prefix56_array(arr)
+            else:
+                # fill nulls BEFORE to_numpy: an int64 array with nulls
+                # otherwise converts via float64 and loses exactness
+                # past 2^53 (micros timestamps!)
+                valid = pa.compute.is_valid(arr).to_numpy(
+                    zero_copy_only=False
+                ).astype(bool)
+                key = arr.fill_null(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+            bkt = np.searchsorted(ksplits, key, side="right").astype(np.int32)
+            bkt[~valid] = null_bucket
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(bkt, type=pa.int32())] + list(batch.columns),
+                names=["bkt"] + batch.schema.names,
+            )
+
+    lanes_ddl = ", ".join(
+        f"k{i} {'binary' if vt in ('str', 'binary') else 'long'}"
+        for i, vt in enumerate(kvts)
+    )
+    return keyed.mapInArrow(
+        bucketize, schema=f"bkt int, {lanes_ddl}, rid long"
+    )
+
+
+def column_rank_values(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    ranks: list[int] | None = None,
+    quantiles: list[float] | None = None,
+    preds: list[tuple] | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact order statistics WITHOUT a global sort (round-5): the
+    value at each requested 0-based rank of ``ORDER BY column`` over
+    NON-NULL values (medians, p95/p99, deciles). ``quantiles`` maps
+    q → rank ``floor(q·(n−1))`` with n = non-null count (the
+    lower-nearest-rank definition — deterministic, replayable in SQL
+    via ROW_NUMBER).
+
+    Scale design: zone-map range buckets (no sampling pass) partition
+    the narrow (order-key, rid) stream; per-bucket COUNTS locate which
+    bucket holds each target rank; ONLY those buckets sort (Arrow
+    sort_indices on values — ties don't matter, the value at a rank of
+    the sorted multiset is unique) and each emits its targets. A p99
+    over 10^12 rows sorts ~1/n_buckets of the keys, reads zero payload
+    columns, and never range-exchanges the table.
+
+    Returns DF (pos long, v <column's logical type>) — one row per
+    requested rank."""
+    import pyarrow as pa
+    from arcade_spark.partread import key_rowid_parts, load_manifest
+
+    if (ranks is None) == (quantiles is None):
+        raise ValueError("pass exactly one of ranks= / quantiles=")
+    all_cols, parts = load_manifest(out_dir)
+    cols = dict(all_cols)
+    vt = cols.get(column)
+    if vt is None:
+        raise KeyError(f"no such column: {column}")
+    is_str = vt in ("str", "binary")
+    is_float = vt in ("double", "float")
+
+    n_buckets = buckets or max(
+        8, min(1024, 4 * spark.sparkContext.defaultParallelism)
+    )
+    splits = _zone_splits(spark, out_dir, column, is_str, parts, n_buckets)
+    keyed, kvts = key_rowid_parts(
+        spark, out_dir, [column],
+        _preds_to_spec(preds) if preds else None,
+        keep_null_keys=False,  # ranks are over non-null values
+        float_order_lane=True,
+    )
+    keyed_b = _bucketize_stream(keyed, kvts, is_str, splits, len(splits) + 1)
+
+    counts = {
+        r["bkt"]: r["cnt"]
+        for r in keyed_b.groupBy("bkt").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    if quantiles is not None:
+        for q in quantiles:
+            if not (0.0 <= q <= 1.0):
+                raise ValueError(f"quantile out of [0,1]: {q}")
+        if total == 0:
+            raise ValueError("no non-null values to rank")
+        ranks = sorted({int(q * (total - 1)) for q in quantiles})
+    ranks = sorted(set(int(r) for r in ranks))
+    if ranks and (ranks[0] < 0 or ranks[-1] >= total):
+        raise IndexError(
+            f"rank out of range: {ranks[0]}..{ranks[-1]} vs n={total}"
+        )
+    # bucket → [(local_rank, global_pos), ...]
+    targets: dict[int, list[tuple[int, int]]] = {}
+    acc = 0
+    order = sorted(counts)
+    ri = 0
+    for b in order:
+        hi = acc + counts[b]
+        while ri < len(ranks) and ranks[ri] < hi:
+            targets.setdefault(b, []).append((ranks[ri] - acc, ranks[ri]))
+            ri += 1
+        acc = hi
+    tkeys = sorted(targets)
+
+    def pick(key: tuple, tbl: pa.Table) -> pa.Table:
+        b = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        want = targets[b]
+        idx = pa.compute.sort_indices(
+            tbl, sort_keys=[("k0", "ascending"), ("rid", "ascending")]
+        )
+        lr = np.array([t[0] for t in want], dtype=np.int64)
+        gp = np.array([t[1] for t in want], dtype=np.int64)
+        sel_idx = idx.take(pa.array(lr))
+        vals = tbl.column("k0").take(sel_idx)
+        if is_float:
+            # invert the order-key map (an involution) back to IEEE
+            # bits, kernel-side — exact, no string round-trip
+            k = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+            bits = np.where(k >= 0, k, k ^ np.int64(0x7FFFFFFFFFFFFFFF))
+            vals = pa.array(bits.view(np.float64), type=pa.float64())
+        return pa.Table.from_arrays(
+            [pa.array(gp), vals], names=["pos", "v"]
+        )
+
+    lane = "binary" if is_str else ("double" if is_float else "long")
+    sel = (
+        keyed_b.filter(F.col("bkt").isin([int(b) for b in tkeys]))
+        .groupBy("bkt")
+        .applyInArrow(pick, schema=f"pos long, v {lane}")
+    )
+    if is_str:
+        v_out = F.col("v").cast("string") if vt == "str" else F.col("v")
+    elif is_float:
+        v_out = F.col("v").cast(spark_type_for(vt))
+    else:
+        v_out = _group_key_out(F.col("v"), vt)
+    return sel.select("pos", v_out.alias("v"))
+
+
 def orderby_export(
     spark: SparkSession,
     out_dir: str,
@@ -1787,56 +2012,7 @@ def orderby_export(
         8, min(1024, 4 * spark.sparkContext.defaultParallelism)
     )
 
-    # ---- 1) split candidates from zone metadata (KB per partition) ----
-    def cand_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            for pid in batch.column("part_id").to_pylist():
-                cm = _ColFile(out_dir, int(pid), first).meta()
-                w = cm.n_values - cm.n_nulls
-                if first_str:
-                    keys = np.array(
-                        [_prefix56(b) if b is not None else -1
-                         for b in cm.min_bin],
-                        dtype=np.int64,
-                    )
-                    ok = keys >= 0
-                else:
-                    keys = cm.min_int
-                    ok = cm.has_zone
-                ok = ok & (w > 0)
-                if not ok.any():
-                    continue
-                keys, w = keys[ok], w[ok]
-                uniq, inv = np.unique(keys, return_inverse=True)
-                uw = np.bincount(inv, weights=w.astype(np.float64))
-                if len(uniq) > 64:
-                    # cap per-part candidates: even slices, weights
-                    # aggregated so totals are preserved
-                    cuts = np.linspace(0, len(uniq), 65).astype(np.int64)
-                    cw = np.add.reduceat(uw, cuts[:-1])
-                    uniq, uw = uniq[cuts[:-1]], cw
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(uniq, type=pa.int64()),
-                     pa.array(uw.astype(np.int64))],
-                    names=["cand", "w"],
-                )
-
-    cand = (
-        _assign_df(spark, [p for p, _ in parts])
-        .mapInArrow(cand_kernel, schema="cand long, w long")
-        .groupBy("cand").agg(F.sum("w").alias("w"))
-        .orderBy("cand").collect()
-    )
-    splits = np.zeros(0, dtype=np.int64)
-    if cand:
-        cv = np.array([r["cand"] for r in cand], dtype=np.int64)
-        cw = np.array([r["w"] for r in cand], dtype=np.float64)
-        cum = np.cumsum(cw)
-        targets = cum[-1] * np.arange(1, n_buckets) / n_buckets
-        idx = np.searchsorted(cum, targets, side="left")
-        splits = np.unique(cv[np.minimum(idx, len(cv) - 1)])
-
-    # ---- 2) narrow key stream + vectorized bucketize ----
+    splits = _zone_splits(spark, out_dir, first, first_str, parts, n_buckets)
     keyed, kvts = key_rowid_parts(
         spark, out_dir, order_cols,
         _preds_to_spec(preds) if preds else None,
@@ -1844,39 +2020,7 @@ def orderby_export(
         float_order_lane=True,
     )
     null_bucket = len(splits) + 1  # one past the last range bucket
-    ksplits = splits
-
-    def bucketize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            arr = batch.column("k0")
-            if first_str:
-                key, valid = _prefix56_array(arr)
-            else:
-                # fill nulls BEFORE to_numpy: an int64 array with nulls
-                # otherwise converts via float64 and loses exactness
-                # past 2^53 (micros timestamps!)
-                valid = pa.compute.is_valid(arr).to_numpy(
-                    zero_copy_only=False
-                ).astype(bool)
-                key = arr.fill_null(0).to_numpy(
-                    zero_copy_only=False
-                ).astype(np.int64)
-            bkt = np.searchsorted(ksplits, key, side="right").astype(np.int32)
-            bkt[~valid] = null_bucket
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(bkt, type=pa.int32())] + list(batch.columns),
-                names=["bkt"] + batch.schema.names,
-            )
-
-    lanes_ddl = ", ".join(
-        f"k{i} {'binary' if vt in ('str', 'binary') else 'long'}"
-        for i, vt in enumerate(kvts)
-    )
-    keyed_b = keyed.mapInArrow(
-        bucketize, schema=f"bkt int, {lanes_ddl}, rid long"
-    )
+    keyed_b = _bucketize_stream(keyed, kvts, first_str, splits, null_bucket)
 
     # ---- 3) per-bucket counts → global rank offsets ----
     counts = {

@@ -142,3 +142,61 @@ def test_orderby_plan_has_no_global_sort(spark, ob_table):
     for line in plan.splitlines():
         if "Sort [" in line:
             assert ", true, " not in line, line
+
+
+def test_column_rank_values(spark, ob_table):
+    """Exact order statistics without a global sort: values at given
+    ranks / quantiles match a full pandas sort, for int and string
+    columns."""
+    from arcade_spark.readops import column_rank_values
+
+    out, pdf = ob_table
+    xs = np.sort(pdf["x"].dropna().to_numpy().astype(np.int64))
+    n = len(xs)
+    got = {
+        r["pos"]: r["v"]
+        for r in column_rank_values(
+            spark, out, "x", ranks=[0, n // 2, n - 1], buckets=6
+        ).collect()
+    }
+    assert got == {0: xs[0], n // 2: xs[n // 2], n - 1: xs[-1]}
+
+    qgot = {
+        r["pos"]: r["v"]
+        for r in column_rank_values(
+            spark, out, "x", quantiles=[0.25, 0.5, 0.99], buckets=6
+        ).collect()
+    }
+    for q in (0.25, 0.5, 0.99):
+        rk = int(q * (n - 1))
+        assert qgot[rk] == xs[rk]
+
+    us = np.sort(pdf["url"].to_numpy())
+    sgot = column_rank_values(spark, out, "url", ranks=[17], buckets=4).collect()
+    assert sgot[0]["v"] == us[17]
+
+    with pytest.raises(IndexError):
+        column_rank_values(spark, out, "x", ranks=[n + 5])
+    with pytest.raises(ValueError, match="exactly one"):
+        column_rank_values(spark, out, "x")
+
+
+def test_column_rank_values_double(spark, tmp_path_factory):
+    from arcade_spark.readops import column_rank_values
+
+    rng = np.random.default_rng(9)
+    vals = sorted(float(x) for x in np.round(rng.normal(0, 50, 800), 3))
+    src = spark.createDataFrame(
+        [(f"u{i:03d}", v) for i, v in enumerate(
+            rng.permutation(vals).tolist())],
+        "url string, v double",
+    )
+    out = str(tmp_path_factory.mktemp("rvd") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=64, order_col="url")
+    got = {
+        r["pos"]: r["v"]
+        for r in column_rank_values(
+            spark, out, "v", ranks=[0, 399, 799], buckets=5
+        ).collect()
+    }
+    assert got == {0: vals[0], 399: vals[399], 799: vals[799]}
