@@ -2110,6 +2110,28 @@ def group_count_distinct(
     return merged.select(*out_keys, "n_distinct")
 
 
+def distinct_count_approx(
+    spark: SparkSession, out_dir: str, column: str, rsd: float = 0.05,
+) -> DataFrame:
+    """Approximate ``COUNT(DISTINCT col)`` via HyperLogLog++ (round-5):
+    the per-partition kernels emit each partition's DISTINCT values
+    once (the group_count partials — dict/RLE chunks contribute used
+    dictionary entries, never materialized rows), and Spark's
+    approx_count_distinct folds that already-distinct-per-part stream.
+    At 10^12 rows the shuffle is O(distinct-per-part) sketch inputs,
+    and the final state is one HLL sketch — use this over
+    ``distinct_count`` when the exact merge's O(global distinct)
+    shuffle is itself the bottleneck (e.g. distinct urls)."""
+    from arcade_spark.partread import group_count_partials
+
+    partial, fvt = group_count_partials(spark, out_dir, column)
+    vcol = ("value_bin" if fvt in ("str", "binary")
+            else ("value_dbl" if fvt in ("double", "float") else "value_int"))
+    return partial.agg(
+        F.approx_count_distinct(vcol, rsd).alias("n_distinct_approx")
+    )
+
+
 def table_count(spark: SparkSession, out_dir: str) -> DataFrame:
     """``SELECT count(*)`` answered from the MANIFEST alone — one tiny
     parquet read of per-partition row counts, no column files touched.

@@ -238,6 +238,14 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         key_b="o_orderkey", group_b=["o_orderpriority"],
         preds_a=[("range", "l_shipdate", _cut[0], _cut[1])]).count())
 
+    # EXISTS semijoin via the same fused machinery (TPC-H Q4 shape)
+    timed("join_q4_exists", lambda: join_group_by(
+        spark, or_enc, li_enc, "o_orderkey",
+        [("order_count", "count", None)],
+        key_b="l_orderkey", group_a=["o_orderpriority"],
+        preds_b=[("range", "l_shipdate", _cut[0], _cut[1])],
+        b_exists=True).count())
+
     # general ORDER BY export (round-5): zone-map range buckets,
     # per-bucket sorts, global rank, late-materialized projection
     from arcade_spark.readops import orderby_export
@@ -245,6 +253,14 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     timed("orderby_lineitem", lambda: orderby_export(
         spark, li_enc, ["l_shipdate", "l_orderkey", "l_linenumber"],
         ["l_orderkey", "l_linenumber", "l_shipdate"]).count())
+
+    # exact order statistics without a global sort: only the buckets
+    # holding the target ranks sort their narrow key streams
+    from arcade_spark.readops import column_rank_values
+
+    timed("quantiles_extprice", lambda: column_rank_values(
+        spark, li_enc, "l_extendedprice",
+        quantiles=[0.25, 0.5, 0.75, 0.99]).count())
 
     # join-skew evidence (round-5): Zipfian fact keys (one key owns 25%
     # of rows) vs a uniform twin of identical size — the narrow

@@ -181,3 +181,24 @@ def test_column_agg_ieee_inf_propagates(spark, tmp_path_factory):
     encode_job(spark, src, out, num_parts=1, block_rows=2)
     r = column_agg(spark, out, "v", mode="ieee").collect()[0]
     assert r["sum_v"] == float("inf") and r["max_v"] == float("inf")
+
+
+def test_distinct_count_approx(spark, tmp_path_factory):
+    """HLL over the per-part distinct streams: within rsd of the exact
+    count for a 20k-distinct column."""
+    from arcade_spark.encode import encode_job
+    from arcade_spark.readops import distinct_count, distinct_count_approx
+
+    n = 40000
+    src = spark.createDataFrame(
+        [(f"u{i:05d}", f"val-{i % 20000:05d}", i % 97) for i in range(n)],
+        "url string, s string, x long",
+    )
+    out = str(tmp_path_factory.mktemp("hll") / "enc")
+    encode_job(spark, src, out, num_parts=4, block_rows=1024, order_col="url")
+    exact = distinct_count(spark, out, "s").collect()[0][0]
+    assert exact == 20000
+    approx = distinct_count_approx(spark, out, "s", rsd=0.02).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.06
+    ax = distinct_count_approx(spark, out, "x", rsd=0.02).collect()[0][0]
+    assert abs(ax - 97) / 97 < 0.06
