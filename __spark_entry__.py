@@ -682,6 +682,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fp", (F.col("doc_id") % 4).cast("long").alias("batch_id")
         )
 
+    def arcade_window_stream(spark, sf_dir):
+        """Event-time WINDOWED streaming aggregation with a WATERMARK
+        (round-5): events replayed in 4 time-ordered batches (ts
+        quartiles, mtime-pinned) through tumbling 1-hour windows with
+        a 2-hour watermark; a far-future sentinel batch closes every
+        real window so the append-mode sink holds exactly one row per
+        (window, event_type). Batches are time-ordered so no row falls
+        beyond the allowance — the oracle is then the plain windowed
+        GROUP BY."""
+        _ship_package(spark)
+        import shutil
+
+        from arcade_spark.manifest import FORMAT_REV
+        from arcade_spark.streaming import window_counts
+
+        key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        base = os.path.join(
+            tempfile.gettempdir(), f"arcade_entry_cache_v{FORMAT_REV}", key,
+            "window-stream",
+        )
+        inp = os.path.join(base, "in")
+        outp = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        done = os.path.join(base, "done")
+        if not os.path.exists(done):
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(inp, exist_ok=True)
+            pdf = (
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+                .select("ts", "event_type")
+                .filter(F.col("ts").isNotNull())
+                .orderBy("ts", "event_type")
+                .toPandas()
+            )
+            n = len(pdf)
+            cuts = [0, n // 4, n // 2, (3 * n) // 4, n]
+            import pandas as _pd
+
+            pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+            for k in range(4):
+                chunk = pdf.iloc[cuts[k]:cuts[k + 1]]
+                f = os.path.join(inp, f"batch{k:02d}.parquet")
+                chunk.to_parquet(f, index=False)
+                os.utime(f, (1_700_000_000 + k, 1_700_000_000 + k))
+            sentinel = _pd.DataFrame(
+                {"ts": [pdf["ts"].max() + _pd.Timedelta(days=10)],
+                 "event_type": ["__sentinel"]}
+            )
+            sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
+            f = os.path.join(inp, "batch04.parquet")
+            sentinel.to_parquet(f, index=False)
+            os.utime(f, (1_700_000_004, 1_700_000_004))
+            q = window_counts(
+                spark, inp, outp, ckpt, "ts timestamp, event_type string",
+                ts_col="ts", key_col="event_type",
+            )
+            q.awaitTermination()
+            with open(done, "w") as fh:
+                fh.write("ok")
+        return spark.read.parquet(outp).select(
+            "window_start", "event_type", F.col("cnt").cast("long").alias("cnt")
+        )
+
     def arcade_join(spark, sf_dir):
         """Encoded-to-encoded shuffle join (round-4, past the semijoin
         broadcast cap): lineitem ⋈ orders on the order key, orders side
@@ -922,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_join_left": arcade_join_left,
         "arcade_q3": arcade_q3,
         "arcade_q4": arcade_q4,
+        "arcade_window_stream": arcade_window_stream,
         "arcade_orderby": arcade_orderby,
         "arcade_orderby_double": arcade_orderby_double,
         "arcade_quantiles": arcade_quantiles,
@@ -1260,6 +1324,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS DOUBLE)/CAST(count(n_chars) AS DOUBLE) "
             "AS avg_chars, count(*) AS cnt "
             "FROM documents GROUP BY source"
+        ),
+        "arcade_window_stream": (
+            # tumbling epoch-aligned 1h windows; the time-ordered
+            # replay + sentinel means every real window is emitted
+            # exactly once, so the stream equals the batch GROUP BY
+            "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+            "event_type, count(*) AS cnt FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1, 2"
         ),
         "arcade_q4": (
             "SELECT o_orderpriority, count(*) AS order_count "

@@ -86,3 +86,56 @@ def test_dedup_stream_cross_batch_state(spark, tmp_path_factory):
                       "doc_id long, text string", buckets=8)
     assert q2.awaitTermination(600), "restarted stream did not terminate in 600s"
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == got
+
+
+def test_window_counts_watermark(spark, tmp_path_factory):
+    """Windowed streaming counts (round-5): tumbling 1h windows, 2h
+    watermark, time-ordered replay + sentinel. A LATE row (arrives one
+    batch after its window, but inside the allowance) must still
+    count; every real window is emitted exactly once."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from arcade_spark.streaming import window_counts
+
+    base = tmp_path_factory.mktemp("wc")
+    inp, outp, ckpt = (str(base / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def rows(specs):
+        return pd.DataFrame(
+            {"ts": [t0 + dt.timedelta(minutes=m) for m, _ in specs],
+             "event_type": [e for _, e in specs]}
+        )
+
+    # batch 0: window 10:00 (3 rows), window 11:00 (1 row)
+    b0 = rows([(0, "a"), (10, "a"), (40, "b"), (70, "a")])
+    # batch 1: later events + ONE LATE row for window 10:00 (ts 10:50,
+    # watermark after b0 = 11:10 - 2h = 9:10 < 10:50 → counted)
+    b1 = rows([(130, "b"), (150, "a"), (50, "a")])
+    # sentinel closes everything
+    b2 = rows([(60 * 24 * 30, "__sentinel")])
+    for k, b in enumerate((b0, b1, b2)):
+        f = os.path.join(inp, f"batch{k:02d}.parquet")
+        b["ts"] = b["ts"].astype("datetime64[us]")  # Spark reads µs
+        b.to_parquet(f, index=False)
+        os.utime(f, (1_600_000_000 + k, 1_600_000_000 + k))
+
+    q = window_counts(spark, inp, outp, ckpt,
+                      "ts timestamp, event_type string",
+                      ts_col="ts", key_col="event_type")
+    q.awaitTermination()
+    got = {
+        (r["window_start"].strftime("%H:%M"), r["event_type"]): r["cnt"]
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert got == {
+        ("10:00", "a"): 3,  # includes the late 10:50 row from batch 1
+        ("10:00", "b"): 1,
+        ("11:00", "a"): 1,
+        ("12:00", "b"): 1,
+        ("12:00", "a"): 1,
+    }
