@@ -336,7 +336,11 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     def dedup_stream_rep():
         from arcade_spark.streaming import dedup_stream
 
-        run = os.path.join(ds_base, f"run_{uuid.uuid4().hex[:8]}")
+        # sink + state checkpoint on tmpfs: the local-SSD state-dir
+        # proxy (same reasoning as the encode sink) — disk /tmp adds
+        # seconds of fsync noise to the per-trigger state commits
+        run_base = "/dev/shm" if os.path.isdir("/dev/shm") else ds_base
+        run = os.path.join(run_base, f"arcade_dstream_run_{uuid.uuid4().hex[:8]}")
         q = dedup_stream(
             spark, ds_in, os.path.join(run, "out"),
             os.path.join(run, "ckpt"), "doc_id long, text string", buckets=8,
@@ -388,7 +392,8 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     def dedup_stream_4x_rep():
         from arcade_spark.streaming import dedup_stream
 
-        run = os.path.join(ds4_base, f"run_{uuid.uuid4().hex[:8]}")
+        run_base = "/dev/shm" if os.path.isdir("/dev/shm") else ds4_base
+        run = os.path.join(run_base, f"arcade_dstream4x_run_{uuid.uuid4().hex[:8]}")
         q = dedup_stream(
             spark, ds4_in, os.path.join(run, "out"),
             os.path.join(run, "ckpt"), "doc_id long, text string", buckets=8,
