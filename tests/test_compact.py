@@ -152,3 +152,25 @@ def test_compact_property_sweep(spark, tmp_path_factory):
         fb = sorted(equi_filter(spark, dest, "lang", lang, project=["url"])
                     .toPandas()["url"])
         assert fa == fb and len(fa) > 0
+
+
+def test_compact_orderby_and_ranks_identical(spark, compacted):
+    """Round-5 readers over a compacted table: orderby_export and
+    column_rank_values agree exactly with the uncompacted original
+    (zone splits, bucketize, rowid math all ride the merged
+    manifest)."""
+    from arcade_spark.readops import column_rank_values, orderby_export
+
+    src, dest, pdf, _ = compacted
+    a = (orderby_export(spark, src, ["x", "url"], ["url", "x"], buckets=5)
+         .toPandas().sort_values("pos").reset_index(drop=True))
+    b = (orderby_export(spark, dest, ["x", "url"], ["url", "x"], buckets=5)
+         .toPandas().sort_values("pos").reset_index(drop=True))
+    assert list(a["url"]) == list(b["url"])
+    assert list(a["x"]) == list(b["x"])
+
+    ra = column_rank_values(spark, src, "x",
+                            quantiles=[0.1, 0.5, 0.9]).collect()
+    rb = column_rank_values(spark, dest, "x",
+                            quantiles=[0.1, 0.5, 0.9]).collect()
+    assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
