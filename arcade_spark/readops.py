@@ -1835,6 +1835,7 @@ def column_rank_values(
     quantiles: list[float] | None = None,
     preds: list[tuple] | None = None,
     buckets: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact order statistics WITHOUT a global sort (round-5): the
     value at each requested 0-based rank of ``ORDER BY column`` over
@@ -1877,6 +1878,12 @@ def column_rank_values(
         float_order_lane=True,
     )
     keyed_b = _bucketize_stream(keyed, kvts, is_str, splits, len(splits) + 1)
+    if persist:
+        # counts + targeted-bucket sorts both consume the stream (see
+        # orderby_export)
+        from pyspark import StorageLevel
+
+        keyed_b = keyed_b.persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = {
         r["bkt"]: r["cnt"]
@@ -1951,6 +1958,7 @@ def orderby_export(
     desc: bool = False,
     preds: list[tuple] | None = None,
     buckets: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """General ``SELECT project... FROM t [WHERE ...] ORDER BY
     order_cols [DESC]`` — the full-sort export (round-5; the reference
@@ -2021,6 +2029,15 @@ def orderby_export(
     )
     null_bucket = len(splits) + 1  # one past the last range bucket
     keyed_b = _bucketize_stream(keyed, kvts, first_str, splits, null_bucket)
+    if persist:
+        # the counts action and the sort action both consume the key
+        # stream; persisting the narrow (lanes, rid) rows (~tens of
+        # bytes/row — a few % of table size, same order as the shuffle
+        # files Spark's own orderBy writes) halves the decode work.
+        # Evicted/rebuilt transparently under memory pressure.
+        from pyspark import StorageLevel
+
+        keyed_b = keyed_b.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---- 3) per-bucket counts → global rank offsets ----
     counts = {
