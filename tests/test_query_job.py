@@ -105,3 +105,45 @@ def test_query_job_main_out(spark, tmp_path_factory):
     rc = qj.main(["--encoded", out, "--out", res, "topk", "--column", "x", "-k", "5"])
     assert rc == 0
     assert sorted(r["v"] for r in spark.read.parquet(res).collect()) == [15, 16, 17, 18, 19]
+
+
+def test_query_job_round5_subcommands(spark, tmp_path_factory):
+    """orderby / group-distinct / quantiles / join --how CLI paths."""
+    import arcade_spark.jobs.query_job as qj
+
+    src = spark.createDataFrame(
+        [(f"u{i:03d}", ["en", "de", "fr"][i % 3], i % 10, i) for i in range(60)],
+        "url string, lang string, g long, x long",
+    )
+    out = str(tmp_path_factory.mktemp("qj5") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=16)
+
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="orderby", encoded=out, columns="x", project="url,x", desc=False))
+    rows = sorted((r["pos"], r["x"]) for r in df.collect())
+    assert rows[0] == (0, 0) and rows[-1] == (59, 59)
+
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="group-distinct", encoded=out, columns="lang",
+        distinct_column="g"))
+    got = {r["lang"]: r["n_distinct"] for r in df.collect()}
+    assert got == {"en": 10, "de": 10, "fr": 10}
+
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="quantiles", encoded=out, column="x", q="0.5", ranks=None))
+    assert df.collect()[0]["v"] == 29  # floor(0.5*59)
+
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="quantiles", encoded=out, column="x", q=None, ranks="0,59"))
+    assert sorted(r["v"] for r in df.collect()) == [0, 59]
+
+    out2 = str(tmp_path_factory.mktemp("qj5") / "enc2")
+    encode_job(spark, spark.createDataFrame(
+        [(f"d{i}", i, f"L{i}") for i in range(5)],
+        "url2 string, k long, label string"),
+        out2, num_parts=1, block_rows=8, order_col="url2")
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="join", encoded=out, right=out2, key="g", right_key="k",
+        project="url", right_project="label", how="left"))
+    assert df.count() == 60
+    assert df.filter("label IS NULL").count() == 30  # g in 5..9 unmatched
