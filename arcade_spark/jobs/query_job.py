@@ -157,9 +157,8 @@ def build_query(spark, args):
 
         return join_encoded(
             spark, args.encoded, args.right,
-            args.key.split(",") if "," in args.key else args.key,
-            key_b=(args.right_key.split(",") if "," in (args.right_key or "")
-                   else args.right_key),
+            args.key.split(","),
+            key_b=args.right_key.split(",") if args.right_key else None,
             project_a=args.project.split(",") if args.project else None,
             project_b=args.right_project.split(",") if args.right_project else None,
             how=getattr(args, "how", "inner"),

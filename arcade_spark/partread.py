@@ -1002,6 +1002,17 @@ def key_rowid_parts(
                             if cols[kc] in ("double", "float"):
                                 from arcade_spark.bits import float_order_keys
 
+                                # canonicalize NaN payloads FIRST: a
+                                # sign-bit NaN (0xFFF8...) would map
+                                # below -inf; the contract is NaN
+                                # above +inf, one NaN class
+                                f = vvals.view(np.float64)
+                                if np.isnan(f).any():
+                                    vvals = np.where(
+                                        np.isnan(f),
+                                        np.int64(0x7FF8000000000000),
+                                        vvals,
+                                    )
                                 vvals = float_order_keys(vvals)
                             arrays.append(pa.array(
                                 vvals, type=pa.int64(),
@@ -2218,8 +2229,12 @@ def column_agg_parts(
     compensation across blocks in block order, parts folded in part_id
     order on the driver — so the result is deterministic across runs
     and cluster sizes, but only tolerance-comparable (≈1e-15 relative)
-    against other engines, which own different orders. Pick fixed for
-    cross-engine hashes, ieee for arbitrary-double fidelity."""
+    against other engines, which own different orders. Extrema follow
+    Spark's NaN-greatest contract layout-independently (any NaN ⇒ max
+    NaN; min NaN only if all NaN). Pick fixed for cross-engine hashes,
+    ieee for arbitrary-double fidelity. NOTE: ieee mode runs its scan
+    EAGERLY (the pinned fold happens at call time) and returns a wider
+    schema than fixed mode (adds min_v/max_v)."""
     from arcade_spark.core import decode_int_block
     from arcade_spark.schema import spark_type_for  # noqa: F401
 
@@ -2244,7 +2259,8 @@ def column_agg_parts(
                     cf = _ColFile(out_dir, int(pid), column)
                     s = 0.0
                     comp = 0.0  # Kahan compensation across blocks
-                    mn = mx = None
+                    mn = mx = None  # extrema over NON-NaN values
+                    has_nan = False
                     cnt_all = 0
                     cnt_col = 0
                     for rg in range(cf.pf.metadata.num_row_groups):
@@ -2276,18 +2292,30 @@ def column_agg_parts(
                                     # IEEE accumulation
                                     s = s + bs
                                     comp = 0.0
-                                bmn = float(np.min(f))
-                                bmx = float(np.max(f))
-                                mn = bmn if mn is None else min(mn, bmn)
-                                mx = bmx if mx is None else max(mx, bmx)
+                                # NaN-deterministic extrema (Spark's
+                                # NaN-greatest contract, layout-
+                                # independent): track NaN presence,
+                                # min/max over the non-NaN values
+                                nanmask = np.isnan(f)
+                                if nanmask.any():
+                                    has_nan = True
+                                    fv = f[~nanmask]
+                                else:
+                                    fv = f
+                                if len(fv):
+                                    bmn = float(np.min(fv))
+                                    bmx = float(np.max(fv))
+                                    mn = bmn if mn is None else min(mn, bmn)
+                                    mx = bmx if mx is None else max(mx, bmx)
                     yield pa.RecordBatch.from_arrays(
                         [pa.array([int(pid)], type=pa.int64()),
                          pa.array([s], type=pa.float64()),
                          pa.array([mn], type=pa.float64()),
                          pa.array([mx], type=pa.float64()),
+                         pa.array([bool(has_nan)], type=pa.bool_()),
                          pa.array([cnt_all], type=pa.int64()),
                          pa.array([cnt_col], type=pa.int64())],
-                        names=["pid", "s", "mn", "mx", "ca", "cc"],
+                        names=["pid", "s", "mn", "mx", "hn", "ca", "cc"],
                     )
 
         rows = (
@@ -2295,7 +2323,7 @@ def column_agg_parts(
             .mapInArrow(
                 ikernel,
                 schema="pid long, s double, mn double, mx double, "
-                       "ca long, cc long",
+                       "hn boolean, ca long, cc long",
             )
             .collect()
         )
@@ -2303,6 +2331,7 @@ def column_agg_parts(
         s = comp = 0.0
         ca = cc = 0
         mn = mx = None
+        any_nan = False
         for r in rows:
             if np.isfinite(r["s"]) and np.isfinite(s):
                 y = r["s"] - comp
@@ -2314,9 +2343,17 @@ def column_agg_parts(
                 comp = 0.0
             ca += r["ca"]
             cc += r["cc"]
+            any_nan = any_nan or bool(r["hn"])
             if r["mn"] is not None:
                 mn = r["mn"] if mn is None else min(mn, r["mn"])
                 mx = r["mx"] if mx is None else max(mx, r["mx"])
+        # Spark's NaN-greatest extrema contract, layout-independent:
+        # any NaN present => max is NaN; min is NaN only when every
+        # value is NaN
+        if any_nan:
+            mx = float("nan")
+            if mn is None:
+                mn = float("nan")
         avg = (s / float(cc)) if cc else None
         return spark.createDataFrame(
             [(s if cc else None, mn, mx, ca, cc, avg)],

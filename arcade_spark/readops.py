@@ -1859,6 +1859,8 @@ def column_rank_values(
 
     if (ranks is None) == (quantiles is None):
         raise ValueError("pass exactly one of ranks= / quantiles=")
+    if not (ranks if ranks is not None else quantiles):
+        raise ValueError("ranks/quantiles must be non-empty")
     all_cols, parts = load_manifest(out_dir)
     cols = dict(all_cols)
     vt = cols.get(column)
@@ -1947,7 +1949,10 @@ def column_rank_values(
         v_out = F.col("v").cast(spark_type_for(vt))
     else:
         v_out = _group_key_out(F.col("v"), vt)
-    return sel.select("pos", v_out.alias("v"))
+    result = sel.select("pos", v_out.alias("v"))
+    if persist:
+        result._arcade_key_cache = keyed_b  # see orderby_export
+    return result
 
 
 def orderby_export(
@@ -2078,10 +2083,17 @@ def orderby_export(
     mat = materialize_rowids_parts(
         spark, out_dir, sorted_ids.select("rid"), list(project)
     )
-    return (
+    result = (
         sorted_ids.join(mat, sorted_ids["rid"] == mat["row_id"])
         .select("pos", *project)
     )
+    if persist:
+        # hand the cache handle to the caller: long-lived sessions
+        # issuing many sorts should `df._arcade_key_cache.unpersist()`
+        # after consuming the result (eviction also reclaims it under
+        # memory pressure)
+        result._arcade_key_cache = keyed_b
+    return result
 
 
 def group_count_distinct(

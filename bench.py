@@ -250,17 +250,26 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # per-bucket sorts, global rank, late-materialized projection
     from arcade_spark.readops import orderby_export
 
-    timed("orderby_lineitem", lambda: orderby_export(
+    def _sorted_run(fn):
+        df = fn()
+        n = df.count()
+        cache = getattr(df, "_arcade_key_cache", None)
+        if cache is not None:
+            cache.unpersist()  # release the per-run key-stream cache
+        return n
+
+    timed("orderby_lineitem", lambda: _sorted_run(lambda: orderby_export(
         spark, li_enc, ["l_shipdate", "l_orderkey", "l_linenumber"],
-        ["l_orderkey", "l_linenumber", "l_shipdate"]).count())
+        ["l_orderkey", "l_linenumber", "l_shipdate"])))
 
     # exact order statistics without a global sort: only the buckets
     # holding the target ranks sort their narrow key streams
     from arcade_spark.readops import column_rank_values
 
-    timed("quantiles_extprice", lambda: column_rank_values(
-        spark, li_enc, "l_extendedprice",
-        quantiles=[0.25, 0.5, 0.75, 0.99]).count())
+    timed("quantiles_extprice", lambda: _sorted_run(
+        lambda: column_rank_values(
+            spark, li_enc, "l_extendedprice",
+            quantiles=[0.25, 0.5, 0.75, 0.99])))
 
     # join-skew evidence (round-5): Zipfian fact keys (one key owns 25%
     # of rows) vs a uniform twin of identical size — the narrow

@@ -143,3 +143,48 @@ def test_sumprod_safe_product_unaffected(spark, wrap_table):
     # 4 rows · (2^32 · 50) / (100·100)
     assert got[0]["p"] == float(4 * (2 ** 32) * 50) / 10000.0
     assert got[0]["cnt"] == 4
+
+
+def test_orderby_negative_sign_nan_sorts_last(spark, tmp_path_factory):
+    """Review finding (round-5): a SIGN-BIT NaN (copysign(nan, -1))
+    must sort with the other NaNs above +inf, not below -inf — NaN
+    payloads canonicalize before the order-key map."""
+    from arcade_spark.readops import orderby_export
+
+    vals = [1.5, float("-inf"), math.copysign(math.nan, -1.0),
+            -2.5, float("inf"), math.nan, 0.0]
+    src = spark.createDataFrame(
+        [(f"u{i}", v) for i, v in enumerate(vals)], "url string, v double"
+    )
+    out = str(tmp_path_factory.mktemp("nans") / "enc")
+    encode_job(spark, src, out, num_parts=1, block_rows=4)
+    got = (
+        orderby_export(spark, out, ["v", "url"], ["url", "v"], buckets=3)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    vs = got["v"].to_numpy()
+    # order: -inf, -2.5, 0.0, 1.5, +inf, then BOTH NaNs last
+    assert vs[0] == float("-inf") and vs[4] == float("inf")
+    assert np.isnan(vs[5]) and np.isnan(vs[6])
+
+
+def test_ieee_agg_nan_extrema_layout_independent(spark, tmp_path_factory):
+    """Review finding (round-5): NaN in one partition must give the
+    same min/max regardless of which partition holds it — Spark's
+    NaN-greatest contract (max=NaN when any NaN; min over non-NaN)."""
+    from arcade_spark.readops import column_agg
+
+    for flip in (False, True):
+        rows = [(f"u{i}", float(i)) for i in range(10)]
+        nan_at = 0 if flip else 9
+        rows[nan_at] = (rows[nan_at][0], math.nan)
+        src = spark.createDataFrame(rows, "url string, v double")
+        out = str(tmp_path_factory.mktemp(f"inan{flip}") / "enc")
+        # order_col pins NaN into the first or last partition
+        encode_job(spark, src, out, num_parts=2, block_rows=2,
+                   order_col="url")
+        r = column_agg(spark, out, "v", mode="ieee").collect()[0]
+        assert math.isnan(r["max_v"]), flip
+        good = [float(i) for i in range(10) if i != nan_at]
+        assert r["min_v"] == min(good), flip
+        assert math.isnan(r["sum_v"])  # IEEE: NaN poisons the sum
