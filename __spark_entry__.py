@@ -33,6 +33,19 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED = True
 
 
+def _streaming_rev() -> str:
+    """Fingerprint of the streaming module's SOURCE — folded into the
+    materialized-stream cache keys so a logic change can never reuse a
+    stale result (the correctness harness would then be validating old
+    code's output) while FORMAT_REV alone stays unchanged."""
+    import hashlib
+
+    import arcade_spark.streaming as _st
+
+    with open(_st.__file__, "rb") as fh:
+        return hashlib.md5(fh.read()).hexdigest()[:10]
+
+
 def _encoded_dir(spark: SparkSession, sf_dir: str, table: str, order_col: str,
                  num_parts: int = 4) -> str:
     """Encode a testdata table once per (sf_dir, table); resume makes
@@ -647,7 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
         base = os.path.join(
             tempfile.gettempdir(), f"arcade_entry_cache_v{FORMAT_REV}", key,
-            "dedup-stream",
+            f"dedup-stream-{_streaming_rev()}",
         )
         inp = os.path.join(base, "in")
         outp = os.path.join(base, "out")
@@ -700,7 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
         base = os.path.join(
             tempfile.gettempdir(), f"arcade_entry_cache_v{FORMAT_REV}", key,
-            "window-stream",
+            f"window-stream-{_streaming_rev()}",
         )
         inp = os.path.join(base, "in")
         outp = os.path.join(base, "out")

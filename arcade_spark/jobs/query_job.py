@@ -280,6 +280,11 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {args.out}")
     else:
         df.show(args.limit, truncate=80)
+    # release any key-stream cache a sort/rank query persisted — the
+    # action above already consumed it
+    from arcade_spark.readops import release_key_caches
+
+    release_key_caches()
     return 0
 
 

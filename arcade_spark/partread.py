@@ -1667,6 +1667,16 @@ def compile_agg_specs(
             terms = [tuple(t) for t in arg]
         else:
             raise ValueError(f"unknown agg kind: {kind!r}")
+        for _c, m, a in terms:
+            # spec-constant sanity: the kernel's float-domain overflow
+            # guard checks |m·q| and |a + m·q| before each exact int64
+            # op, but a constant at/past 2^62 could cancel a wrapped
+            # product inside one check — reject it outright
+            if abs(int(m)) >= 2 ** 62 or abs(int(a)) >= 2 ** 62:
+                raise ValueError(
+                    "multi-agg affine constants must satisfy "
+                    f"|m|, |a| < 2^62: got m={m}, a={a}"
+                )
         div = 1
         col_vt = None
         for col, _m, _a in terms:
@@ -1891,7 +1901,19 @@ def filter_group_by_multi_partials(
                         any_live = bool(smask.any())
                         for c, m, a in sp["terms"]:
                             q = qcache[c][0]
-                            t_f = float(a) + float(m) * q.astype(np.float64)
+                            mq_f = float(m) * q.astype(np.float64)
+                            if any_live and (
+                                np.abs(mq_f[smask]) >= 2.0 ** 62
+                            ).any():
+                                # check the PRODUCT too, not just the
+                                # affine result: a large |a| of opposite
+                                # sign would cancel a wrapped m·q in the
+                                # combined estimate
+                                raise ValueError(
+                                    "multi-agg affine term overflows int64: "
+                                    "|m·q| must stay < 2^62"
+                                )
+                            t_f = float(a) + mq_f
                             if any_live and (
                                 np.abs(t_f[smask]) >= 2.0 ** 62
                             ).any():

@@ -40,6 +40,31 @@ from arcade_spark.gdict import GlobalDictDecoder
 from arcade_spark.schema import spark_type_for
 
 
+# key-stream caches persisted by orderby_export / column_rank_values,
+# released by release_key_caches(). Each new sort/rank call releases the
+# previous entries first, so a long-lived session holds at most ONE
+# persisted key stream at a time (interleave two sorts and the earlier
+# one recomputes — correctness is unaffected, persist is a pure hint).
+_KEY_CACHES: list[DataFrame] = []
+
+
+def release_key_caches() -> None:
+    """Unpersist every registered key-stream cache. Called automatically
+    at the start of each orderby_export / column_rank_values call and by
+    the query-job CLI after its action; call it yourself after consuming
+    a sort/rank result in a long-lived session."""
+    while _KEY_CACHES:
+        df = _KEY_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def _register_key_cache(df: DataFrame) -> None:
+    _KEY_CACHES.append(df)
+
+
 def _meta_from_row(row) -> dict:
     return {
         "codec": row.codec,
@@ -1885,7 +1910,9 @@ def column_rank_values(
         # orderby_export)
         from pyspark import StorageLevel
 
+        release_key_caches()  # at most one outstanding per session
         keyed_b = keyed_b.persist(StorageLevel.MEMORY_AND_DISK)
+        _register_key_cache(keyed_b)
 
     counts = {
         r["bkt"]: r["cnt"]
@@ -2042,7 +2069,9 @@ def orderby_export(
         # Evicted/rebuilt transparently under memory pressure.
         from pyspark import StorageLevel
 
+        release_key_caches()  # at most one outstanding per session
         keyed_b = keyed_b.persist(StorageLevel.MEMORY_AND_DISK)
+        _register_key_cache(keyed_b)
 
     # ---- 3) per-bucket counts → global rank offsets ----
     counts = {
@@ -2088,10 +2117,9 @@ def orderby_export(
         .select("pos", *project)
     )
     if persist:
-        # hand the cache handle to the caller: long-lived sessions
-        # issuing many sorts should `df._arcade_key_cache.unpersist()`
-        # after consuming the result (eviction also reclaims it under
-        # memory pressure)
+        # handle kept for callers that release eagerly (bench.py);
+        # otherwise the NEXT sort/rank call — or release_key_caches() —
+        # reclaims it, so sessions never accumulate cached streams
         result._arcade_key_cache = keyed_b
     return result
 
