@@ -796,6 +796,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             how="left",
         )
 
+    def arcade_join_multi(spark, sf_dir):
+        """COMPOSITE-key encoded join (round-6 driver exposure of the
+        round-5 path): lineitem self-join on (l_orderkey, l_linenumber)
+        — each key component ships its own narrow lane, a key is null
+        if ANY component is. The key is unique, so the join is 1:1 and
+        the B-side predicate decides survival."""
+        _ship_package(spark)
+        from arcade_spark.readops import join_encoded
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        return join_encoded(
+            spark, out_li, out_li,
+            ["l_orderkey", "l_linenumber"],
+            project_a=["l_quantity"],
+            project_b=["l_extendedprice"],
+            preds_b=[("range", "l_quantity", 1.0, 25.0)],
+        )
+
+    def arcade_join_right(spark, sf_dir):
+        """RIGHT outer encoded join: unmatched orders survive with null
+        lineitem projections — the unmatched set is an ANTI join on the
+        key streams (key-only extra shuffle, no payload). Lineitem side
+        filtered so most orders go unmatched."""
+        _ship_package(spark)
+        from arcade_spark.readops import join_encoded
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        out_or = _encoded_dir(spark, sf_dir, "orders", "o_orderkey")
+        return join_encoded(
+            spark, out_li, out_or, "l_orderkey", "o_orderkey",
+            project_a=["l_linenumber"],
+            project_b=["o_orderpriority"],
+            preds_a=[("range", "l_quantity", 1.0, 10.0)],
+            how="right",
+        )
+
+    def arcade_join_full(spark, sf_dir):
+        """FULL outer encoded join with predicates on BOTH sides: each
+        side's unmatched set is preserved via its own anti join; the
+        output key is COALESCE(a.k, b.k) as in a USING join."""
+        _ship_package(spark)
+        from arcade_spark.readops import join_encoded
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        out_or = _encoded_dir(spark, sf_dir, "orders", "o_orderkey")
+        return join_encoded(
+            spark, out_li, out_or, "l_orderkey", "o_orderkey",
+            project_a=["l_linenumber"],
+            project_b=["o_orderpriority"],
+            preds_a=[("range", "l_quantity", 1.0, 10.0)],
+            preds_b=[("eq", "o_orderpriority", "1-URGENT")],
+            how="full",
+        )
+
     def arcade_q3(spark, sf_dir):
         """Fused join+aggregate (round-5) — the TPC-H Q3 shape:
         revenue = Σ l_extendedprice·(1−l_discount) per o_orderpriority
@@ -996,6 +1050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_topk_text": arcade_topk_text,
         "arcade_join": arcade_join,
         "arcade_join_left": arcade_join_left,
+        "arcade_join_multi": arcade_join_multi,
+        "arcade_join_right": arcade_join_right,
+        "arcade_join_full": arcade_join_full,
         "arcade_q3": arcade_q3,
         "arcade_q4": arcade_q4,
         "arcade_window_stream": arcade_window_stream,
@@ -1432,6 +1489,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem LEFT JOIN (SELECT * FROM orders "
             "WHERE o_orderpriority = '1-URGENT') o "
             "ON l_orderkey = o_orderkey"
+        ),
+        "arcade_join_multi": (
+            "SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, "
+            "b.l_extendedprice "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_linenumber = b.l_linenumber "
+            "WHERE b.l_quantity BETWEEN 1.0 AND 25.0"
+        ),
+        "arcade_join_right": (
+            "SELECT o_orderkey AS l_orderkey, l_linenumber, "
+            "o_orderpriority FROM (SELECT * FROM lineitem "
+            "WHERE l_quantity BETWEEN 1.0 AND 10.0) l "
+            "RIGHT JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "arcade_join_full": (
+            "SELECT COALESCE(l.l_orderkey, o.o_orderkey) AS l_orderkey, "
+            "l_linenumber, o_orderpriority "
+            "FROM (SELECT * FROM lineitem "
+            "WHERE l_quantity BETWEEN 1.0 AND 10.0) l "
+            "FULL JOIN (SELECT * FROM orders "
+            "WHERE o_orderpriority = '1-URGENT') o "
+            "ON l.l_orderkey = o.o_orderkey"
         ),
         "arcade_q3": (
             # the engine's exact fixed-point arithmetic replayed in SQL:
