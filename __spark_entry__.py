@@ -592,6 +592,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             preds=[("range", "l_quantity", 1.0, 10.0)],
         )
 
+    def arcade_orderby_mixed(spark, sf_dir):
+        """Mixed per-key ORDER BY directions (round-6): l_shipdate
+        DESC, l_orderkey ASC, l_linenumber DESC — range buckets replay
+        in reverse for the leading DESC key, the within-bucket Arrow
+        sort runs the real direction mix, and every key sorts NULLS
+        LAST (one global Arrow null placement realizes the mix)."""
+        _ship_package(spark)
+        from arcade_spark.readops import orderby_export
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        return orderby_export(
+            spark, out,
+            ["l_shipdate", "l_orderkey", "l_linenumber"],
+            ["l_orderkey", "l_linenumber", "l_shipdate"],
+            desc=[True, False, True],
+        )
+
     def arcade_quantiles(spark, sf_dir):
         """Exact order statistics WITHOUT a global sort (round-5):
         values at the p25/p50/p75/p99 ranks of l_extendedprice — zone
@@ -1058,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_window_stream": arcade_window_stream,
         "arcade_orderby": arcade_orderby,
         "arcade_orderby_double": arcade_orderby_double,
+        "arcade_orderby_mixed": arcade_orderby_mixed,
         "arcade_quantiles": arcade_quantiles,
         "arcade_group_distinct": arcade_group_distinct,
         "arcade_group_minmax_ts": arcade_group_minmax_ts,
@@ -1423,6 +1441,13 @@ def oracle_sql() -> dict[str, str]:
             "l_orderkey, l_linenumber) - 1 AS BIGINT) AS pos, "
             "l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
             "WHERE l_quantity BETWEEN 1.0 AND 10.0"
+        ),
+        "arcade_orderby_mixed": (
+            # mixed-direction contract: every key NULLS LAST
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY "
+            "l_shipdate DESC NULLS LAST, l_orderkey ASC NULLS LAST, "
+            "l_linenumber DESC NULLS LAST) - 1 AS BIGINT) AS pos, "
+            "l_orderkey, l_linenumber, l_shipdate FROM lineitem"
         ),
         "arcade_quantiles": (
             # rank = floor(q*(n-1)): both engines compute the same

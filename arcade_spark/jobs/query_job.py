@@ -166,9 +166,13 @@ def build_query(spark, args):
     if args.cmd == "orderby":
         from arcade_spark.readops import orderby_export
 
+        desc: bool | list[bool] = args.desc
+        if getattr(args, "directions", None):
+            desc = [d.strip().lower() == "desc"
+                    for d in args.directions.split(",")]
         return orderby_export(
             spark, args.encoded, args.columns.split(","),
-            proj or args.columns.split(","), desc=args.desc,
+            proj or args.columns.split(","), desc=desc,
         )
     if args.cmd == "group-distinct":
         from arcade_spark.readops import group_count_distinct
@@ -256,6 +260,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated ORDER BY columns")
     ob.add_argument("--project", default=None)
     ob.add_argument("--desc", action="store_true")
+    ob.add_argument("--directions", default=None,
+                    help="per-key direction mix, e.g. desc,asc "
+                         "(every key NULLS LAST)")
 
     gd = sub.add_parser("group-distinct")
     gd.add_argument("--columns", required=True,

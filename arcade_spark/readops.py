@@ -1987,7 +1987,7 @@ def orderby_export(
     out_dir: str,
     order_cols: list[str] | str,
     project: list[str],
-    desc: bool = False,
+    desc: bool | list[bool] = False,
     preds: list[tuple] | None = None,
     buckets: int | None = None,
     persist: bool = True,
@@ -2019,11 +2019,17 @@ def orderby_export(
 
     Ordering contract: ascending sorts nulls LAST; ``desc=True`` is
     the exact reverse (nulls first) — state NULLS FIRST/LAST
-    explicitly in cross-engine SQL. Ties beyond ``order_cols`` break
-    by encoded-table rowid (deterministic); pass a unique trailing
-    order column to pin cross-engine total order. Double/float order
-    columns sort via their order-preserving int64 keys
-    (bits.float_order_keys — NaN above +inf, -0.0 just before 0.0)."""
+    explicitly in cross-engine SQL. ``desc`` may also be a LIST of
+    per-key directions (round-6, ``ORDER BY a ASC, b DESC``): in that
+    mode EVERY key sorts nulls LAST (Arrow's null placement is
+    positional per key, so one global at_end placement realizes any
+    direction mix — the SQL twin is ``ASC/DESC NULLS LAST`` on each
+    key) and ties break by rowid ASCENDING. Ties beyond ``order_cols``
+    break by encoded-table rowid (deterministic); pass a unique
+    trailing order column to pin cross-engine total order.
+    Double/float order columns sort via their order-preserving int64
+    keys (bits.float_order_keys — NaN above +inf, -0.0 just before
+    0.0)."""
     import pyarrow as pa
     from arcade_spark.partread import (
         _ColFile,
@@ -2036,6 +2042,16 @@ def orderby_export(
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
+    if isinstance(desc, (list, tuple)):
+        dirs = [bool(d) for d in desc]
+        if len(dirs) != len(order_cols):
+            raise ValueError(
+                f"desc list length {len(dirs)} != {len(order_cols)} order columns"
+            )
+        mixed = True
+    else:
+        dirs = [bool(desc)] * len(order_cols)
+        mixed = False
     all_cols, parts = load_manifest(out_dir)
     cols = dict(all_cols)
     for c in order_cols + list(project):
@@ -2079,7 +2095,13 @@ def orderby_export(
         for r in keyed_b.groupBy("bkt").agg(F.count("*").alias("cnt")).collect()
     }
     order = sorted(counts)  # asc: range buckets then null bucket (last)
-    if desc:
+    if mixed:
+        if dirs[0]:
+            # first key descending, NULLS LAST: reverse the range
+            # buckets but keep the null bucket at the end
+            rb = [b for b in order if b != null_bucket]
+            order = rb[::-1] + ([null_bucket] if null_bucket in counts else [])
+    elif dirs[0]:
         order = order[::-1]  # exact reverse: nulls first
     offsets: dict[int, int] = {}
     acc = 0
@@ -2087,11 +2109,20 @@ def orderby_export(
         offsets[b] = acc
         acc += counts[b]
 
-    sort_keys = [
-        (f"k{i}", "descending" if desc else "ascending")
-        for i in range(len(order_cols))
-    ] + [("rid", "descending" if desc else "ascending")]
-    placement = "at_start" if desc else "at_end"
+    if mixed:
+        # per-key direction, one global NULLS LAST placement, rid
+        # tiebreak ascending (deterministic regardless of the mix)
+        sort_keys = [
+            (f"k{i}", "descending" if dirs[i] else "ascending")
+            for i in range(len(order_cols))
+        ] + [("rid", "ascending")]
+        placement = "at_end"
+    else:
+        sort_keys = [
+            (f"k{i}", "descending" if dirs[0] else "ascending")
+            for i in range(len(order_cols))
+        ] + [("rid", "descending" if dirs[0] else "ascending")]
+        placement = "at_start" if dirs[0] else "at_end"
 
     def sort_bucket(key: tuple, tbl: pa.Table) -> pa.Table:
         b = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])

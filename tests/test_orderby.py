@@ -200,3 +200,88 @@ def test_column_rank_values_double(spark, tmp_path_factory):
         ).collect()
     }
     assert got == {0: vals[0], 399: vals[399], 799: vals[799]}
+
+
+def test_orderby_mixed_first_asc(spark, ob_table):
+    """desc as a LIST (round-6): ORDER BY x ASC, url DESC — unique
+    tuple via url; the per-key NULLS LAST contract matches pandas
+    na_position='last'."""
+    out, pdf = ob_table
+    got = (
+        orderby_export(spark, out, ["x", "url"], ["url", "x", "qty"],
+                       desc=[False, True], buckets=7)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    want = (
+        pdf.sort_values(["x", "url"], ascending=[True, False],
+                        na_position="last")
+        .reset_index(drop=True)
+    )
+    assert list(got["pos"]) == list(range(len(want)))
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["qty"]) == list(want["qty"])
+    nn = want["x"].notna().sum()
+    assert got["x"].iloc[:nn].notna().all() and got["x"].iloc[nn:].isna().all()
+
+
+def test_orderby_mixed_first_desc_binary(spark, ob_table):
+    """First key DESCENDING on a BINARY column with a second ascending
+    key: range buckets replay in reverse, null bucket stays last (none
+    here — url is non-null), within-bucket Arrow sort runs the real
+    direction mix."""
+    out, pdf = ob_table
+    got = (
+        orderby_export(spark, out, ["s", "url"], ["url", "s"],
+                       desc=[True, False], buckets=6)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    want = (
+        pdf.sort_values(["s", "url"], ascending=[False, True],
+                        na_position="last")
+        .reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["s"]) == list(want["s"])
+
+
+def test_orderby_mixed_first_desc_int_nulls(spark, ob_table):
+    """First key DESC over an int column WITH nulls: contract is NULLS
+    LAST (vs legacy desc=True bool which reverses exactly → nulls
+    first). Unique tuple via trailing url."""
+    out, pdf = ob_table
+    got = (
+        orderby_export(spark, out, ["x", "url"], ["url", "x"],
+                       desc=[True, True], buckets=7)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    want = (
+        pdf.sort_values(["x", "url"], ascending=[False, False],
+                        na_position="last")
+        .reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(want["url"])
+    nn = want["x"].notna().sum()
+    assert got["x"].iloc[:nn].notna().all() and got["x"].iloc[nn:].isna().all()
+    # legacy bool desc=True on the same query: nulls FIRST (exact
+    # reverse contract) — both contracts stay available
+    got_legacy = (
+        orderby_export(spark, out, ["x", "url"], ["url", "x"],
+                       desc=True, buckets=7)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    n_null = pdf["x"].isna().sum()
+    assert got_legacy["x"].iloc[:n_null].isna().all()
+
+
+def test_orderby_mixed_all_false_equals_asc(spark, ob_table):
+    out, pdf = ob_table
+    a = (
+        orderby_export(spark, out, ["s", "url"], ["url"], buckets=5)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    b = (
+        orderby_export(spark, out, ["s", "url"], ["url"],
+                       desc=[False, False], buckets=5)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    assert list(a["url"]) == list(b["url"])
