@@ -650,6 +650,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ("cnt", "count", None)],
         )
 
+    def arcade_group_minmax_str(spark, sf_dir):
+        """MIN/MAX over a STRING aggregate column (round-6): global
+        dict codes are not order-preserving, so the fused kernel ranks
+        each block's USED dictionary entries by value and ships a
+        binary lane through the partials; the merge is Spark's
+        lexicographic binary min/max — same byte order as DuckDB's
+        default collation."""
+        _ship_package(spark)
+        from arcade_spark.readops import group_by_multi
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return group_by_multi(
+            spark, out, ["lang"],
+            [("min_text", "min", "text"), ("max_text", "max", "text"),
+             ("cnt", "count", None)],
+        )
+
     def arcade_sum_avg_double(spark, sf_dir):
         """column_agg over a DOUBLE column (fixed-point lane): exact
         integer partials, single-IEEE-division outputs."""
@@ -1079,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_quantiles": arcade_quantiles,
         "arcade_group_distinct": arcade_group_distinct,
         "arcade_group_minmax_ts": arcade_group_minmax_ts,
+        "arcade_group_minmax_str": arcade_group_minmax_str,
         "arcade_dedup_stream": arcade_dedup_stream,
         "arcade_codec_report": arcade_codec_report,
         # ---- training-data pipeline operators ----
@@ -1475,6 +1493,13 @@ def oracle_sql() -> dict[str, str]:
             "max(l_shipdate) AS last_ship, count(*) AS cnt "
             "FROM lineitem WHERE l_linestatus = 'F' "
             "GROUP BY l_returnflag"
+        ),
+        "arcade_group_minmax_str": (
+            # DuckDB's default collation is binary — same byte order
+            # as the engine's binary lane
+            "SELECT lang, min(text) AS min_text, max(text) AS max_text, "
+            "count(*) AS cnt FROM documents WHERE lang IS NOT NULL "
+            "GROUP BY lang"
         ),
         "arcade_sum_avg_double": (
             "SELECT CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS "

@@ -1687,10 +1687,14 @@ def compile_agg_specs(
             if vt not in _AGG_VTS:
                 # MIN/MAX over ts/date/bool are real queries and the
                 # int64 lane already carries them (micros / days / 0-1)
-                # with order preserved; sums stay meaningless and
-                # rejected
+                # with order preserved; MIN/MAX over str/binary ride a
+                # BINARY lane (round-6): global dict codes are NOT
+                # order-preserving, so the kernel compares VALUES of
+                # used dictionary entries per block and the merge is a
+                # lexicographic binary min/max. Sums stay meaningless
+                # and rejected.
                 if kind in ("min", "max") and vt in (
-                    "ts", "tsntz", "date", "bool"
+                    "ts", "tsntz", "date", "bool", "str", "binary"
                 ):
                     continue
                 raise NotImplementedError(f"multi-agg {_AGG_GUARD}")
@@ -1698,6 +1702,12 @@ def compile_agg_specs(
         out.append({"name": name, "kind": kind, "terms": terms, "div": div,
                     "vt": col_vt})
     return out
+
+
+def _bin_spec(sp: dict) -> bool:
+    """True for a MIN/MAX spec over a str/binary column — the binary
+    value lane through the multi-agg partials (round-6)."""
+    return sp["kind"] in ("min", "max") and sp.get("vt") in ("str", "binary")
 
 
 def filter_group_by_multi_partials(
@@ -1733,7 +1743,14 @@ def filter_group_by_multi_partials(
             raise KeyError(f"no such column: {g}")
         vts.append(cols[g])
     cspecs = compile_agg_specs(agg_specs, cols, agg_scale)
-    needed = sorted({c for sp in cspecs for c, _m, _a in sp["terms"]})
+    # str/binary MIN/MAX specs ride a binary VALUE lane, not the int64
+    # quantized lane (global dict codes are not order-preserving)
+    bin_cols = sorted({
+        sp["terms"][0][0] for sp in cspecs if _bin_spec(sp)
+    })
+    needed = sorted(
+        {c for sp in cspecs for c, _m, _a in sp["terms"]} - set(bin_cols)
+    )
     live = [i for i, sp in enumerate(cspecs) if sp["kind"] != "count"]
 
     def _compile_conj(spec: list[tuple[str, tuple]]) -> list:
@@ -1795,16 +1812,22 @@ def filter_group_by_multi_partials(
                 acf = {c: p_cfs.get(c) or _ColFile(out_dir, int(pid), c)
                        for c in needed if c not in gcf}
                 acm = {c: (p_cms.get(c) or acf[c].meta()) for c in acf}
+                # binary min/max agg columns not already decoded as
+                # group keys need their own dict-replay state
+                bcf = {c: p_cfs.get(c) or _ColFile(out_dir, int(pid), c)
+                       for c in bin_cols if c not in gcf}
+                bcm = {c: (p_cms.get(c) or bcf[c].meta()) for c in bcf}
                 for g in group_cols:
                     if gcm[g].n != nb:
                         raise ValueError(
                             f"column {g!r}: block count mismatch in part {pid}"
                         )
-                for c in acm:
-                    if acm[c].n != nb:
-                        raise ValueError(
-                            f"column {c!r}: block count mismatch in part {pid}"
-                        )
+                for cms_x in (acm, bcm):
+                    for c in cms_x:
+                        if cms_x[c].n != nb:
+                            raise ValueError(
+                                f"column {c!r}: block count mismatch in part {pid}"
+                            )
                 rng = np.arange(nb)
                 gblobs = {g: gcf[g].payloads(midx, "blob") for g in group_cols}
                 gsegs = {}
@@ -1815,7 +1838,15 @@ def filter_group_by_multi_partials(
                         )[0]
                         gsegs[g] = gcf[g].payloads(seg_rows, "seg")
                 ablobs = {c: acf[c].payloads(midx, "blob") for c in acf}
+                bblobs = {c: bcf[c].payloads(midx, "blob") for c in bcf}
+                bsegs = {}
+                for c in bcf:
+                    seg_rows = np.nonzero(
+                        (bcm[c].stateful | matched_mask) & (rng <= last_m)
+                    )[0]
+                    bsegs[c] = bcf[c].payloads(seg_rows, "seg")
                 gdecs = {g: GlobalDictDecoder() for g in group_cols}
+                bdecs = {c: GlobalDictDecoder() for c in bcf}
 
                 for b in range(last_m + 1):
                     if not matched_mask[b]:
@@ -1825,9 +1856,15 @@ def filter_group_by_multi_partials(
                                     gcm[g].meta_dict(b, gsegs[g].get(b, b"")),
                                     gdecs[g],
                                 )
+                        for c in bcf:
+                            replay_str_block(
+                                bcm[c].meta_dict(b, bsegs[c].get(b, b"")),
+                                bdecs[c],
+                            )
                         continue
                     pos = pos_of[b]
                     key_codes, resolvers = [], []
+                    str_dec: dict[str, tuple] = {}
                     cmask = None
                     for g, vt in zip(group_cols, vts):
                         if vt in ("str", "binary"):
@@ -1835,6 +1872,9 @@ def filter_group_by_multi_partials(
                             codes, gvalid, resolve = _str_chunk_codes(
                                 gdecs[g], gblobs[g][b], meta
                             )
+                            # a binary min/max spec over a group column
+                            # reuses this decode (replay runs ONCE)
+                            str_dec[g] = (codes, gvalid, resolve)
                         else:
                             ib = decode_int_block(
                                 gblobs[g][b], gcm[g].meta_dict(b)
@@ -1853,6 +1893,11 @@ def filter_group_by_multi_partials(
                         if gvalid is not None:
                             gv_pos = gvalid[pos]
                             cmask = gv_pos if cmask is None else (cmask & gv_pos)
+                    for c in bcf:
+                        str_dec[c] = _str_chunk_codes(
+                            bdecs[c], bblobs[c][b],
+                            bcm[c].meta_dict(b, bsegs[c].get(b, b"")),
+                        )
                     n = len(pos)
                     if cmask is None:
                         cmask = np.ones(n, dtype=bool)
@@ -1882,6 +1927,43 @@ def filter_group_by_multi_partials(
                     spec_sums, spec_cnts = [], []
                     for i in live:
                         sp = cspecs[i]
+                        if _bin_spec(sp):
+                            # binary MIN/MAX: rank the USED dictionary
+                            # entries by VALUE (codes are not order-
+                            # preserving), take per-group extremal rank
+                            c = sp["terms"][0][0]
+                            codes_c, valid_c, resolve_c = str_dec[c]
+                            sel = codes_c.astype(np.int64)[pos]
+                            vmask = (cmask if valid_c is None
+                                     else (cmask & valid_c[pos]))
+                            spec_cnts.append(
+                                np.bincount(inv[vmask], minlength=width)
+                            )
+                            if vmask.any():
+                                sub = sel[vmask]
+                                uniqc, subinv = np.unique(
+                                    sub, return_inverse=True
+                                )
+                                varr = np.asarray(
+                                    list(resolve_c(uniqc)), dtype=object
+                                )
+                                order = np.argsort(varr)
+                                rank = np.empty(len(uniqc), dtype=np.int64)
+                                rank[order] = np.arange(len(uniqc))
+                                r = rank[subinv]
+                                if sp["kind"] == "min":
+                                    extr = np.full(width, len(uniqc),
+                                                   dtype=np.int64)
+                                    np.minimum.at(extr, inv[vmask], r)
+                                else:
+                                    extr = np.full(width, -1, dtype=np.int64)
+                                    np.maximum.at(extr, inv[vmask], r)
+                                sv = varr[order]
+                            else:
+                                extr = np.full(width, -1, dtype=np.int64)
+                                sv = np.zeros(0, dtype=object)
+                            spec_sums.append((extr, sv))
+                            continue
                         # SQL agg null semantics: a row feeds the spec iff
                         # every referenced column is valid there
                         smask = cmask
@@ -1965,7 +2047,15 @@ def filter_group_by_multi_partials(
                                 vals.astype(np.int64), type=pa.int64()))
                     names = [f"k{i}" for i in range(len(group_cols))]
                     for j, i in enumerate(live):
-                        if cspecs[i]["kind"] in ("min", "max"):
+                        if _bin_spec(cspecs[i]):
+                            extr, sv = spec_sums[j]
+                            eu = extr[used]
+                            arrays.append(pa.array(
+                                [(sv[e] if 0 <= e < len(sv) else None)
+                                 for e in eu],
+                                type=pa.binary(),
+                            ))
+                        elif cspecs[i]["kind"] in ("min", "max"):
                             # null-mask empty groups so extremum
                             # sentinels never merge
                             arrays.append(pa.array(
@@ -1989,7 +2079,10 @@ def filter_group_by_multi_partials(
 
     ddl = ", ".join(
         [f"k{i} {lane(vt)}" for i, vt in enumerate(vts)]
-        + [x for i in live for x in (f"s{i} long", f"c{i} long")]
+        + [x for i in live for x in (
+            f"s{i} {'binary' if _bin_spec(cspecs[i]) else 'long'}",
+            f"c{i} long",
+        )]
         + ["c long"]
     )
     return (

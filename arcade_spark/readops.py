@@ -1678,10 +1678,12 @@ def filter_group_by_multi(
         else:
             s = F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}"))
         if kind in ("min", "max") and sp.get("vt") in (
-            "ts", "tsntz", "date", "bool"
+            "ts", "tsntz", "date", "bool", "str", "binary"
         ):
-            # ts/date/bool extrema ride the int64 lane; restore the
-            # logical type at output (round-5, MIN/MAX(ts) ask)
+            # ts/date/bool extrema ride the int64 lane, str/binary the
+            # binary value lane (Spark's binary min/max is unsigned
+            # lexicographic — same order the kernel ranked by); restore
+            # the logical type at output
             expr = _group_key_out(s, sp["vt"])
         elif kind == "avg":
             num = (s.cast("double") / F.lit(float(div))) if div != 1 else s.cast("double")
@@ -1743,19 +1745,62 @@ def _prefix56_array(arr: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
     return key, valid
 
 
+class _SplitPairs:
+    """Range split points as lexicographic PAIRS (first lane, second
+    lane). ``s0p`` is the first lane's int64 bucket key (7-byte prefix
+    for binary, order-preserving int64 otherwise); ``s0f`` the FULL
+    first-lane bytes for binary columns (None otherwise) — needed to
+    sub-split a hot prefix class correctly; ``s1`` the second-lane
+    int64 key. Any pair is a valid split point (buckets only need to
+    be contiguous in sort order); the second component matters only
+    when the first lane alone can't reach the bucket target (ORDER BY
+    lang, url on 20 langs — round-6 verdict finding #1)."""
+
+    __slots__ = ("s0p", "s0f", "s1")
+    _I64_MIN = np.iinfo(np.int64).min
+
+    def __init__(self, s0p: np.ndarray, s0f: list | None, s1: np.ndarray):
+        self.s0p, self.s0f, self.s1 = s0p, s0f, s1
+
+    def __len__(self) -> int:
+        return len(self.s0p)
+
+    @property
+    def first_only(self) -> bool:
+        """True when every second component is the -inf sentinel — the
+        fast single-lane path applies."""
+        return bool((self.s1 == self._I64_MIN).all())
+
+
 def _zone_splits(
     spark: SparkSession, out_dir: str, column: str, is_str: bool,
     parts: list[tuple[int, int]], n_buckets: int,
-) -> np.ndarray:
-    """Range split points for ``column`` from the ZONE MAPS: a
+    second: str | None = None, second_is_str: bool = False,
+    second_rid: bool = False,
+) -> _SplitPairs:
+    """Range split pairs for ``column`` from the ZONE MAPS: a
     metadata-only kernel emits weighted per-block-minimum candidates
     (capped at 64 per partition), the driver takes weighted quantiles.
     No sampling pass over data — where Spark's orderBy re-runs the
     upstream to sample ranges. Binary columns use the monotone 7-byte
-    big-endian prefix lane (_prefix56); double/float columns' zone
-    min_int already holds order-preserving keys."""
+    big-endian prefix lane (_prefix56) plus the full min_bin bytes;
+    double/float columns' zone min_int already holds order-preserving
+    keys.
+
+    ``second``/``second_rid`` add a SECOND split component (the next
+    order column's zone min, or the block-start global rowid): when the
+    first column has fewer distinct candidates than buckets (20 langs,
+    1000 buckets), the second component sub-splits hot first values so
+    a hot value never degenerates to one task's sort."""
     import pyarrow as pa
     from arcade_spark.partread import _ColFile, _assign_df
+
+    i64_min = np.iinfo(np.int64).min
+    offsets: dict[int, int] = {}
+    lo = 0
+    for pid, n in parts:
+        offsets[pid] = lo
+        lo += n
 
     def cand_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -1763,61 +1808,173 @@ def _zone_splits(
                 cm = _ColFile(out_dir, int(pid), column).meta()
                 w = cm.n_values - cm.n_nulls
                 if is_str:
+                    full = list(cm.min_bin)
                     keys = np.array(
                         [_prefix56(b) if b is not None else -1
-                         for b in cm.min_bin],
+                         for b in full],
                         dtype=np.int64,
                     )
                     ok = keys >= 0
                 else:
+                    full = None
                     keys = cm.min_int
                     ok = cm.has_zone
                 ok = ok & (w > 0)
                 if not ok.any():
                     continue
-                keys, w = keys[ok], w[ok]
-                uniq, inv = np.unique(keys, return_inverse=True)
-                uw = np.bincount(inv, weights=w.astype(np.float64))
-                if len(uniq) > 64:
-                    # cap per-part candidates: even slices, weights
-                    # aggregated so totals are preserved
-                    cuts = np.linspace(0, len(uniq), 65).astype(np.int64)
-                    cw = np.add.reduceat(uw, cuts[:-1])
-                    uniq, uw = uniq[cuts[:-1]], cw
+                if second_rid:
+                    k1c = offsets[int(pid)] + cm.row_start.astype(np.int64)
+                elif second is not None:
+                    cm1 = _ColFile(out_dir, int(pid), second).meta()
+                    if second_is_str:
+                        k1c = np.array(
+                            [_prefix56(b) if b is not None else i64_min
+                             for b in cm1.min_bin],
+                            dtype=np.int64,
+                        )
+                    else:
+                        k1c = np.where(cm1.has_zone, cm1.min_int, i64_min)
+                else:
+                    k1c = np.full(len(keys), i64_min, dtype=np.int64)
+                idx = np.nonzero(ok)[0]
+                # aggregate weights over unique pairs (full bytes for
+                # binary — prefix collisions must not merge distinct
+                # split values), then cap at 64 even slices
+                agg: dict[tuple, float] = {}
+                for j in idx:
+                    key = ((full[j] if is_str else int(keys[j])), int(k1c[j]))
+                    agg[key] = agg.get(key, 0.0) + float(w[j])
+                items = sorted(agg.items())
+                if len(items) > 64:
+                    cuts = np.linspace(0, len(items), 65).astype(np.int64)
+                    ws = np.array([it[1] for it in items])
+                    cw = np.add.reduceat(ws, cuts[:-1])
+                    items = [
+                        (items[int(c)][0], float(cw[i]))
+                        for i, c in enumerate(cuts[:-1])
+                    ]
+                if is_str:
+                    c0f = [k[0] for k, _ in items]
+                    c0p = np.array([_prefix56(b) for b in c0f], np.int64)
+                else:
+                    c0p = np.array([k[0] for k, _ in items], np.int64)
+                    c0f = [b""] * len(items)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(uniq, type=pa.int64()),
-                     pa.array(uw.astype(np.int64))],
-                    names=["cand", "w"],
+                    [pa.array(c0p, type=pa.int64()),
+                     pa.array(c0f, type=pa.binary()),
+                     pa.array([k[1] for k, _ in items], type=pa.int64()),
+                     pa.array([int(wv) for _, wv in items], type=pa.int64())],
+                    names=["c0p", "c0f", "c1", "w"],
                 )
 
     cand = (
         _assign_df(spark, [p for p, _ in parts])
-        .mapInArrow(cand_kernel, schema="cand long, w long")
-        .groupBy("cand").agg(F.sum("w").alias("w"))
-        .orderBy("cand").collect()
+        .mapInArrow(cand_kernel, schema="c0p long, c0f binary, c1 long, w long")
+        .groupBy("c0p", "c0f", "c1").agg(F.sum("w").alias("w"))
+        .collect()
     )
-    splits = np.zeros(0, dtype=np.int64)
-    if cand:
-        cv = np.array([r["cand"] for r in cand], dtype=np.int64)
-        cw = np.array([r["w"] for r in cand], dtype=np.float64)
-        cum = np.cumsum(cw)
-        targets = cum[-1] * np.arange(1, n_buckets) / n_buckets
-        idx = np.searchsorted(cum, targets, side="left")
-        splits = np.unique(cv[np.minimum(idx, len(cv) - 1)])
-    return splits
+    if not cand:
+        return _SplitPairs(np.zeros(0, np.int64), [] if is_str else None,
+                           np.zeros(0, np.int64))
+    # lex-sort pairs by (full first-lane value, second lane)
+    rows = sorted(
+        ((r["c0f"] if is_str else r["c0p"]), r["c1"], r["w"]) for r in cand
+    )
+    cw = np.cumsum(np.array([r[2] for r in rows], dtype=np.float64))
+    targets = cw[-1] * np.arange(1, n_buckets) / n_buckets
+    raw = np.minimum(
+        np.searchsorted(cw, targets, side="left"), len(rows) - 1
+    )
+    # two targets collapsing onto one candidate would drop a bucket;
+    # advance past duplicates so the split count reaches
+    # min(n_buckets-1, n_candidates)
+    idx = []
+    prev = -1
+    for i in raw:
+        i = max(int(i), prev + 1)
+        if i >= len(rows):
+            break
+        idx.append(i)
+        prev = i
+    picked = [rows[i] for i in idx]
+    s1 = np.array([p[1] for p in picked], dtype=np.int64)
+    if is_str:
+        s0f = [p[0] for p in picked]
+        s0p = np.array([_prefix56(b) for b in s0f], dtype=np.int64)
+        return _SplitPairs(s0p, s0f, s1)
+    return _SplitPairs(np.array([p[0] for p in picked], dtype=np.int64),
+                       None, s1)
+
+
+def _pair_buckets(
+    splits: _SplitPairs, a: np.ndarray, key1: np.ndarray | None,
+    k0_full: "pa.Array | None", valid: np.ndarray | None = None,
+) -> np.ndarray:
+    """bucket(row) = #{split pairs ≤ (row first lane, row second lane)
+    lexicographically}. Vectorized: searchsorted on the first lane;
+    rows whose first lane TIES a split boundary resolve the tie on the
+    second lane (and, for binary first lanes, on the FULL bytes first —
+    a 7-byte prefix class can hold many distinct values, e.g. every
+    https:// url, and sub-splitting it on the second lane alone would
+    break bucket contiguity)."""
+    s0p, s0f, s1 = splits.s0p, splits.s0f, splits.s1
+    lo = np.searchsorted(s0p, a, side="left")
+    hi = np.searchsorted(s0p, a, side="right")
+    bkt = lo.astype(np.int32)
+    tied = hi > lo
+    if valid is not None:
+        # null first-lane rows go to the caller's null bucket anyway —
+        # keep their placeholder keys (and None bytes) out of the
+        # tie-resolution compares
+        tied = tied & valid
+    if not tied.any():
+        return bkt
+    for u in np.unique(lo[tied]):
+        m = tied & (lo == u)
+        h = int(np.searchsorted(s0p, s0p[u], side="right"))
+        mi = np.nonzero(m)[0]
+        if s0f is not None:
+            # binary first lane: full-byte resolution inside the
+            # prefix class (object compares touch ONLY these rows)
+            rows_full = np.array(k0_full.take(mi).to_pylist(), dtype=object)
+            cls = np.array(s0f[u:h], dtype=object)
+            l2 = np.searchsorted(cls, rows_full, side="left")
+            h2 = np.searchsorted(cls, rows_full, side="right")
+            add = l2.astype(np.int64)
+            t2 = h2 > l2
+            if t2.any():
+                for v in np.unique(l2[t2]):
+                    mm = t2 & (l2 == v)
+                    h3 = int(np.searchsorted(cls, cls[v], side="right"))
+                    add[mm] = v + np.searchsorted(
+                        s1[u + v:u + h3], key1[mi[mm]], side="right"
+                    )
+            bkt[mi] = u + add.astype(np.int32)
+        else:
+            bkt[mi] = u + np.searchsorted(
+                s1[u:h], key1[mi], side="right"
+            ).astype(np.int32)
+    return bkt
 
 
 def _bucketize_stream(
     keyed: DataFrame, kvts: list[str], first_str: bool,
-    splits: np.ndarray, null_bucket: int,
+    splits: _SplitPairs, null_bucket: int,
+    second_mode: str | None = None, null1_sentinel: int | None = None,
 ) -> DataFrame:
     """Vectorized range-bucket assignment over a (k0.., rid) key
     stream: searchsorted on the first lane (binary lanes by monotone
-    7-byte prefix — equal prefixes never straddle buckets), nulls to
-    ``null_bucket``."""
+    7-byte prefix), pair ties resolved on the second lane
+    (``second_mode``: None | 'col' (k1) | 'rid'), first-lane nulls to
+    ``null_bucket``, second-lane nulls to ``null1_sentinel`` (±inf per
+    the caller's null-ordering contract)."""
     import pyarrow as pa
 
-    ksplits = splits
+    first_only = len(splits) == 0 or (splits.first_only
+                                      and second_mode != "rid")
+    second_str = second_mode == "col" and kvts[1] in ("str", "binary")
+    sentinel = (np.iinfo(np.int64).max if null1_sentinel is None
+                else int(null1_sentinel))
 
     def bucketize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -1836,7 +1993,31 @@ def _bucketize_stream(
                 key = arr.fill_null(0).to_numpy(
                     zero_copy_only=False
                 ).astype(np.int64)
-            bkt = np.searchsorted(ksplits, key, side="right").astype(np.int32)
+            if first_only:
+                bkt = np.searchsorted(
+                    splits.s0p, key, side="right"
+                ).astype(np.int32)
+            else:
+                if second_mode == "rid":
+                    key1 = batch.column("rid").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                elif second_str:
+                    key1, v1 = _prefix56_array(batch.column("k1"))
+                    key1[~v1] = sentinel
+                else:
+                    a1 = batch.column("k1")
+                    v1 = pa.compute.is_valid(a1).to_numpy(
+                        zero_copy_only=False
+                    ).astype(bool)
+                    key1 = a1.fill_null(0).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                    key1[~v1] = sentinel
+                k0_full = (arr.combine_chunks()
+                           if isinstance(arr, pa.ChunkedArray) else arr) \
+                    if first_str else None
+                bkt = _pair_buckets(splits, key, key1, k0_full, valid)
             bkt[~valid] = null_bucket
             yield pa.RecordBatch.from_arrays(
                 [pa.array(bkt, type=pa.int32())] + list(batch.columns),
@@ -1897,14 +2078,21 @@ def column_rank_values(
     n_buckets = buckets or max(
         8, min(1024, 4 * spark.sparkContext.defaultParallelism)
     )
-    splits = _zone_splits(spark, out_dir, column, is_str, parts, n_buckets)
+    # second split component = rowid (the sort's tiebreak), so a hot
+    # value — a median over a 3-distinct-value column — still spreads
+    # across ~n_buckets tasks instead of one bucket's sort
+    splits = _zone_splits(
+        spark, out_dir, column, is_str, parts, n_buckets, second_rid=True,
+    )
     keyed, kvts = key_rowid_parts(
         spark, out_dir, [column],
         _preds_to_spec(preds) if preds else None,
         keep_null_keys=False,  # ranks are over non-null values
         float_order_lane=True,
     )
-    keyed_b = _bucketize_stream(keyed, kvts, is_str, splits, len(splits) + 1)
+    keyed_b = _bucketize_stream(
+        keyed, kvts, is_str, splits, len(splits) + 1, second_mode="rid",
+    )
     if persist:
         # counts + targeted-bucket sorts both consume the stream (see
         # orderby_export)
@@ -2068,7 +2256,33 @@ def orderby_export(
         8, min(1024, 4 * spark.sparkContext.defaultParallelism)
     )
 
-    splits = _zone_splits(spark, out_dir, first, first_str, parts, n_buckets)
+    # second split component (round-6): sub-splits hot first values so
+    # ORDER BY (lang, url) on 20 langs still fills n_buckets. The
+    # second lane must agree with the bucket-id consumption order, so:
+    # - multi-col: next order column, only when its direction matches
+    #   the first key's (legacy bool always matches);
+    # - single-col: the rowid tiebreak (matches unless mixed-mode asked
+    #   for a lone descending key — rid ties ascend there).
+    # Second-lane nulls map to +inf except mixed all-desc (bucket ids
+    # consumed descending but NULLS LAST ⇒ nulls in the LOWEST
+    # sub-bucket of their first-value run).
+    second = None
+    second_rid = False
+    second_mode = None
+    if len(order_cols) >= 2 and dirs[0] == dirs[1]:
+        second = order_cols[1]
+        second_mode = "col"
+    elif len(order_cols) == 1 and not (mixed and dirs[0]):
+        second_rid = True
+        second_mode = "rid"
+    sentinel = (np.iinfo(np.int64).min if (mixed and dirs[0])
+                else np.iinfo(np.int64).max)
+    splits = _zone_splits(
+        spark, out_dir, first, first_str, parts, n_buckets,
+        second=second,
+        second_is_str=second is not None and cols[second] in ("str", "binary"),
+        second_rid=second_rid,
+    )
     keyed, kvts = key_rowid_parts(
         spark, out_dir, order_cols,
         _preds_to_spec(preds) if preds else None,
@@ -2076,7 +2290,10 @@ def orderby_export(
         float_order_lane=True,
     )
     null_bucket = len(splits) + 1  # one past the last range bucket
-    keyed_b = _bucketize_stream(keyed, kvts, first_str, splits, null_bucket)
+    keyed_b = _bucketize_stream(
+        keyed, kvts, first_str, splits, null_bucket,
+        second_mode=second_mode, null1_sentinel=sentinel,
+    )
     if persist:
         # the counts action and the sort action both consume the key
         # stream; persisting the narrow (lanes, rid) rows (~tens of
@@ -2614,7 +2831,7 @@ def join_group_by(
                 F.sum(F.col(f"s{i}") * F.col("nb")),
             )
         if kind in ("min", "max") and sp.get("vt") in (
-            "ts", "tsntz", "date", "bool"
+            "ts", "tsntz", "date", "bool", "str", "binary"
         ):
             final_aggs.append(_group_key_out(s, sp["vt"]).alias(name))
             continue

@@ -285,3 +285,76 @@ def test_orderby_mixed_all_false_equals_asc(spark, ob_table):
         .toPandas().sort_values("pos").reset_index(drop=True)
     )
     assert list(a["url"]) == list(b["url"])
+
+
+def test_composite_splits_low_cardinality_first(spark, tmp_path_factory):
+    """Round-6 done-bar: ORDER BY (lang, url) on 20 langs must produce
+    MORE buckets than distinct first values (second-lane zone mins
+    sub-split hot langs) and stay balanced — no bucket above ~2x the
+    mean. Data clustered by lang (order_col), the layout where zone
+    splits apply."""
+    from arcade_spark.partread import key_rowid_parts
+    from arcade_spark.readops import _bucketize_stream, _zone_splits
+    from pyspark.sql import functions as F2
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "lang": [f"l{rng.integers(0, 20):02d}" for _ in range(n)],
+            "url": [f"https://{rng.integers(0, 10)}x.ex/{rng.integers(0, 10**9):09d}"
+                    for _ in range(n)],
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("csplit") / "enc")
+    encode_job(spark, src, out, num_parts=4, block_rows=128, order_col="lang")
+
+    from arcade_spark.partread import load_manifest
+
+    _, parts = load_manifest(out)
+    splits = _zone_splits(
+        spark, out, "lang", True, parts, 24,
+        second="url", second_is_str=True,
+    )
+    assert len(splits) >= 20, f"only {len(splits)} split pairs"
+
+    keyed, kvts = key_rowid_parts(spark, out, ["lang", "url"])
+    keyed_b = _bucketize_stream(
+        keyed, kvts, True, splits, len(splits) + 1,
+        second_mode="col", null1_sentinel=np.iinfo(np.int64).max,
+    )
+    counts = [
+        r["cnt"] for r in
+        keyed_b.groupBy("bkt").agg(F2.count("*").alias("cnt")).collect()
+    ]
+    mean = n / len(counts)
+    assert max(counts) <= 2.2 * mean, (sorted(counts), mean)
+
+    # end-to-end: the export is still the exact pandas order
+    got = (
+        orderby_export(spark, out, ["lang", "url"], ["url", "lang"],
+                       buckets=24)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    want = pdf.sort_values(["lang", "url"]).reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["lang"]) == list(want["lang"])
+
+
+def test_composite_splits_mixed_desc_end_to_end(spark, ob_table):
+    """Pair splits + mixed all-DESC directions: boundaries consumed in
+    reverse, second-lane nulls in the lowest sub-bucket (NULLS LAST).
+    x has nulls; (x DESC, url DESC) is unique via url."""
+    out, pdf = ob_table
+    got = (
+        orderby_export(spark, out, ["x", "url"], ["url", "x"],
+                       desc=[True, True], buckets=12)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    want = (
+        pdf.sort_values(["x", "url"], ascending=[False, False],
+                        na_position="last")
+        .reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(want["url"])
