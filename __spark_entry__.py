@@ -624,6 +624,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             quantiles=[0.25, 0.5, 0.75, 0.99],
         )
 
+    def arcade_group_quantiles(spark, sf_dir):
+        """PER-GROUP exact order statistics (round-6): p50/p99 n_chars
+        per lang — one set of zone-map value buckets partitions the
+        narrow (value, group, rid) stream, (group, bucket) counts
+        locate each group-rank's cell, and only those cells sort. No
+        per-group global sort anywhere."""
+        _ship_package(spark)
+        from arcade_spark.readops import group_rank_values
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return group_rank_values(
+            spark, out, ["lang"], "n_chars", quantiles=[0.5, 0.99],
+        )
+
     def arcade_group_distinct(spark, sf_dir):
         """Per-group COUNT(DISTINCT lang) (round-5): the fused group
         kernel treats (source, lang) as the composite code-tuple key,
@@ -1094,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_orderby_double": arcade_orderby_double,
         "arcade_orderby_mixed": arcade_orderby_mixed,
         "arcade_quantiles": arcade_quantiles,
+        "arcade_group_quantiles": arcade_group_quantiles,
         "arcade_group_distinct": arcade_group_distinct,
         "arcade_group_minmax_ts": arcade_group_minmax_ts,
         "arcade_group_minmax_str": arcade_group_minmax_str,
@@ -1478,6 +1493,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE s.pos IN (CAST(floor(0.25*(c-1)) AS BIGINT), "
             "CAST(floor(0.5*(c-1)) AS BIGINT), "
             "CAST(floor(0.75*(c-1)) AS BIGINT), "
+            "CAST(floor(0.99*(c-1)) AS BIGINT))"
+        ),
+        "arcade_group_quantiles": (
+            # per-group rank = floor(q*(n_g-1)), lower-nearest-rank —
+            # replayed with a per-group ROW_NUMBER
+            "WITH s AS (SELECT lang, n_chars AS v, "
+            "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) - 1 "
+            "AS pos FROM documents "
+            "WHERE lang IS NOT NULL AND n_chars IS NOT NULL), "
+            "n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c "
+            "FROM s GROUP BY lang) "
+            "SELECT s.lang, CAST(s.pos AS BIGINT) AS pos, s.v FROM s "
+            "JOIN n ON s.lang = n.lang "
+            "WHERE s.pos IN (CAST(floor(0.5*(c-1)) AS BIGINT), "
             "CAST(floor(0.99*(c-1)) AS BIGINT))"
         ),
         "arcade_group_distinct": (

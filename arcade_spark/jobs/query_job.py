@@ -181,8 +181,16 @@ def build_query(spark, args):
             spark, args.encoded, args.columns.split(","), args.distinct_column
         )
     if args.cmd == "quantiles":
-        from arcade_spark.readops import column_rank_values
+        from arcade_spark.readops import column_rank_values, group_rank_values
 
+        if getattr(args, "by", None):
+            qs = [float(x) for x in (args.q or "0.25,0.5,0.75").split(",")]
+            return group_rank_values(
+                spark, args.encoded, args.by.split(","), args.column,
+                ranks=[int(x) for x in args.ranks.split(",")]
+                if args.ranks else None,
+                quantiles=None if args.ranks else qs,
+            )
         if args.ranks:
             return column_rank_values(
                 spark, args.encoded, args.column,
@@ -275,6 +283,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated quantiles, default 0.25,0.5,0.75")
     qt.add_argument("--ranks", default=None,
                     help="comma-separated absolute 0-based ranks instead")
+    qt.add_argument("--by", default=None,
+                    help="comma-separated group columns for PER-GROUP "
+                         "quantiles/ranks")
 
     args = p.parse_args(argv)
 

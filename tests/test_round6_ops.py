@@ -104,3 +104,74 @@ def test_minmax_str_sum_still_rejected(spark, str_agg_table):
         group_by_multi(
             spark, out, ["lang"], [("s", "sum", "url")],
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# group_rank_values: per-group exact quantiles without per-group sorts
+# ---------------------------------------------------------------------------
+
+
+def _pd_group_ranks(pdf, gcol, vcol, quantiles, filt=None):
+    sub = pdf if filt is None else pdf[filt]
+    sub = sub.dropna(subset=[gcol, vcol])
+    want = {}
+    for g, grp in sub.groupby(gcol):
+        vs = np.sort(grp[vcol].to_numpy())
+        n = len(vs)
+        for q in quantiles:
+            r = int(q * (n - 1))
+            want[(g, r)] = vs[r]
+    return want
+
+
+def test_group_rank_values_int(spark, str_agg_table):
+    from arcade_spark.readops import group_rank_values
+
+    out, pdf = str_agg_table
+    got = group_rank_values(
+        spark, out, ["lang"], "n_chars", quantiles=[0.25, 0.5, 0.99],
+    ).toPandas()
+    want = _pd_group_ranks(pdf, "lang", "n_chars", [0.25, 0.5, 0.99])
+    got_d = {(r.lang, r.pos): r.v for r in got.itertuples()}
+    assert got_d == want
+
+
+def test_group_rank_values_preds_and_ranks(spark, str_agg_table):
+    """Absolute per-group ranks under a predicate; rank 0 = group min.
+    Oversized ranks simply don't emit."""
+    from arcade_spark.readops import group_rank_values
+
+    out, pdf = str_agg_table
+    got = group_rank_values(
+        spark, out, ["lang"], "n_chars", ranks=[0, 100000],
+        preds=[("range", "n_chars", 500, 4000)],
+    ).toPandas()
+    filt = (pdf["n_chars"] >= 500) & (pdf["n_chars"] <= 4000)
+    mins = pdf[filt].groupby("lang")["n_chars"].min().to_dict()
+    got_d = {(r.lang, r.pos): r.v for r in got.itertuples()}
+    assert got_d == {(g, 0): v for g, v in mins.items()}
+
+
+def test_group_rank_values_double(spark, tmp_path_factory):
+    """Double value column rides the float order-key lane; values
+    invert exactly back to IEEE bits."""
+    from arcade_spark.readops import group_rank_values
+
+    rng = np.random.default_rng(15)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "g": np.array(["a", "b", "c"])[rng.integers(0, 3, n)],
+            "v": np.round(rng.normal(0, 50, n), 3),
+            "i": np.arange(n, dtype=np.int64),
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("grv") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=256, order_col="i")
+    got = group_rank_values(
+        spark, out, ["g"], "v", quantiles=[0.5],
+    ).toPandas()
+    want = _pd_group_ranks(pdf, "g", "v", [0.5])
+    got_d = {(r.g, r.pos): r.v for r in got.itertuples()}
+    assert got_d == want
