@@ -932,6 +932,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       _dt.datetime(1995, 3, 15, tzinfo=utc))],
         )
 
+    def arcade_q10(spark, sf_dir):
+        """Fused join+aggregate with agg columns from BOTH sides
+        (round-6) — the TPC-H Q5/Q10 shape: lineitem revenue AND
+        orders totalprice/first-date aggregated per priority in one
+        groupjoin. Side-B partials fold as Σ S_B·na; the fact payload
+        still never leaves its encode partition."""
+        _ship_package(spark)
+        import datetime as _dt
+
+        from arcade_spark.readops import join_group_by
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        out_or = _encoded_dir(spark, sf_dir, "orders", "o_orderkey")
+        utc = _dt.timezone.utc
+        return join_group_by(
+            spark, out_li, out_or, "l_orderkey",
+            [("revenue", "sumprod",
+              [("l_extendedprice", 1, 0), ("l_discount", -1, 100)]),
+             ("sum_total", "sum", "o_totalprice", "b"),
+             ("first_order", "min", "o_orderdate", "b"),
+             ("cnt", "count", None)],
+            key_b="o_orderkey",
+            group_b=["o_orderpriority"],
+            preds_a=[("range", "l_shipdate",
+                      _dt.datetime(1994, 1, 1, tzinfo=utc),
+                      _dt.datetime(1999, 1, 1, tzinfo=utc))],
+        )
+
     def arcade_q4(spark, sf_dir):
         """TPC-H Q4 shape (round-5): orders per priority that have at
         least one matching lineitem — EXISTS expressed in the fused
@@ -1103,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_join_full": arcade_join_full,
         "arcade_q3": arcade_q3,
         "arcade_q4": arcade_q4,
+        "arcade_q10": arcade_q10,
         "arcade_window_stream": arcade_window_stream,
         "arcade_orderby": arcade_orderby,
         "arcade_orderby_double": arcade_orderby_double,
@@ -1606,6 +1635,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate BETWEEN TIMESTAMP '1995-03-15' AND "
             "TIMESTAMP '1999-01-01' AND o_orderdate BETWEEN "
             "TIMESTAMP '1990-01-01' AND TIMESTAMP '1995-03-15' "
+            "GROUP BY o_orderpriority"
+        ),
+        "arcade_q10": (
+            # both-sides fixed-point arithmetic replayed in SQL;
+            # orders columns multiply by lineitem multiplicity
+            "SELECT o_orderpriority, "
+            "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) "
+            "AS DOUBLE)/10000 AS revenue, "
+            "CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) "
+            "AS DOUBLE)/100 AS sum_total, "
+            "min(o_orderdate) AS first_order, "
+            "count(*) AS cnt "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND "
+            "TIMESTAMP '1999-01-01' "
             "GROUP BY o_orderpriority"
         ),
         "arcade_dedup_stream": (

@@ -2897,8 +2897,13 @@ def join_group_by(
     the A kernel and never shuffled; no rowid late materialization at
     all (contrast join_encoded, which ships (k, rid) per ROW).
 
-    ``aggs`` uses the filter_group_by_multi spec grammar over SIDE-A
-    columns. Group columns may come from both sides (``group_a`` /
+    ``aggs`` uses the filter_group_by_multi spec grammar; each spec may
+    carry a 4th element ``"a"`` (default) or ``"b"`` naming the side
+    its column(s) live on (round-6 — the TPC-H Q5/Q10 shape aggregates
+    columns from BOTH tables): side-B specs fold symmetrically as
+    ``Σ_k S_B(k, gb)·na(k, ga)``. A sumprod's terms must all reference
+    one side (cross-side products don't factor through the groupjoin).
+    Group columns may come from both sides (``group_a`` /
     ``group_b``); ``include_key=True`` adds the join key itself to the
     output groups (named ``key_a``). SQL inner-join semantics: null
     keys never match (the group kernels drop null-key rows); rows with
@@ -2926,14 +2931,39 @@ def join_group_by(
     if len(set(out_names)) != len(out_names):
         raise ValueError(f"output name clash: {out_names}")
 
-    partial_a, vts_a, cspecs = filter_group_by_multi_partials(
+    # split the spec list by SIDE (round-6): a 4th tuple element tags
+    # the side its column(s) live on — ("sum_total","sum","o_totalprice",
+    # "b"). Each side's kernel computes its own exact partials; the
+    # symmetric fold multiplies by the OTHER side's multiplicity:
+    # Σ S_A·nb  and  Σ S_B·na. count is side-neutral (Σ na·nb).
+    slots: list[tuple[str, int]] = []
+    aggs_a: list[tuple] = []
+    aggs_b: list[tuple] = []
+    for sp0 in aggs:
+        if len(sp0) == 4:
+            name, kind, arg, side = sp0
+        else:
+            (name, kind, arg), side = sp0, "a"
+        if side not in ("a", "b"):
+            raise ValueError(f"agg side must be 'a' or 'b': {side!r}")
+        if kind == "count":
+            side = "a"  # joined-row count — same fold either way
+        dst = aggs_a if side == "a" else aggs_b
+        slots.append((side, len(dst)))
+        dst.append((name, kind, arg))
+    if b_exists and aggs_b:
+        raise ValueError(
+            "b_exists (EXISTS semijoin) cannot aggregate side-B columns"
+        )
+
+    partial_a, vts_a, cspecs_a = filter_group_by_multi_partials(
         spark, out_a, _preds_to_spec(preds_a or []), [key_a] + group_a,
-        aggs, agg_scale,
+        aggs_a, agg_scale,
         dnf_spec=[_preds_to_spec(c) for c in dnf_a] if dnf_a else None,
     )
-    partial_b, vts_b, _ = filter_group_by_multi_partials(
+    partial_b, vts_b, cspecs_b = filter_group_by_multi_partials(
         spark, out_b, _preds_to_spec(preds_b or []), [key_b] + group_b,
-        [], agg_scale,
+        aggs_b, agg_scale,
         dnf_spec=[_preds_to_spec(c) for c in dnf_b] if dnf_b else None,
     )
     str_a = vts_a[0] in ("str", "binary")
@@ -2948,42 +2978,48 @@ def join_group_by(
             f"join key lanes differ: {key_a} is {vts_a[0]}, "
             f"{key_b} is {vts_b[0]}"
         )
-    live = [i for i, sp in enumerate(cspecs) if sp["kind"] != "count"]
+    live_a = [i for i, sp in enumerate(cspecs_a) if sp["kind"] != "count"]
+    live_b = [i for i, sp in enumerate(cspecs_b) if sp["kind"] != "count"]
 
     # per-side merge to one row per distinct (key, groups) tuple — keeps
     # the key join distinct×distinct (scale-safe for hot keys) instead
-    # of partials×partials
-    a_keys = [f"k{i}" for i in range(1 + len(group_a))]
-    a_aggs = []
-    for i in live:
-        kind = cspecs[i]["kind"]
-        if kind == "min":
-            a_aggs.append(F.min(f"s{i}").alias(f"s{i}"))
-        elif kind == "max":
-            a_aggs.append(F.max(f"s{i}").alias(f"s{i}"))
-        else:
-            a_aggs.append(
-                F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}")).alias(f"s{i}")
-            )
-        a_aggs.append(F.sum(f"c{i}").alias(f"c{i}"))
-    a_aggs.append(F.sum("c").alias("ca"))
-    A = partial_a.groupBy(*a_keys).agg(*a_aggs)
+    # of partials×partials. Spec lanes get side-prefixed names so the
+    # two merged streams can join without collisions.
+    def _side_merge(partial, n_groups, live, cspecs, pre, total_alias,
+                    total_expr):
+        keys = [f"k{i}" for i in range(1 + n_groups)]
+        side_aggs = []
+        for i in live:
+            kind = cspecs[i]["kind"]
+            if kind == "min":
+                s = F.min(f"s{i}")
+            elif kind == "max":
+                s = F.max(f"s{i}")
+            else:
+                s = F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}"))
+            side_aggs.append(s.alias(f"{pre}s{i}"))
+            side_aggs.append(F.sum(f"c{i}").alias(f"{pre}c{i}"))
+        side_aggs.append(total_expr.alias(total_alias))
+        return partial.groupBy(*keys).agg(*side_aggs)
+
+    A = _side_merge(partial_a, len(group_a), live_a, cspecs_a, "a",
+                    "ca", F.sum("c"))
     A = A.select(
         F.col("k0").alias("jk"),
         *[F.col(f"k{i + 1}").alias(f"ga{i}") for i in range(len(group_a))],
-        *[c for i in live for c in (f"s{i}", f"c{i}")],
+        *[c for i in live_a for c in (f"as{i}", f"ac{i}")],
         "ca",
     )
     # EXISTS: clamp B's multiplicity to 1 (groups only exist with
     # c >= 1, so least(sum(c), 1) is exactly the indicator)
     nb_expr = (F.least(F.sum("c"), F.lit(1).cast("long")) if b_exists
-               else F.sum("c")).alias("nb")
-    B = partial_b.groupBy(
-        *[f"k{i}" for i in range(1 + len(group_b))]
-    ).agg(nb_expr)
+               else F.sum("c"))
+    B = _side_merge(partial_b, len(group_b), live_b, cspecs_b, "b",
+                    "nb", nb_expr)
     B = B.select(
         F.col("k0").alias("jk_b"),
         *[F.col(f"k{i + 1}").alias(f"gb{i}") for i in range(len(group_b))],
+        *[c for i in live_b for c in (f"bs{i}", f"bc{i}")],
         "nb",
     )
     j = A.join(B, A["jk"] == B["jk_b"])
@@ -2992,17 +3028,20 @@ def join_group_by(
              + [f"ga{i}" for i in range(len(group_a))]
              + [f"gb{i}" for i in range(len(group_b))])
     final_aggs = []
-    for i, sp in enumerate(cspecs):
+    for side, i in slots:
+        sp = (cspecs_a if side == "a" else cspecs_b)[i]
         name, kind, div = sp["name"], sp["kind"], sp["div"]
         if kind == "count":
             final_aggs.append(F.sum(F.col("ca") * F.col("nb")).alias(name))
             continue
+        pre, mult = ("a", "nb") if side == "a" else ("b", "ca")
+        scol, ccol = f"{pre}s{i}", f"{pre}c{i}"
         if kind in ("min", "max"):
-            s = F.min(f"s{i}") if kind == "min" else F.max(f"s{i}")
+            s = F.min(scol) if kind == "min" else F.max(scol)
         else:
             s = F.when(
-                F.sum(F.col(f"c{i}") * F.col("nb")) > 0,
-                F.sum(F.col(f"s{i}") * F.col("nb")),
+                F.sum(F.col(ccol) * F.col(mult)) > 0,
+                F.sum(F.col(scol) * F.col(mult)),
             )
         if kind in ("min", "max") and sp.get("vt") in (
             "ts", "tsntz", "date", "bool", "str", "binary"
@@ -3012,7 +3051,7 @@ def join_group_by(
         if kind == "avg":
             num = (s.cast("double") / F.lit(float(div))) if div != 1 \
                 else s.cast("double")
-            expr = num / F.sum(F.col(f"c{i}") * F.col("nb")).cast("double")
+            expr = num / F.sum(F.col(ccol) * F.col(mult)).cast("double")
         else:
             expr = (s.cast("double") / F.lit(float(div))) if div != 1 else s
         final_aggs.append(expr.alias(name))
@@ -3030,7 +3069,9 @@ def join_group_by(
         _group_key_out(F.col(f"gb{i}"), vts_b[i + 1]).alias(g)
         for i, g in enumerate(group_b)
     ]
-    return merged.select(*out_cols, *[sp["name"] for sp in cspecs])
+    names = [(cspecs_a if s == "a" else cspecs_b)[i]["name"]
+             for s, i in slots]
+    return merged.select(*out_cols, *names)
 
 
 def _random_access_targets(out_dir: str, row_ids: list[int]):

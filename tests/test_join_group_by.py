@@ -221,3 +221,58 @@ def test_b_exists_semijoin_mode(spark, jg_tables):
         join_group_by(spark, out_f, out_d, "k",
                       [("cnt", "count", None)],
                       group_b=["prio"], b_exists=True)
+
+
+def test_aggs_from_both_sides(spark, jg_tables):
+    """Round-6: side-B aggregate columns fold symmetrically as
+    Σ S_B·na — sum/min/max/avg over dim columns next to fact-side
+    specs, with duplicate keys multiplying BOTH directions."""
+    from arcade_spark.readops import join_group_by
+
+    out_f, out_d, fpdf, dpdf = jg_tables
+    got = (
+        join_group_by(
+            spark, out_f, out_d, "k",
+            [("revenue", "sumprod",
+              [("price", 1, 0), ("disc", -1, 100)]),
+             ("sum_region", "sum", "region", "b"),
+             ("min_prio", "min", "prio", "b"),
+             ("avg_region", "avg", "region", "b"),
+             ("cnt", "count", None)],
+            group_a=["flag"],
+            preds_a=[("range", "qty", 1, 45)],
+        )
+        .toPandas().sort_values("flag").reset_index(drop=True)
+    )
+    j = _joined(
+        fpdf, dpdf,
+        fact_pred=lambda f: (f["qty"] >= 1) & (f["qty"] <= 45),
+    )
+    want = (
+        j.groupby("flag")
+        .agg(rev=("rev", "sum"), sum_region=("region", "sum"),
+             min_prio=("prio", "min"), avg_region=("region", "mean"),
+             n=("rev", "size"))
+        .reset_index().sort_values("flag").reset_index(drop=True)
+    )
+    assert list(got["flag"]) == list(want["flag"])
+    assert (got["revenue"].to_numpy()
+            == want["rev"].to_numpy().astype(np.float64) / 10000.0).all()
+    assert (got["sum_region"].to_numpy()
+            == want["sum_region"].to_numpy()).all()
+    assert list(got["min_prio"]) == list(want["min_prio"])
+    assert np.allclose(got["avg_region"].to_numpy(),
+                       want["avg_region"].to_numpy(), rtol=0, atol=0)
+    assert (got["cnt"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_b_side_aggs_rejected_under_exists(spark, jg_tables):
+    from arcade_spark.readops import join_group_by
+
+    out_f, out_d, _f, _d = jg_tables
+    with pytest.raises(ValueError, match="b_exists"):
+        join_group_by(
+            spark, out_d, out_f, "k",
+            [("s", "sum", "qty", "b")],
+            b_exists=True,
+        )
