@@ -2852,6 +2852,269 @@ def join_encoded(
     return joined.select(*out_cols)
 
 
+def _lane_vtypes(
+    spark: SparkSession, out_dir: str, cols: list[str]
+) -> list[str]:
+    """Manifest vtypes for ``cols`` (in order), KeyError on a miss."""
+    from arcade_spark.decode import table_columns
+
+    all_cols = dict(table_columns(spark, out_dir))
+    out = []
+    for c in cols:
+        if c not in all_cols:
+            raise KeyError(f"no such column: {c}")
+        out.append(all_cols[c])
+    return out
+
+
+def join_asof(
+    spark: SparkSession,
+    out_a: str,
+    out_b: str,
+    on: str,
+    by: str | list[str],
+    on_b: str | None = None,
+    project_a: list[str] | None = None,
+    project_b: list[str] | None = None,
+    preds_a: list[tuple] | None = None,
+    preds_b: list[tuple] | None = None,
+    how: str = "inner",
+    direction: str = "backward",
+    allow_exact: bool = True,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """AS-OF join between two encoded tables — for every left row,
+    the single right row with the same ``by`` key and the greatest
+    right ``on`` value ≤ the left's (``direction="backward"``; ties on
+    the right broken by greatest rowid, deterministic), or the least
+    value ≥ it (``"forward"``). The time-series/funnel join DuckDB
+    spells ``a ASOF JOIN b ON a.by = b.by AND a.on >= b.on`` — the
+    reference engine has no joins at all (README.md:126-131).
+
+    Scale design — one narrow shuffle, one vectorized merge:
+
+    1. each side's kernel emits (by lanes..., on lane, rid) rows only
+       (predicate-filtered, zone-pruned; payloads never move);
+    2. both streams union with a side tag and hash-repartition on the
+       ``by`` lanes, so every key's rows land in one task;
+    3. per task, ONE np.lexsort by (by, on, side, rid) + a grouped
+       forward-fill (np.maximum.accumulate of last-seen right index,
+       reset at key runs) resolves every match — O(n log n), no
+       per-key Python loop;
+    4. projections late-materialize at the matched rowids (touched
+       blocks only) and join back by rowid.
+
+    ``on`` must be an int64-lane column (int/bigint/ts/date/bool) on
+    both sides; ``by`` components may be int-family or str/binary
+    (binary lanes factorize to dense codes in-task). ``allow_exact=
+    False`` makes the comparison strict (``>`` / ``<``). ``tolerance``
+    (lane units: micros for ts, days for date) drops matches farther
+    than that from the left row. SQL null semantics: null by/on values
+    never match; ``how="left"`` keeps unmatched and null-key left rows
+    with null right columns, ``"inner"`` drops them.
+
+    Output: by columns (left values), ``on`` (left), ``{on_b}_b``
+    (matched right value, null if unmatched), project_a..., project_b...
+    """
+    import pyarrow as pa
+    from arcade_spark.partread import key_rowid_parts, materialize_rowids_parts
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left': {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward': {direction!r}"
+        )
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("by must name at least one column")
+    on_b = on if on_b is None else on_b
+    project_a = project_a or []
+    project_b = project_b or []
+    clash = set(project_a) & set(project_b)
+    if clash:
+        raise ValueError(f"projection name clash across sides: {sorted(clash)}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0: {tolerance}")
+
+    keep_a = how == "left"
+    m = len(by_cols)
+    # validate lane types from the manifests BEFORE building either
+    # stream, so a bad on-column reports its own error (not a missing-
+    # column KeyError from the other side's key extraction)
+    def _check_on(vts, col):
+        if vts[m] in ("str", "binary", "double", "float"):
+            raise NotImplementedError(
+                f"as-of on column must be int64-lane "
+                f"(int/ts/date/bool): {col} is {vts[m]}"
+            )
+
+    vts_a = _lane_vtypes(spark, out_a, by_cols + [on])
+    _check_on(vts_a, on)
+    vts_b = _lane_vtypes(spark, out_b, by_cols + [on_b])
+    _check_on(vts_b, on_b)
+    for i, (va, vb) in enumerate(zip(vts_a, vts_b)):
+        if (va in ("str", "binary")) != (vb in ("str", "binary")):
+            raise ValueError(
+                f"by-key lanes differ: {by_cols[i]} is {va} vs {vb}"
+            )
+    ka, vts_a = key_rowid_parts(
+        spark, out_a, by_cols + [on],
+        _preds_to_spec(preds_a) if preds_a else None,
+        keep_null_keys=keep_a,
+    )
+    kb, vts_b = key_rowid_parts(
+        spark, out_b, by_cols + [on_b],
+        _preds_to_spec(preds_b) if preds_b else None,
+    )
+    knames = [f"k{i}" for i in range(m)]
+    lane_is_bin = [vt in ("str", "binary") for vt in vts_a[:m]]
+
+    # side tag ordering realizes the tie contract at equal (by, on):
+    # inclusive (>=/<=) sorts right BEFORE left so the left row sees
+    # the tied right; strict sorts left first so it doesn't
+    side_right, side_left = (0, 1) if allow_exact else (1, 0)
+    negate = direction == "forward"  # backward merge over negated lane
+    left_valid = ka
+    if keep_a:
+        nn = F.lit(True)
+        for c in knames + [f"k{m}"]:
+            nn = nn & F.col(c).isNotNull()
+        left_null = ka.filter(~nn)
+        left_valid = ka.filter(nn)
+    lv = left_valid.select(
+        *knames, F.col(f"k{m}").alias("t"),
+        F.lit(side_left).cast("int").alias("side"), "rid",
+    )
+    rv = kb.select(
+        *knames, F.col(f"k{m}").alias("t"),
+        F.lit(side_right).cast("int").alias("side"), "rid",
+    )
+    u = lv.unionByName(rv).repartition(*[F.col(k) for k in knames])
+
+    tol = tolerance
+    inner_only = not keep_a
+    n_by_bin = list(lane_is_bin)
+
+    def asof_merge(batches):
+        tbl = None
+        chunks = [pa.Table.from_batches([b]) for b in batches]
+        if not chunks:
+            return
+        tbl = pa.concat_tables(chunks).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            return
+        lanes = []
+        orig_bin = []  # original binary lane values for output
+        for i in range(m):
+            arr = tbl.column(f"k{i}")
+            if n_by_bin[i]:
+                obj = arr.to_numpy(zero_copy_only=False)
+                _, codes = np.unique(obj, return_inverse=True)
+                lanes.append(codes.astype(np.int64))
+                orig_bin.append(obj)
+            else:
+                lanes.append(
+                    arr.to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                orig_bin.append(None)
+        t = tbl.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        rid = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
+        t_sort = -t if negate else t
+        order = np.lexsort((rid, side, t_sort) + tuple(reversed(lanes)))
+        side_s = side[order]
+        t_s = t_sort[order]
+        rid_s = rid[order]
+        idx = np.arange(n, dtype=np.int64)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for lane in lanes:
+            ls = lane[order]
+            change[1:] |= ls[1:] != ls[:-1]
+        run_start = np.maximum.accumulate(np.where(change, idx, 0))
+        is_right = side_s == side_right
+        acc = np.maximum.accumulate(np.where(is_right, idx, -1))
+        left_pos = idx[~is_right]
+        match = acc[left_pos]
+        ok = match >= run_start[left_pos]
+        safe = np.where(ok, match, 0)
+        if tol is not None:
+            # gap in original units: backward t_a - t_b; forward
+            # t_b - t_a — both equal t_sort[left] - t_sort[match]
+            ok &= (t_s[left_pos] - t_s[safe]) <= tol
+            safe = np.where(ok, match, 0)
+        if inner_only:
+            left_pos = left_pos[ok]
+            safe = safe[ok]
+            ok = ok[ok]
+        t_out = t[order]
+        cols_out = []
+        for i in range(m):
+            if n_by_bin[i]:
+                cols_out.append(
+                    pa.array(orig_bin[i][order][left_pos], type=pa.binary())
+                )
+            else:
+                cols_out.append(pa.array(lanes[i][order][left_pos]))
+        cols_out.append(pa.array(t_out[left_pos]))
+        cols_out.append(pa.array(t_out[safe], mask=~ok))
+        cols_out.append(pa.array(rid_s[left_pos]))
+        cols_out.append(pa.array(rid_s[safe], mask=~ok))
+        yield pa.RecordBatch.from_arrays(
+            cols_out, names=[*knames, "t", "t_b", "rid_a", "rid_b"]
+        )
+
+    lanes_ddl = ", ".join(
+        f"{k} {'binary' if b else 'long'}"
+        for k, b in zip(knames, lane_is_bin)
+    )
+    ids = u.mapInArrow(
+        asof_merge, schema=f"{lanes_ddl}, t long, t_b long, rid_a long, rid_b long"
+    )
+    if keep_a:
+        ids = ids.unionByName(
+            left_null.select(
+                *knames, F.col(f"k{m}").alias("t"),
+                F.lit(None).cast("long").alias("t_b"),
+                F.col("rid").alias("rid_a"),
+                F.lit(None).cast("long").alias("rid_b"),
+            )
+        )
+    out_cols = [
+        _group_key_out(F.col(kn), vt).alias(name)
+        for kn, vt, name in zip(knames, vts_a, by_cols)
+    ]
+    out_cols.append(_group_key_out(F.col("t"), vts_a[m]).alias(on))
+    out_cols.append(_group_key_out(F.col("t_b"), vts_b[m]).alias(f"{on_b}_b"))
+    joined = ids
+    if project_a:
+        mat_a = materialize_rowids_parts(
+            spark, out_a,
+            ids.filter(F.col("rid_a").isNotNull())
+            .select(F.col("rid_a").alias("rid")).distinct(),
+            project_a,
+        )
+        joined = joined.join(
+            mat_a, joined["rid_a"] == mat_a["row_id"], "inner",
+        ).drop("row_id")
+        out_cols += [F.col(c) for c in project_a]
+    if project_b:
+        mat_b = materialize_rowids_parts(
+            spark, out_b,
+            ids.filter(F.col("rid_b").isNotNull())
+            .select(F.col("rid_b").alias("rid")).distinct(),
+            project_b,
+        )
+        joined = joined.join(
+            mat_b, joined["rid_b"] == mat_b["row_id"],
+            "left" if keep_a else "inner",
+        ).drop("row_id")
+        out_cols += [F.col(c) for c in project_b]
+    return joined.select(*out_cols)
+
+
 def join_group_by(
     spark: SparkSession,
     out_a: str,

@@ -246,6 +246,34 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         preds_b=[("range", "l_shipdate", _cut[0], _cut[1])],
         b_exists=True).count())
 
+    # fused join+aggregate with agg columns from BOTH sides (round-6,
+    # TPC-H Q5/Q10 shape): side-B partials fold as Σ S_B·na — the fact
+    # payload still never leaves its encode partition
+    timed("join_q10_both_sides", lambda: join_group_by(
+        spark, li_enc, or_enc, "l_orderkey",
+        [("revenue", "sumprod", [_price, _omd]),
+         ("sum_total", "sum", "o_totalprice", "b"),
+         ("first_order", "min", "o_orderdate", "b"),
+         ("cnt", "count", None)],
+        key_b="o_orderkey", group_b=["o_orderpriority"],
+        preds_a=[("range", "l_shipdate", _cut[0], _cut[1])]).count())
+
+    # AS-OF join (round-6): error events matched to the latest prior
+    # click per user — narrow (by, on, rid) lanes, one lexsort +
+    # grouped forward-fill per task, late-materialized projection
+    from arcade_spark.readops import join_asof
+
+    ev_enc = os.path.join(
+        tempfile.gettempdir(), f"arcade_bench_events_v{FORMAT_REV}_{sf}_{n_cores}"
+    )
+    _ej(spark, spark.read.parquet(f"{sf_dir}/events.parquet"), ev_enc,
+        num_parts=n_cores, order_col="event_id")
+    timed("join_asof_events", lambda: join_asof(
+        spark, ev_enc, ev_enc, "ts", "user_id",
+        project_b=["value"],
+        preds_a=[("eq", "event_type", "error")],
+        preds_b=[("eq", "event_type", "click")]).count())
+
     # general ORDER BY export (round-5): zone-map range buckets,
     # per-bucket sorts, global rank, late-materialized projection
     from arcade_spark.readops import orderby_export
@@ -270,6 +298,31 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         lambda: column_rank_values(
             spark, li_enc, "l_extendedprice",
             quantiles=[0.25, 0.5, 0.75, 0.99])))
+
+    # mixed per-key ORDER BY directions (round-6): leading key DESC
+    # replays the range buckets in reverse; the within-bucket Arrow
+    # sort runs the real direction mix with one global NULLS LAST
+    timed("orderby_mixed_3key", lambda: _sorted_run(lambda: orderby_export(
+        spark, li_enc, ["l_shipdate", "l_orderkey", "l_linenumber"],
+        ["l_orderkey", "l_linenumber", "l_shipdate"],
+        desc=[True, False, True])))
+
+    # per-group exact quantiles (round-6): (group, bucket) counts
+    # locate each group-rank's cell; only those cells sort
+    from arcade_spark.readops import group_rank_values
+
+    timed("group_quantiles_lang", lambda: _sorted_run(
+        lambda: group_rank_values(
+            spark, docs_enc, ["lang"], "n_chars", quantiles=[0.5, 0.99])))
+
+    # per-group MIN/MAX over a string column (round-6): per-block used
+    # -dict extrema ship a binary lane through the fused partials
+    from arcade_spark.readops import group_by_multi
+
+    timed("group_minmax_str", lambda: group_by_multi(
+        spark, docs_enc, ["lang"],
+        [("min_text", "min", "text"), ("max_text", "max", "text"),
+         ("cnt", "count", None)]).count())
 
     # join-skew evidence (round-5): Zipfian fact keys (one key owns 25%
     # of rows) vs a uniform twin of identical size — the narrow
