@@ -918,6 +918,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             preds_b=[("eq", "event_type", "click")],
         )
 
+    def arcade_top_per_key(spark, sf_dir):
+        """Top-N per key (round-6): the 3 highest-value events per
+        user — row_number() OVER (PARTITION BY ... ORDER BY ...) <= 3.
+        A per-partition PARTIAL top-3 runs before the shuffle (the
+        combiner bound: at most 3·keys rows move per partition), a
+        second pass finalizes global ranks, and the projection
+        late-materializes at the ≤ 3·|users| surviving rowids. The
+        unique event_id trails the order key so the cross-engine total
+        order is pinned."""
+        _ship_package(spark)
+        from arcade_spark.readops import top_per_key
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return top_per_key(
+            spark, out, "user_id", ["value", "event_id"], 3,
+            project=["event_id", "event_type"],
+            desc=[True, False],
+        )
+
+    def arcade_sessionize(spark, sf_dir):
+        """Gap-based sessionization (round-6): one row per (user,
+        session) with event count and span, sessions split at >30 min
+        idle. Narrow (key, ts, rid) lanes, one hash shuffle, one
+        lexsort + vectorized diff/cumsum per task — the aggregate form
+        a web-scale pipeline stores."""
+        _ship_package(spark)
+        from arcade_spark.readops import sessionize
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return sessionize(
+            spark, out, "user_id", "ts",
+            gap=1_800_000_000,  # 30 min in ts-lane micros
+            emit="sessions",
+        )
+
+    def arcade_rolling_count(spark, sf_dir):
+        """Trailing-window aggregate (round-6): events in the last 30
+        minutes per user, for every event — the SQL RANGE-frame window.
+        One narrow hash shuffle; per task one lexsort + run-bounded
+        vectorized binary search (no per-key Python)."""
+        _ship_package(spark)
+        from arcade_spark.readops import rolling_agg
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return rolling_agg(
+            spark, out, "user_id", "ts", window=1_800_000_000
+        )
+
     def arcade_q3(spark, sf_dir):
         """Fused join+aggregate (round-5) — the TPC-H Q3 shape:
         revenue = Σ l_extendedprice·(1−l_discount) per o_orderpriority
@@ -1119,6 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_group_minmax_ts": arcade_group_minmax_ts,
         "arcade_group_minmax_str": arcade_group_minmax_str,
         "arcade_join_asof": arcade_join_asof,
+        "arcade_top_per_key": arcade_top_per_key,
+        "arcade_sessionize": arcade_sessionize,
+        "arcade_rolling_count": arcade_rolling_count,
         "arcade_dedup_stream": arcade_dedup_stream,
         "arcade_scan_lineitem": arcade_scan_lineitem,
         "arcade_filter_lang": arcade_filter_lang,
@@ -1129,7 +1180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_range_double": arcade_filter_range_double,
         "arcade_filter_and": arcade_filter_and,
         "arcade_filter_dnf": arcade_filter_dnf,
-        "arcade_filter_neq": arcade_filter_neq,
         "arcade_filter_like": arcade_filter_like,
         "arcade_sample": arcade_sample,
         "arcade_minmax": arcade_minmax,
@@ -1150,9 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_null_count": arcade_null_count,
         "arcade_compact_scan": arcade_compact_scan,
         "arcade_filter_agg": arcade_filter_agg,
-        "arcade_q1_groups": arcade_q1_groups,
         "arcade_q1": arcade_q1,
-        "arcade_q1_double": arcade_q1_double,
         "arcade_q1_complete": arcade_q1_complete,
         "arcade_join": arcade_join,
         "arcade_join_left": arcade_join_left,
@@ -1160,6 +1208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_q4": arcade_q4,
         "arcade_window_stream": arcade_window_stream,
         # ---- below the driver's 50-entry sample fold ----
+        "arcade_filter_neq": arcade_filter_neq,
+        "arcade_q1_groups": arcade_q1_groups,
+        "arcade_q1_double": arcade_q1_double,
         "arcade_orderby": arcade_orderby,
         "arcade_orderby_double": arcade_orderby_double,
         "arcade_quantiles": arcade_quantiles,
@@ -1654,6 +1705,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'error') a "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b "
             "ON a.user_id = b.user_id AND a.ts >= b.ts"
+        ),
+        "arcade_top_per_key": (
+            "SELECT user_id, rn, event_id, event_type FROM ("
+            "SELECT user_id, event_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id "
+            "ORDER BY value DESC NULLS LAST, event_id ASC) AS rn "
+            "FROM events) WHERE rn <= 3"
+        ),
+        "arcade_rolling_count": (
+            "SELECT user_id, ts, count(*) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL '1800 seconds' PRECEDING "
+            "AND CURRENT ROW) AS w_count FROM events"
+        ),
+        "arcade_sessionize": (
+            "WITH lagged AS ("
+            "SELECT user_id, ts, lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts) AS prev FROM events"
+            "), sess AS ("
+            "SELECT user_id, ts, SUM(CASE WHEN prev IS NULL "
+            "OR ts - prev > INTERVAL '1800 seconds' THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS session FROM lagged) "
+            "SELECT user_id, session, count(*) AS n_events, "
+            "min(ts) AS ts_start, max(ts) AS ts_end "
+            "FROM sess GROUP BY user_id, session"
         ),
         "arcade_q3": (
             # the engine's exact fixed-point arithmetic replayed in SQL:

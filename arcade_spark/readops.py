@@ -3115,6 +3115,557 @@ def join_asof(
     return joined.select(*out_cols)
 
 
+def _win_lanes(tbl, names: list[str], is_bin: list[bool]):
+    """Per-lane (is_null uint8, grouping/sort value, original) arrays
+    for a window kernel batch. Int lanes fill nulls with 0 (the
+    is_null lane keeps them distinct and NULLS-LAST); binary lanes
+    factorize to dense per-task codes (None → b"" + is_null)."""
+    import pyarrow as pa
+
+    out = []
+    for name, b in zip(names, is_bin):
+        arr = tbl.column(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        isn = arr.is_null().to_numpy(zero_copy_only=False).astype(np.uint8)
+        if b:
+            obj = arr.to_numpy(zero_copy_only=False)
+            filled = np.array(
+                [b"" if v is None else v for v in obj], dtype=object
+            )
+            _, codes = np.unique(filled, return_inverse=True)
+            out.append((isn, codes.astype(np.int64), obj))
+        else:
+            vals = (
+                arr.fill_null(0).to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            out.append((isn, vals, None))
+    return out
+
+
+def top_per_key(
+    spark: SparkSession,
+    out_dir: str,
+    group_cols: str | list[str],
+    order_cols: str | list[str],
+    n: int,
+    project: list[str] | None = None,
+    desc: bool | list[bool] = False,
+    preds: list[tuple] | None = None,
+) -> DataFrame:
+    """Top-N rows per key — ``row_number() OVER (PARTITION BY
+    group_cols ORDER BY order_cols [DESC] NULLS LAST, rowid) <= n``
+    over the encoded table, the keep-best-per-host / latest-doc-per-url
+    shape every training-data pipeline runs. The reference has no
+    window functions at all (README.md:126-131).
+
+    Scale design — map-side combine, one narrow shuffle:
+
+    1. the key-stream kernel emits (group lanes..., order lanes...,
+       rid) rows only — predicate-filtered, zone-pruned, payload-free;
+    2. a PARTIAL top-n pass runs per encode partition (one lexsort,
+       keep the first n of each group run): the shuffle then carries
+       at most n × (groups present in the partition) rows, the
+       classic combiner bound — a 100-TB scan with n=1 ships ~one row
+       per (partition, key), not the table;
+    3. rows hash-repartition on the group lanes and the SAME kernel
+       finalizes global ranks per group;
+    4. the projection late-materializes at the ≤ n·|keys| surviving
+       rowids (touched blocks only) and joins back by rowid.
+
+    Ordering contract: every order key sorts NULLS LAST (asc and
+    desc); ties beyond ``order_cols`` break by encoded-table rowid
+    ascending (deterministic — with ``encode_job(order_col=c)`` that
+    is the order of ``c``). SQL window semantics for groups: NULL
+    group components compare equal (their own partition). Double
+    order columns ride the order-preserving int64 key lane; double
+    GROUP columns are rejected (float equality is not a sane
+    partition contract). Output: group columns, ``rn`` (1-based),
+    projection columns."""
+    import pyarrow as pa
+    from arcade_spark.partread import key_rowid_parts, materialize_rowids_parts
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    project = list(project or [])
+    if not group_cols or not order_cols:
+        raise ValueError("group_cols and order_cols must be non-empty")
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if isinstance(desc, (list, tuple)):
+        dirs = [bool(d) for d in desc]
+        if len(dirs) != len(order_cols):
+            raise ValueError(
+                f"desc list length {len(dirs)} != {len(order_cols)} order columns"
+            )
+    else:
+        dirs = [bool(desc)] * len(order_cols)
+    clash = set(project) & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"project and group_cols overlap (group values are already "
+            f"output): {sorted(clash)}"
+        )
+    vts = _lane_vtypes(spark, out_dir, group_cols + order_cols)
+    g = len(group_cols)
+    for c, vt in zip(group_cols, vts[:g]):
+        if vt in ("double", "float"):
+            raise NotImplementedError(
+                f"float group columns are not a sane partition contract: {c}"
+            )
+    keyed, kvts = key_rowid_parts(
+        spark, out_dir, group_cols + order_cols,
+        _preds_to_spec(preds) if preds else None,
+        keep_null_keys=True,
+        float_order_lane=True,
+    )
+    m = len(kvts)
+    g_bin = [vt in ("str", "binary") for vt in kvts[:g]]
+    o_bin = [vt in ("str", "binary") for vt in kvts[g:]]
+    knames = [f"k{i}" for i in range(m)]
+    top_n = n
+    o_dirs = list(dirs)
+
+    def topn_kernel(emit_rank: bool):
+        def kernel(batches):
+            chunks = [pa.Table.from_batches([b]) for b in batches]
+            if not chunks:
+                return
+            tbl = pa.concat_tables(chunks).combine_chunks()
+            nr = tbl.num_rows
+            if nr == 0:
+                return
+            gl = _win_lanes(tbl, knames[:g], g_bin)
+            ol = _win_lanes(tbl, knames[g:], o_bin)
+            rid = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
+            # lexsort keys, last = primary: group lanes (null lane then
+            # value), then per order col (is_null asc = NULLS LAST,
+            # direction via ~x involution), then rid asc
+            keys = [rid]
+            for (isn, val, _o), d in zip(reversed(ol), reversed(o_dirs)):
+                keys.append(np.bitwise_not(val) if d else val)
+                keys.append(isn)
+            for isn, val, _o in reversed(gl):
+                keys.append(val)
+                keys.append(isn)
+            order = np.lexsort(tuple(keys))
+            idx = np.arange(nr, dtype=np.int64)
+            change = np.zeros(nr, dtype=bool)
+            change[0] = True
+            for isn, val, _o in gl:
+                vs, ns = val[order], isn[order]
+                change[1:] |= (vs[1:] != vs[:-1]) | (ns[1:] != ns[:-1])
+            run_start = np.maximum.accumulate(np.where(change, idx, 0))
+            rank = idx - run_start  # 0-based within group
+            keep = rank < top_n
+            sel = order[keep]
+            # group then order lanes ship through for the final pass:
+            # binary lanes keep original bytes (None stays null), int
+            # lanes restore nulls via the is_null mask
+            cols_out = []
+            for (isn, val, obj), b in zip(gl + ol, g_bin + o_bin):
+                if b:
+                    cols_out.append(pa.array(obj[sel], type=pa.binary()))
+                else:
+                    cols_out.append(
+                        pa.array(val[sel], mask=isn[sel].astype(bool))
+                    )
+            names = list(knames)
+            if emit_rank:
+                cols_out.append(pa.array(rank[keep] + 1))
+                names = names + ["rn"]
+            cols_out.append(pa.array(rid[sel]))
+            yield pa.RecordBatch.from_arrays(cols_out, names=names + ["rid"])
+
+        return kernel
+
+    lanes_ddl = ", ".join(
+        f"{k} {'binary' if b else 'long'}"
+        for k, b in zip(knames, g_bin + o_bin)
+    )
+    partial = keyed.mapInArrow(
+        topn_kernel(False), schema=f"{lanes_ddl}, rid long"
+    )
+    final = partial.repartition(*[F.col(k) for k in knames[:g]]).mapInArrow(
+        topn_kernel(True), schema=f"{lanes_ddl}, rn long, rid long"
+    )
+    out_cols = [
+        _group_key_out(F.col(kn), vt).alias(name)
+        for kn, vt, name in zip(knames[:g], kvts[:g], group_cols)
+    ]
+    out_cols.append(F.col("rn"))
+    result = final
+    if project:
+        mat = materialize_rowids_parts(
+            spark, out_dir, final.select(F.col("rid")), project
+        )
+        result = final.join(mat, final["rid"] == mat["row_id"], "inner")
+        out_cols += [F.col(c) for c in project]
+    return result.select(*out_cols)
+
+
+def sessionize(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: str | list[str],
+    ts_col: str,
+    gap: int,
+    preds: list[tuple] | None = None,
+    emit: str = "rows",
+) -> DataFrame:
+    """Gap-based sessionization — assign every event its session ordinal
+    per key, where a new session starts when the time since the
+    previous event exceeds ``gap`` (lane units: MICROSECONDS for
+    timestamp columns, days for date, raw value for ints). The
+    standard ``SUM(CASE WHEN ts - lag(ts) > gap ...) OVER (PARTITION
+    BY key ORDER BY ts)`` shape, computed without a generic window
+    machine.
+
+    Scale design: the key-stream kernel ships (key lanes, ts lane,
+    rid) narrow rows; one hash shuffle on the key lanes; per task ONE
+    lexsort + a vectorized diff/cumsum assigns every session id —
+    no per-key loop, no payload movement. ``emit="rows"`` returns
+    (key..., ts, session); ``emit="sessions"`` aggregates in-kernel to
+    one row per session (key..., session, n_events, ts_start, ts_end)
+    — the output a 100-TB pipeline actually stores.
+
+    Rows with a null key component or null timestamp are dropped
+    (SQL: they join no session — filter them explicitly if needed).
+    Equal timestamps within a key always share a session (gap 0), so
+    the output is deterministic under encode-order ties."""
+    import pyarrow as pa
+    from arcade_spark.partread import key_rowid_parts
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if gap <= 0:
+        raise ValueError(f"gap must be > 0: {gap}")
+    if emit not in ("rows", "sessions"):
+        raise ValueError(f"emit must be 'rows' or 'sessions': {emit!r}")
+    vts = _lane_vtypes(spark, out_dir, key_cols + [ts_col])
+    g = len(key_cols)
+    if vts[g] in ("str", "binary", "double", "float"):
+        raise NotImplementedError(
+            f"sessionize timestamp column must be int64-lane "
+            f"(int/ts/date/bool): {ts_col} is {vts[g]}"
+        )
+    for c, vt in zip(key_cols, vts[:g]):
+        if vt in ("double", "float"):
+            raise NotImplementedError(
+                f"float key columns are not a sane partition contract: {c}"
+            )
+    keyed, kvts = key_rowid_parts(
+        spark, out_dir, key_cols + [ts_col],
+        _preds_to_spec(preds) if preds else None,
+    )
+    k_bin = [vt in ("str", "binary") for vt in kvts[:g]]
+    knames = [f"k{i}" for i in range(g)]
+    gap_units = gap
+    want_rows = emit == "rows"
+
+    def session_kernel(batches):
+        chunks = [pa.Table.from_batches([b]) for b in batches]
+        if not chunks:
+            return
+        tbl = pa.concat_tables(chunks).combine_chunks()
+        nr = tbl.num_rows
+        if nr == 0:
+            return
+        kl = _win_lanes(tbl, knames, k_bin)
+        ts = (
+            tbl.column(f"k{g}").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        rid = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [rid, ts]
+        for isn, val, _o in reversed(kl):
+            keys.append(val)
+            keys.append(isn)
+        order = np.lexsort(tuple(keys))
+        idx = np.arange(nr, dtype=np.int64)
+        change = np.zeros(nr, dtype=bool)
+        change[0] = True
+        for isn, val, _o in kl:
+            vs = val[order]
+            change[1:] |= vs[1:] != vs[:-1]
+        ts_s = ts[order]
+        bump = np.zeros(nr, dtype=bool)
+        bump[1:] = ts_s[1:] - ts_s[:-1] > gap_units
+        new_sess = change | bump
+        gs = np.cumsum(new_sess)  # 1-based global session ordinal
+        first_gs = np.maximum.accumulate(np.where(change, gs, 0))
+        sess = gs - first_gs  # 0-based session id within key
+        if want_rows:
+            cols_out = []
+            for (isn, val, obj), b in zip(kl, k_bin):
+                if b:
+                    cols_out.append(pa.array(obj[order], type=pa.binary()))
+                else:
+                    cols_out.append(pa.array(val[order]))
+            cols_out.append(pa.array(ts_s))
+            cols_out.append(pa.array(sess))
+            yield pa.RecordBatch.from_arrays(
+                cols_out, names=[*knames, "t", "session"]
+            )
+            return
+        # per-session aggregate: runs of new_sess
+        starts = np.nonzero(new_sess)[0]
+        ends = np.append(starts[1:], nr)
+        sel = order[starts]
+        cols_out = []
+        for (isn, val, obj), b in zip(kl, k_bin):
+            if b:
+                cols_out.append(pa.array(obj[sel], type=pa.binary()))
+            else:
+                cols_out.append(pa.array(val[sel]))
+        cols_out.append(pa.array(sess[starts]))
+        cols_out.append(pa.array(ends - starts))
+        cols_out.append(pa.array(ts_s[starts]))
+        cols_out.append(pa.array(ts_s[ends - 1]))
+        yield pa.RecordBatch.from_arrays(
+            cols_out,
+            names=[*knames, "session", "n_events", "t_start", "t_end"],
+        )
+
+    lanes_ddl = ", ".join(
+        f"{k} {'binary' if b else 'long'}" for k, b in zip(knames, k_bin)
+    )
+    u = keyed.repartition(*[F.col(k) for k in knames])
+    key_out = [
+        _group_key_out(F.col(kn), vt).alias(name)
+        for kn, vt, name in zip(knames, kvts, key_cols)
+    ]
+    if want_rows:
+        ids = u.mapInArrow(
+            session_kernel, schema=f"{lanes_ddl}, t long, session long"
+        )
+        return ids.select(
+            *key_out,
+            _group_key_out(F.col("t"), kvts[g]).alias(ts_col),
+            F.col("session"),
+        )
+    ids = u.mapInArrow(
+        session_kernel,
+        schema=(
+            f"{lanes_ddl}, session long, n_events long, "
+            f"t_start long, t_end long"
+        ),
+    )
+    return ids.select(
+        *key_out,
+        F.col("session"),
+        F.col("n_events"),
+        _group_key_out(F.col("t_start"), kvts[g]).alias(f"{ts_col}_start"),
+        _group_key_out(F.col("t_end"), kvts[g]).alias(f"{ts_col}_end"),
+    )
+
+
+def rolling_agg(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: str | list[str],
+    ts_col: str,
+    window: int,
+    agg_col: str | None = None,
+    aggs: tuple = ("count",),
+    preds: list[tuple] | None = None,
+) -> DataFrame:
+    """Trailing-window aggregate per key — for every row, COUNT/SUM/AVG
+    over the rows of the same key with ``ts`` in ``[t - window, t]``:
+    the SQL ``... OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    window PRECEDING AND CURRENT ROW)`` frame (peers of the current
+    timestamp are included on both engines). ``window`` is in lane
+    units: MICROSECONDS for timestamp columns, days for date, raw
+    value for ints.
+
+    Scale design: narrow (key lanes, ts, [agg lane], rid) rows, one
+    hash shuffle on the key lanes; per task ONE lexsort, global prefix
+    sums, and a vectorized run-bounded binary search (≈log2 n numpy
+    passes, no per-key Python) resolve every frame — O(n log n) per
+    task, payload never moves.
+
+    ``aggs`` ⊆ {"count", "sum", "avg"}; sum/avg need an int64-lane
+    ``agg_col`` (int/bigint/ts-as-micros/date/bool) — exact int64
+    arithmetic, avg is one IEEE division of exact ints (replayable
+    cross-engine). Rows with a null key component, null ``ts``, or
+    null ``agg_col`` are excluded entirely (document-level contract:
+    filter nulls explicitly for SQL-identical null handling). Output:
+    key columns, ``ts``, then ``w_count`` / ``w_sum`` / ``w_avg`` as
+    requested."""
+    import pyarrow as pa
+    from arcade_spark.partread import key_rowid_parts
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if window <= 0:
+        raise ValueError(f"window must be > 0: {window}")
+    aggs = tuple(aggs)
+    bad = set(aggs) - {"count", "sum", "avg"}
+    if bad or not aggs:
+        raise ValueError(
+            f"aggs must be a non-empty subset of count/sum/avg: {aggs}"
+        )
+    need_val = ("sum" in aggs) or ("avg" in aggs)
+    if need_val and agg_col is None:
+        raise ValueError("sum/avg need an agg_col")
+    g = len(key_cols)
+    lane_cols = key_cols + [ts_col] + ([agg_col] if need_val else [])
+    vts = _lane_vtypes(spark, out_dir, lane_cols)
+    for c, vt, what in (
+        [(ts_col, vts[g], "ts")]
+        + ([(agg_col, vts[g + 1], "agg")] if need_val else [])
+    ):
+        if vt in ("str", "binary", "double", "float"):
+            raise NotImplementedError(
+                f"rolling_agg {what} column must be int64-lane "
+                f"(int/ts/date/bool): {c} is {vt}"
+            )
+    for c, vt in zip(key_cols, vts[:g]):
+        if vt in ("double", "float"):
+            raise NotImplementedError(
+                f"float key columns are not a sane partition contract: {c}"
+            )
+    keyed, kvts = key_rowid_parts(
+        spark, out_dir, lane_cols,
+        _preds_to_spec(preds) if preds else None,
+    )
+    k_bin = [vt in ("str", "binary") for vt in kvts[:g]]
+    knames = [f"k{i}" for i in range(g)]
+    win_units = window
+    want = aggs
+
+    def rolling_kernel(batches):
+        chunks = [pa.Table.from_batches([b]) for b in batches]
+        if not chunks:
+            return
+        tbl = pa.concat_tables(chunks).combine_chunks()
+        nr = tbl.num_rows
+        if nr == 0:
+            return
+        kl = _win_lanes(tbl, knames, k_bin)
+        ts = tbl.column(f"k{g}").to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = None
+        if need_val:
+            vals = (
+                tbl.column(f"k{g + 1}")
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        keys = [rid, ts]
+        for isn, val, _o in reversed(kl):
+            keys.append(val)
+            keys.append(isn)
+        order = np.lexsort(tuple(keys))
+        idx = np.arange(nr, dtype=np.int64)
+        change = np.zeros(nr, dtype=bool)
+        change[0] = True
+        for isn, val, _o in kl:
+            vs = val[order]
+            change[1:] |= vs[1:] != vs[:-1]
+        run_start = np.maximum.accumulate(np.where(change, idx, 0))
+        # run_end (exclusive): next run's start, backwards-filled
+        starts = np.nonzero(change)[0]
+        run_end = np.repeat(np.append(starts[1:], nr), np.diff(np.append(starts, nr)))
+        ts_s = ts[order]
+        # frame lower bound: first j in [run_start, i] with
+        # ts[j] >= ts[i] - window — vectorized binary search bounded
+        # to each row's run (global searchsorted can't cross-compare
+        # between runs)
+        q_lo = ts_s - win_units
+        lo = run_start.copy()
+        hi = idx + 1
+        while True:
+            active = lo < hi
+            if not active.any():
+                break
+            mid = (lo + hi) // 2
+            less = ts_s[np.minimum(mid, nr - 1)] < q_lo
+            step = active & less
+            lo = np.where(step, mid + 1, lo)
+            hi = np.where(active & ~less, mid, hi)
+        lb = lo
+        # frame upper bound: last j in run with ts[j] <= ts[i]
+        # (peers after i included) — upper_bound of ts[i] within run
+        q_hi = ts_s
+        lo2 = idx + 1  # peers before/at i are already <= ts[i]
+        hi2 = run_end
+        while True:
+            active = lo2 < hi2
+            if not active.any():
+                break
+            mid = (lo2 + hi2) // 2
+            le = ts_s[np.minimum(mid, nr - 1)] <= q_hi
+            step = active & le
+            lo2 = np.where(step, mid + 1, lo2)
+            hi2 = np.where(active & ~le, mid, hi2)
+        ub = lo2
+        cnt = ub - lb
+        out_aggs = {}
+        if "count" in want:
+            out_aggs["w_count"] = pa.array(cnt)
+        if need_val:
+            vs = vals[order]
+            # exact int64 prefix sums with a float64 magnitude guard
+            # (same contract as the fused agg lanes)
+            fmag = np.cumsum(np.abs(vs).astype(np.float64))
+            if fmag.size and fmag[-1] >= float(2**62):
+                raise OverflowError(
+                    "rolling_agg prefix sums would exceed int64"
+                )
+            pref = np.concatenate(
+                ([0], np.cumsum(vs, dtype=np.int64))
+            )
+            wsum = pref[ub] - pref[lb]
+            if "sum" in want:
+                out_aggs["w_sum"] = pa.array(wsum)
+            if "avg" in want:
+                out_aggs["w_avg"] = pa.array(
+                    wsum.astype(np.float64) / cnt.astype(np.float64)
+                )
+        cols_out = []
+        for (isn, val, obj), b in zip(kl, k_bin):
+            if b:
+                cols_out.append(pa.array(obj[order], type=pa.binary()))
+            else:
+                cols_out.append(pa.array(val[order]))
+        cols_out.append(pa.array(ts_s))
+        names = [*knames, "t"]
+        for nm, arr in out_aggs.items():
+            cols_out.append(arr)
+            names.append(nm)
+        yield pa.RecordBatch.from_arrays(cols_out, names=names)
+
+    agg_ddl = []
+    if "count" in aggs:
+        agg_ddl.append("w_count long")
+    if "sum" in aggs:
+        agg_ddl.append("w_sum long")
+    if "avg" in aggs:
+        agg_ddl.append("w_avg double")
+    lanes_ddl = ", ".join(
+        f"{k} {'binary' if b else 'long'}" for k, b in zip(knames, k_bin)
+    )
+    u = keyed.repartition(*[F.col(k) for k in knames])
+    ids = u.mapInArrow(
+        rolling_kernel, schema=f"{lanes_ddl}, t long, {', '.join(agg_ddl)}"
+    )
+    out_cols = [
+        _group_key_out(F.col(kn), vt).alias(name)
+        for kn, vt, name in zip(knames, kvts, key_cols)
+    ]
+    out_cols.append(_group_key_out(F.col("t"), kvts[g]).alias(ts_col))
+    if "count" in aggs:
+        out_cols.append(F.col("w_count"))
+    if "sum" in aggs:
+        out_cols.append(F.col("w_sum"))
+    if "avg" in aggs:
+        out_cols.append(F.col("w_avg"))
+    return ids.select(*out_cols)
+
+
 def join_group_by(
     spark: SparkSession,
     out_a: str,

@@ -274,6 +274,30 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         preds_a=[("eq", "event_type", "error")],
         preds_b=[("eq", "event_type", "click")]).count())
 
+    # top-N per key (round-6): partial top-3 per encode partition
+    # before the shuffle (combiner bound), ranks finalized per key
+    from arcade_spark.readops import top_per_key
+
+    timed("topn_per_user", lambda: top_per_key(
+        spark, ev_enc, "user_id", ["value", "event_id"], 3,
+        project=["event_id", "event_type"],
+        desc=[True, False]).count())
+
+    # gap-based sessionization (round-6): per-session aggregate rows,
+    # one narrow shuffle + vectorized diff/cumsum per task
+    from arcade_spark.readops import sessionize
+
+    timed("sessionize_users", lambda: sessionize(
+        spark, ev_enc, "user_id", "ts", gap=1_800_000_000,
+        emit="sessions").count())
+
+    # trailing-window aggregate (round-6): per-row 30-min event count
+    # per user — lexsort + run-bounded vectorized binary search
+    from arcade_spark.readops import rolling_agg
+
+    timed("rolling_count_users", lambda: rolling_agg(
+        spark, ev_enc, "user_id", "ts", window=1_800_000_000).count())
+
     # general ORDER BY export (round-5): zone-map range buckets,
     # per-bucket sorts, global rank, late-materialized projection
     from arcade_spark.readops import orderby_export
