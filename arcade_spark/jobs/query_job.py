@@ -22,6 +22,13 @@ Subcommands:
     agg           --column c
     join          --right <encoded_dir> --key k [--right-key k2]
                   [--project a,b] [--right-project c,d]
+    asof          --right <dir> --on ts --by k [--direction forward]
+                  [--strict] [--tolerance N] [--how left]
+    topn          --by k --order c -n 3 [--project a,b]
+                  [--desc | --directions desc,asc]
+    sessionize    --by k --ts c --gap N [--emit sessions]
+    rolling       --by k --ts c --window N [--agg-column v]
+                  [--aggs count,sum,avg]
 
 Output: ``df.show()`` (the reference's print sink, R9) or
 ``--out <dir>`` to write parquet. Locally, plain
@@ -174,6 +181,48 @@ def build_query(spark, args):
             spark, args.encoded, args.columns.split(","),
             proj or args.columns.split(","), desc=desc,
         )
+    if args.cmd == "asof":
+        from arcade_spark.readops import join_asof
+
+        return join_asof(
+            spark, args.encoded, args.right, args.on,
+            args.by.split(","),
+            on_b=args.right_on,
+            project_a=args.project.split(",") if args.project else None,
+            project_b=args.right_project.split(",")
+            if args.right_project else None,
+            how=args.how,
+            direction=args.direction,
+            allow_exact=not args.strict,
+            tolerance=args.tolerance,
+        )
+    if args.cmd == "topn":
+        from arcade_spark.readops import top_per_key
+
+        desc: bool | list[bool] = args.desc
+        if getattr(args, "directions", None):
+            desc = [d.strip().lower() == "desc"
+                    for d in args.directions.split(",")]
+        return top_per_key(
+            spark, args.encoded, args.by.split(","),
+            args.order.split(","), args.n,
+            project=proj, desc=desc,
+        )
+    if args.cmd == "sessionize":
+        from arcade_spark.readops import sessionize
+
+        return sessionize(
+            spark, args.encoded, args.by.split(","), args.ts,
+            gap=args.gap, emit=args.emit,
+        )
+    if args.cmd == "rolling":
+        from arcade_spark.readops import rolling_agg
+
+        return rolling_agg(
+            spark, args.encoded, args.by.split(","), args.ts,
+            window=args.window, agg_col=args.agg_column,
+            aggs=tuple(args.aggs.split(",")),
+        )
     if args.cmd == "group-distinct":
         from arcade_spark.readops import group_count_distinct
 
@@ -271,6 +320,53 @@ def main(argv: list[str] | None = None) -> int:
     ob.add_argument("--directions", default=None,
                     help="per-key direction mix, e.g. desc,asc "
                          "(every key NULLS LAST)")
+
+    asf = sub.add_parser("asof")
+    asf.add_argument("--right", required=True,
+                     help="right side's encoded out_dir")
+    asf.add_argument("--on", required=True,
+                     help="as-of column (int/ts/date lane)")
+    asf.add_argument("--right-on", default=None)
+    asf.add_argument("--by", required=True,
+                     help="comma-separated equality key columns")
+    asf.add_argument("--project", default=None)
+    asf.add_argument("--right-project", default=None)
+    asf.add_argument("--how", default="inner", choices=("inner", "left"))
+    asf.add_argument("--direction", default="backward",
+                     choices=("backward", "forward"))
+    asf.add_argument("--strict", action="store_true",
+                     help="strict inequality (exclude exact matches)")
+    asf.add_argument("--tolerance", type=int, default=None,
+                     help="max |on gap| in lane units (micros for ts)")
+
+    tn = sub.add_parser("topn")
+    tn.add_argument("--by", required=True,
+                    help="comma-separated partition keys")
+    tn.add_argument("--order", required=True,
+                    help="comma-separated order columns")
+    tn.add_argument("-n", type=int, default=10)
+    tn.add_argument("--project", default=None)
+    tn.add_argument("--desc", action="store_true")
+    tn.add_argument("--directions", default=None,
+                    help="per-key direction mix, e.g. desc,asc")
+
+    se = sub.add_parser("sessionize")
+    se.add_argument("--by", required=True,
+                    help="comma-separated session keys")
+    se.add_argument("--ts", required=True, help="timestamp column")
+    se.add_argument("--gap", type=int, required=True,
+                    help="session gap in lane units (micros for ts)")
+    se.add_argument("--emit", default="rows", choices=("rows", "sessions"))
+
+    ro = sub.add_parser("rolling")
+    ro.add_argument("--by", required=True,
+                    help="comma-separated partition keys")
+    ro.add_argument("--ts", required=True, help="timestamp column")
+    ro.add_argument("--window", type=int, required=True,
+                    help="trailing window in lane units (micros for ts)")
+    ro.add_argument("--agg-column", default=None)
+    ro.add_argument("--aggs", default="count",
+                    help="comma-separated subset of count,sum,avg")
 
     gd = sub.add_parser("group-distinct")
     gd.add_argument("--columns", required=True,

@@ -147,3 +147,53 @@ def test_query_job_round5_subcommands(spark, tmp_path_factory):
         project="url", right_project="label", how="left"))
     assert df.count() == 60
     assert df.filter("label IS NULL").count() == 30  # g in 5..9 unmatched
+
+
+def test_query_job_round6_subcommands(spark, tmp_path_factory):
+    """asof / topn / sessionize / rolling CLI paths."""
+    import arcade_spark.jobs.query_job as qj
+
+    src = spark.createDataFrame(
+        [(f"e{i:03d}", i % 5, i * 10, i % 7) for i in range(60)],
+        "ev string, uid long, t long, v long",
+    )
+    out = str(tmp_path_factory.mktemp("qj6") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=16, order_col="ev")
+
+    # asof: self-join, every left row matches itself (exact allowed)
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="asof", encoded=out, right=out, on="t", right_on=None,
+        by="uid", project=None, right_project="v", how="inner",
+        direction="backward", strict=False, tolerance=None))
+    rows = df.collect()
+    assert len(rows) == 60
+    assert all(r["t_b"] == r["t"] for r in rows)
+
+    # topn: 2 smallest t per uid
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="topn", encoded=out, by="uid", order="t", n=2,
+        project="ev", desc=False, directions=None))
+    got = sorted((r["uid"], r["rn"], r["ev"]) for r in df.collect())
+    assert len(got) == 10
+    assert got[0] == (0, 1, "e000") and got[1] == (0, 2, "e005")
+
+    # sessionize: consecutive events per uid are 50 apart -> gap 49
+    # splits every event into its own session
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="sessionize", encoded=out, by="uid", ts="t", gap=49,
+        emit="sessions"))
+    assert df.count() == 60
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="sessionize", encoded=out, by="uid", ts="t", gap=50,
+        emit="sessions"))
+    assert df.count() == 5  # one session per uid
+
+    # rolling: window covers the previous event of the same uid
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="rolling", encoded=out, by="uid", ts="t", window=50,
+        agg_column="v", aggs="count,sum"))
+    rows = {(r["uid"], r["t"]): (r["w_count"], r["w_sum"])
+            for r in df.collect()}
+    assert len(rows) == 60
+    assert rows[(0, 0)] == (1, 0)          # e000: v=0
+    assert rows[(0, 50)][0] == 2           # e005 sees e000
