@@ -898,6 +898,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             how="full",
         )
 
+    def arcade_join_semi(spark, sf_dir):
+        """EXISTS at shuffle scale (round-6): orders with at least one
+        line shipped in the window — both sides ship only (key, rowid)
+        lanes, the probe side collapses to DISTINCT keys before the
+        left_semi, projections late-materialize."""
+        _ship_package(spark)
+        import datetime as _dt
+
+        from arcade_spark.readops import join_encoded
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        out_or = _encoded_dir(spark, sf_dir, "orders", "o_orderkey")
+        utc = _dt.timezone.utc
+        return join_encoded(
+            spark, out_or, out_li, "o_orderkey", "l_orderkey",
+            project_a=["o_orderpriority"],
+            preds_b=[("range", "l_shipdate",
+                      _dt.datetime(1995, 3, 15, tzinfo=utc),
+                      _dt.datetime(1999, 1, 1, tzinfo=utc))],
+            how="semi",
+        )
+
+    def arcade_join_anti(spark, sf_dir):
+        """NOT EXISTS at shuffle scale (round-6): orders with NO line
+        shipped in the window — the anti twin of arcade_join_semi;
+        null-key left rows would be kept per SQL NOT EXISTS."""
+        _ship_package(spark)
+        import datetime as _dt
+
+        from arcade_spark.readops import join_encoded
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        out_or = _encoded_dir(spark, sf_dir, "orders", "o_orderkey")
+        utc = _dt.timezone.utc
+        return join_encoded(
+            spark, out_or, out_li, "o_orderkey", "l_orderkey",
+            project_a=["o_orderpriority"],
+            preds_b=[("range", "l_shipdate",
+                      _dt.datetime(1995, 3, 15, tzinfo=utc),
+                      _dt.datetime(1999, 1, 1, tzinfo=utc))],
+            how="anti",
+        )
+
     def arcade_join_asof(spark, sf_dir):
         """AS-OF join (round-6): for every error event, the most recent
         click by the same user at-or-before it — DuckDB's native ASOF
@@ -1166,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_group_quantiles": arcade_group_quantiles,
         "arcade_group_minmax_ts": arcade_group_minmax_ts,
         "arcade_group_minmax_str": arcade_group_minmax_str,
+        "arcade_join_semi": arcade_join_semi,
+        "arcade_join_anti": arcade_join_anti,
         "arcade_join_asof": arcade_join_asof,
         "arcade_top_per_key": arcade_top_per_key,
         "arcade_sessionize": arcade_sessionize,
@@ -1178,10 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_events": arcade_filter_events,
         "arcade_filter_range": arcade_filter_range,
         "arcade_filter_range_double": arcade_filter_range_double,
-        "arcade_filter_and": arcade_filter_and,
         "arcade_filter_dnf": arcade_filter_dnf,
         "arcade_filter_like": arcade_filter_like,
-        "arcade_sample": arcade_sample,
         "arcade_minmax": arcade_minmax,
         "arcade_minmax_ts": arcade_minmax_ts,
         "arcade_topk": arcade_topk,
@@ -1208,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_q4": arcade_q4,
         "arcade_window_stream": arcade_window_stream,
         # ---- below the driver's 50-entry sample fold ----
+        "arcade_filter_and": arcade_filter_and,
+        "arcade_sample": arcade_sample,
         "arcade_filter_neq": arcade_filter_neq,
         "arcade_q1_groups": arcade_q1_groups,
         "arcade_q1_double": arcade_q1_double,
@@ -1699,6 +1744,20 @@ def oracle_sql() -> dict[str, str]:
             "FULL JOIN (SELECT * FROM orders "
             "WHERE o_orderpriority = '1-URGENT') o "
             "ON l.l_orderkey = o.o_orderkey"
+        ),
+        "arcade_join_semi": (
+            "SELECT o_orderkey, o_orderpriority FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate BETWEEN TIMESTAMP '1995-03-15' "
+            "AND TIMESTAMP '1999-01-01')"
+        ),
+        "arcade_join_anti": (
+            "SELECT o_orderkey, o_orderpriority FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate BETWEEN TIMESTAMP '1995-03-15' "
+            "AND TIMESTAMP '1999-01-01')"
         ),
         "arcade_join_asof": (
             "SELECT a.user_id, a.ts, b.ts AS ts_b, b.value "

@@ -310,7 +310,8 @@ def main(argv: list[str] | None = None) -> int:
     j.add_argument("--project", default=None)
     j.add_argument("--right-project", default=None)
     j.add_argument("--how", default="inner",
-                   choices=("inner", "left", "right", "full"))
+                   choices=("inner", "left", "right", "full",
+                            "semi", "anti"))
 
     ob = sub.add_parser("orderby")
     ob.add_argument("--columns", required=True,

@@ -2758,7 +2758,10 @@ def join_encoded(
     Round-5 generality: ``key_a``/``key_b`` may be LISTS (composite
     keys — each component gets its own narrow lane; a key is null if
     ANY component is, per SQL composite equi-join), and ``how`` covers
-    ``inner | left | right | full``. SQL join semantics: null keys
+    ``inner | left | right | full | semi | anti`` (round-6: semi/anti
+    are EXISTS / NOT EXISTS at shuffle scale — left columns only, B's
+    stream collapses to distinct keys, anti keeps null-key left rows
+    as SQL NOT EXISTS does). SQL join semantics: null keys
     never equi-match; outer variants preserve unmatched (and null-key)
     rows of the outer side(s) with null other-side projections — each
     unmatched set is an ANTI join on the same narrow key streams, so
@@ -2770,9 +2773,10 @@ def join_encoded(
     for it."""
     from arcade_spark.partread import key_rowid_parts, materialize_rowids_parts
 
-    if how not in ("inner", "left", "right", "full"):
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(
-            f"how must be 'inner', 'left', 'right' or 'full': {how!r}"
+            f"how must be 'inner', 'left', 'right', 'full', 'semi' "
+            f"or 'anti': {how!r}"
         )
     keys_a = [key_a] if isinstance(key_a, str) else list(key_a)
     keys_b = keys_a if key_b is None else (
@@ -2787,7 +2791,18 @@ def join_encoded(
     clash = set(project_a) & set(project_b)
     if clash:
         raise ValueError(f"projection name clash across sides: {sorted(clash)}")
-    keep_a = how in ("left", "full")
+    if how in ("semi", "anti") and project_b:
+        raise ValueError(
+            "semi/anti joins return left-side columns only — "
+            "project_b must be empty"
+        )
+    # EXISTS / NOT EXISTS at shuffle scale (past filter_semijoin's
+    # broadcast-key ceiling): both sides still ship only (key lanes,
+    # rid); B's stream collapses to DISTINCT keys before the left_semi
+    # / left_anti, so the probe shuffle is O(distinct B keys). SQL
+    # semantics: null keys never match — semi drops them, anti KEEPS
+    # them (NOT EXISTS holds vacuously for a null key).
+    keep_a = how in ("left", "full", "anti")
     keep_b = how in ("right", "full")
     ka, kvts_a = key_rowid_parts(
         spark, out_a, keys_a, _preds_to_spec(preds_a) if preds_a else None,
@@ -2806,6 +2821,23 @@ def join_encoded(
     knames = [f"k{i}" for i in range(len(keys_a))]
     ka_n = ka.select(*knames, F.col("rid").alias("rid_a"))
     kb_n = kb.select(*knames, F.col("rid").alias("rid_b"))
+    if how in ("semi", "anti"):
+        ids = ka_n.join(
+            kb_n.select(*knames).distinct(), knames,
+            "left_semi" if how == "semi" else "left_anti",
+        )
+        out_cols = [
+            _group_key_out(F.col(kn), va).alias(ka_name)
+            for kn, va, ka_name in zip(knames, kvts_a, keys_a)
+        ]
+        if not project_a:
+            return ids.select(*out_cols)
+        mat_a = materialize_rowids_parts(
+            spark, out_a,
+            ids.select(F.col("rid_a").alias("rid")).distinct(), project_a,
+        )
+        joined = ids.join(mat_a, ids["rid_a"] == mat_a["row_id"], "inner")
+        return joined.select(*out_cols, *[F.col(c) for c in project_a])
     ids = ka_n.join(kb_n, knames)
     if keep_a:
         # ANTI join keeps null-key rows too (null never equi-matches)

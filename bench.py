@@ -258,6 +258,19 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         key_b="o_orderkey", group_b=["o_orderpriority"],
         preds_a=[("range", "l_shipdate", _cut[0], _cut[1])]).count())
 
+    # EXISTS / NOT EXISTS at shuffle scale (round-6): probe side
+    # collapses to distinct keys before the semi/anti
+    timed("join_semi_orders", lambda: join_encoded(
+        spark, or_enc, li_enc, "o_orderkey", "l_orderkey",
+        project_a=["o_orderpriority"],
+        preds_b=[("range", "l_shipdate", _cut[0], _cut[1])],
+        how="semi").count())
+    timed("join_anti_orders", lambda: join_encoded(
+        spark, or_enc, li_enc, "o_orderkey", "l_orderkey",
+        project_a=["o_orderpriority"],
+        preds_b=[("range", "l_shipdate", _cut[0], _cut[1])],
+        how="anti").count())
+
     # AS-OF join (round-6): error events matched to the latest prior
     # click per user — narrow (by, on, rid) lanes, one lexsort +
     # grouped forward-fill per task, late-materialized projection

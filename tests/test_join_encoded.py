@@ -332,3 +332,64 @@ def test_materialize_split_key_multi_group(spark, tmp_path_factory, monkeypatch)
     assert len(rows) == 1000
     assert rows[0] == (0, "u00000", "t-0", 0)
     assert all(r[0] % 3 == 0 and r[3] == r[0] for r in rows)
+
+
+def test_join_semi(spark, two_tables):
+    """EXISTS at shuffle scale: left rows with >=1 match, never
+    duplicated by multiple matches; null-key left rows dropped."""
+    oa, ob, sa, sb = two_tables
+    got = join_encoded(
+        spark, oa, ob, "fk", "pk",
+        project_a=["url", "qty"],
+        preds_b=[("eq", "grade", "y")],
+        how="semi",
+    )
+    assert got.columns == ["fk", "url", "qty"]
+    want = (
+        sa.join(sb.filter(sb["grade"] == "y"), sa["fk"] == sb["pk"],
+                "left_semi")
+        .select("fk", "url", "qty")
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_join_anti(spark, two_tables):
+    """NOT EXISTS: left rows with no match, null-key left rows KEPT
+    (NOT EXISTS holds vacuously for a null key)."""
+    oa, ob, sa, sb = two_tables
+    got = join_encoded(
+        spark, oa, ob, "fk", "pk",
+        project_a=["url"],
+        preds_b=[("eq", "grade", "y")],
+        how="anti",
+    )
+    want = (
+        sa.join(sb.filter(sb["grade"] == "y"), sa["fk"] == sb["pk"],
+                "left_anti")
+        .select("fk", "url")
+    )
+
+    def _nsafe(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda r: tuple((v is None, v) for v in r),
+        )
+
+    got_rows = _nsafe(got.select("fk", "url"))
+    assert got_rows == _nsafe(want)
+    # null-key rows present (Spark's left_anti keeps them too)
+    assert any(r[0] is None for r in got_rows)
+    # semi + anti partition the left side
+    semi_n = join_encoded(spark, oa, ob, "fk", "pk",
+                          preds_b=[("eq", "grade", "y")],
+                          how="semi").count()
+    assert semi_n + got.count() == 3000
+
+
+def test_join_semi_anti_validation(spark, two_tables):
+    oa, ob, _, _ = two_tables
+    with pytest.raises(ValueError):
+        join_encoded(spark, oa, ob, "fk", "pk",
+                     project_b=["name"], how="semi")
+    with pytest.raises(ValueError):
+        join_encoded(spark, oa, ob, "fk", "pk", how="bogus")
