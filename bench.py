@@ -409,6 +409,28 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     timed("join_skew_zipf25", lambda: _skew_join("zipf"))
     timed("join_skew_uniform_twin", lambda: _skew_join("unif"))
 
+    # per-key window ops under the same 25%-hot key (round-6): SQL
+    # semantics pin a key to one task, so the hot key's WHOLE timeline
+    # lands in one lexsort — the probe measures that the narrow
+    # (key, ts[, agg]) lanes keep even a 25%-of-table key tractable
+    # (the payload never enters the shuffle; zipf vs uniform twin
+    # should stay within the same ~1.5x envelope as the join probes)
+    def _skew_rolling(which: str):
+        return rolling_agg(
+            spark, os.path.join(skew_base, which), "k", "row_id",
+            window=1000, agg_col="v", aggs=("count", "sum")).count()
+
+    def _skew_topn(which: str):
+        return top_per_key(
+            spark, os.path.join(skew_base, which), "k",
+            ["v", "row_id"], 5).count()
+
+    _skew_rolling("zipf"); _skew_rolling("unif")  # page-cache warmup
+    timed("rolling_skew_zipf25", lambda: _skew_rolling("zipf"))
+    timed("rolling_skew_uniform_twin", lambda: _skew_rolling("unif"))
+    timed("topn_skew_zipf25", lambda: _skew_topn("zipf"))
+    timed("topn_skew_uniform_twin", lambda: _skew_topn("unif"))
+
     # string ORDER BY LIMIT k over prefix-truncated zone envelopes
     from arcade_spark.readops import column_topk as _ctopk
 
