@@ -806,6 +806,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_start", "event_type", F.col("cnt").cast("long").alias("cnt")
         )
 
+    def arcade_session_stream(spark, sf_dir):
+        """Event-time SESSION windows with watermark (round-6): events
+        replayed in 4 time-ordered batches through Spark's built-in
+        session_window keyed by user (30-min gap, 2-h watermark),
+        sessions merging across micro-batches in the state store; a
+        far-future sentinel closes every real session. Session
+        semantics are boundary-identical to the batch sessionize
+        operator (delta > gap starts a new session), so the oracle is
+        the same lag/cumsum SQL aggregated per session with
+        session_end = last event + gap."""
+        _ship_package(spark)
+        import shutil
+
+        from arcade_spark.manifest import FORMAT_REV
+        from arcade_spark.streaming import session_counts
+
+        key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        base = os.path.join(
+            tempfile.gettempdir(), f"arcade_entry_cache_v{FORMAT_REV}", key,
+            f"session-stream-{_streaming_rev()}",
+        )
+        inp = os.path.join(base, "in")
+        outp = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        done = os.path.join(base, "done")
+        if not os.path.exists(done):
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(inp, exist_ok=True)
+            pdf = (
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+                .select("ts", "user_id")
+                .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+                .orderBy("ts", "user_id")
+                .toPandas()
+            )
+            n = len(pdf)
+            cuts = [0, n // 4, n // 2, (3 * n) // 4, n]
+            import pandas as _pd
+
+            pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+            for k in range(4):
+                chunk = pdf.iloc[cuts[k]:cuts[k + 1]]
+                f = os.path.join(inp, f"batch{k:02d}.parquet")
+                chunk.to_parquet(f, index=False)
+                os.utime(f, (1_700_000_000 + k, 1_700_000_000 + k))
+            sentinel = _pd.DataFrame(
+                {"ts": [pdf["ts"].max() + _pd.Timedelta(days=10)],
+                 "user_id": [-1]}
+            )
+            sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
+            f = os.path.join(inp, "batch04.parquet")
+            sentinel.to_parquet(f, index=False)
+            os.utime(f, (1_700_000_004, 1_700_000_004))
+            q = session_counts(
+                spark, inp, outp, ckpt, "ts timestamp, user_id long",
+                ts_col="ts", key_col="user_id",
+                gap="30 minutes", watermark="2 hours",
+            )
+            q.awaitTermination()
+            with open(done, "w") as fh:
+                fh.write("ok")
+        return spark.read.parquet(outp).select(
+            "session_start", "session_end", "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+
     def arcade_join(spark, sf_dir):
         """Encoded-to-encoded shuffle join (round-4, past the semijoin
         broadcast cap): lineitem ⋈ orders on the order key, orders side
@@ -1214,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_join_asof": arcade_join_asof,
         "arcade_top_per_key": arcade_top_per_key,
         "arcade_sessionize": arcade_sessionize,
+        "arcade_session_stream": arcade_session_stream,
         "arcade_rolling_count": arcade_rolling_count,
         "arcade_dedup_stream": arcade_dedup_stream,
         "arcade_scan_lineitem": arcade_scan_lineitem,
@@ -1236,7 +1303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_group_by": arcade_group_by,
         "arcade_group_stats": arcade_group_stats,
         "arcade_group_distinct": arcade_group_distinct,
-        "arcade_distinct": arcade_distinct,
         "arcade_distinct_count": arcade_distinct_count,
         "arcade_semijoin": arcade_semijoin,
         "arcade_table_count": arcade_table_count,
@@ -1251,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_q4": arcade_q4,
         "arcade_window_stream": arcade_window_stream,
         # ---- below the driver's 50-entry sample fold ----
+        "arcade_distinct": arcade_distinct,
         "arcade_filter_and": arcade_filter_and,
         "arcade_sample": arcade_sample,
         "arcade_filter_neq": arcade_filter_neq,
@@ -1771,6 +1838,21 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id "
             "ORDER BY value DESC NULLS LAST, event_id ASC) AS rn "
             "FROM events) WHERE rn <= 3"
+        ),
+        "arcade_session_stream": (
+            "WITH lagged AS ("
+            "SELECT user_id, ts, lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts) AS prev FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+            "), sess AS ("
+            "SELECT user_id, ts, SUM(CASE WHEN prev IS NULL "
+            "OR ts - prev > INTERVAL '1800 seconds' THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS s FROM lagged) "
+            "SELECT min(ts) AS session_start, "
+            "max(ts) + INTERVAL '1800 seconds' AS session_end, "
+            "user_id, count(*) AS n_events "
+            "FROM sess GROUP BY user_id, s"
         ),
         "arcade_rolling_count": (
             "SELECT user_id, ts, count(*) OVER ("

@@ -140,6 +140,67 @@ def dedup_stream(
     return writer.start()
 
 
+def session_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Event-time SESSION windows with a watermark (round-6): Spark's
+    built-in ``session_window`` — a session extends while successive
+    events arrive AT MOST ``gap`` apart (measured: two events exactly
+    ``gap`` apart merge into one session), merging across micro-batches
+    in the state store. Boundary-identical to the batch ``sessionize``
+    operator (readops.py), which also starts a new session only when
+    the delta EXCEEDS the gap — so the two surfaces agree row-for-row
+    on (key, session membership).
+
+    Append mode emits a session exactly once, when the watermark passes
+    its end (last event + gap); state eviction bounds memory at
+    10^12-row streams. Finite replays should end with a far-future
+    sentinel batch so every real session closes.
+
+    Output rows: (session_start, session_end, <key_col>, n_events) —
+    ``session_end`` is last event time + gap (Spark's window end)."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def window_counts(
     spark: SparkSession,
     input_dir: str,

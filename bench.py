@@ -526,6 +526,67 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 
     timed("dedup_stream_4x_rows", dedup_stream_4x_rep, reps=1)
 
+    # event-time session windows with watermark (round-6): 4 time-
+    # ordered batches + sentinel, sessions merge across micro-batches
+    # in the state store
+    ss_base = os.path.join(
+        tempfile.gettempdir(), f"arcade_bench_sstream_v{FORMAT_REV}_{sf}"
+    )
+    ss_in = os.path.join(ss_base, "in")
+    if not os.path.isdir(ss_in) or not os.listdir(ss_in):
+        os.makedirs(ss_in, exist_ok=True)
+        pdf = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("ts", "user_id")
+            .filter("ts IS NOT NULL AND user_id IS NOT NULL")
+            .orderBy("ts", "user_id")
+            .toPandas()
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        n_ev = len(pdf)
+        cuts = [0, n_ev // 4, n_ev // 2, (3 * n_ev) // 4, n_ev]
+        for k in range(4):
+            fpath = os.path.join(ss_in, f"batch{k:02d}.parquet")
+            pdf.iloc[cuts[k]:cuts[k + 1]].to_parquet(fpath, index=False)
+            os.utime(fpath, (1_700_000_000 + k, 1_700_000_000 + k))
+        import pandas as _pd
+
+        sent = _pd.DataFrame(
+            {"ts": [pdf["ts"].max() + _pd.Timedelta(days=10)],
+             "user_id": [-1]})
+        sent["ts"] = sent["ts"].astype("datetime64[us]")
+        fpath = os.path.join(ss_in, "batch04.parquet")
+        sent.to_parquet(fpath, index=False)
+        os.utime(fpath, (1_700_000_004, 1_700_000_004))
+
+    def session_stream_rep():
+        from arcade_spark.streaming import session_counts
+
+        run_base = "/dev/shm" if os.path.isdir("/dev/shm") else ss_base
+        run = os.path.join(run_base, f"arcade_sstream_run_{uuid.uuid4().hex[:8]}")
+        # state partitioning is pinned at query start from the session
+        # conf: 8 state partitions for 150 keys — 32 adds only
+        # per-partition state-commit overhead per trigger (measured
+        # 40 s → ~10 s). A real deployment sizes this to key
+        # cardinality, not scan parallelism.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = session_counts(
+                spark, ss_in, os.path.join(run, "out"),
+                os.path.join(run, "ckpt"), "ts timestamp, user_id long",
+                ts_col="ts", key_col="user_id",
+                gap="30 minutes", watermark="2 hours",
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        n = spark.read.parquet(os.path.join(run, "out")).count()
+        shutil.rmtree(run, ignore_errors=True)
+        return n
+
+    timed("session_stream_users", session_stream_rep, reps=1)
+
     from arcade_spark.dedup import dedup_minhash_lsh
     from arcade_spark.simsearch import (
         ann_cosine_topk,

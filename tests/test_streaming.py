@@ -139,3 +139,57 @@ def test_window_counts_watermark(spark, tmp_path_factory):
         ("12:00", "b"): 1,
         ("12:00", "a"): 1,
     }
+
+
+def test_session_counts_cross_batch_merge(spark, tmp_path_factory):
+    """Session windows (round-6): a session that SPANS a micro-batch
+    boundary merges in the state store; an event exactly gap-apart
+    still merges (closed-interval contract, same as batch sessionize);
+    watermark + sentinel close every real session exactly once."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from arcade_spark.streaming import session_counts
+
+    base = tmp_path_factory.mktemp("sc")
+    inp, outp, ckpt = (str(base / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def rows(specs):
+        return pd.DataFrame(
+            {"ts": [t0 + dt.timedelta(minutes=m) for m, _ in specs],
+             "uid": [u for _, u in specs]}
+        )
+
+    # gap = 10 min. u1: events at 0, 10 (exactly gap → same session),
+    # 25 (15 min later → session crosses INTO batch 1 via state merge?
+    # no — 25-10=15 > 10 → new session); u1's second session continues
+    # in batch 1 at 30 (25→30 = 5 ≤ gap: cross-batch merge).
+    b0 = rows([(0, "u1"), (10, "u1"), (25, "u1"), (0, "u2")])
+    b1 = rows([(30, "u1"), (60, "u2")])
+    b2 = rows([(60 * 24 * 30, "__sentinel")])
+    for k, b in enumerate((b0, b1, b2)):
+        f = os.path.join(inp, f"batch{k:02d}.parquet")
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        b.to_parquet(f, index=False)
+        os.utime(f, (1_600_000_000 + k, 1_600_000_000 + k))
+
+    q = session_counts(spark, inp, outp, ckpt,
+                       "ts timestamp, uid string",
+                       ts_col="ts", key_col="uid",
+                       gap="10 minutes", watermark="2 hours")
+    q.awaitTermination()
+    got = {
+        (r["uid"], r["session_start"].strftime("%H:%M")):
+            (r["session_end"].strftime("%H:%M"), r["n_events"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert got == {
+        ("u1", "10:00"): ("10:20", 2),  # 0 + 10 merge (exactly gap)
+        ("u1", "10:25"): ("10:40", 2),  # 25 + 30 merge ACROSS batches
+        ("u2", "10:00"): ("10:10", 1),
+        ("u2", "11:00"): ("11:10", 1),
+    }
