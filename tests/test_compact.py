@@ -174,3 +174,46 @@ def test_compact_orderby_and_ranks_identical(spark, compacted):
     rb = column_rank_values(spark, dest, "x",
                             quantiles=[0.1, 0.5, 0.9]).collect()
     assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
+
+
+def test_compact_window_ops_identical(spark, compacted):
+    """Round-6 readers over a compacted table: top_per_key, sessionize,
+    rolling_agg and join_asof agree exactly with the uncompacted
+    original (key streams, rowid math and late materialization all
+    ride the merged manifest; rowids are preserved so even the rid
+    tie-break matches)."""
+    from arcade_spark.readops import (
+        join_asof,
+        rolling_agg,
+        sessionize,
+        top_per_key,
+    )
+
+    src, dest, _pdf, _ = compacted
+
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda r: tuple((v is None, str(v)) for v in r),
+        )
+
+    a = rows(top_per_key(spark, src, "lang", ["x", "url"], 3,
+                         project=["url"]))
+    b = rows(top_per_key(spark, dest, "lang", ["x", "url"], 3,
+                         project=["url"]))
+    assert a == b and len(a) > 0
+
+    a = rows(sessionize(spark, src, "lang", "x", gap=5))
+    b = rows(sessionize(spark, dest, "lang", "x", gap=5))
+    assert a == b
+
+    a = rows(rolling_agg(spark, src, "lang", "x", window=20,
+                         agg_col="x", aggs=("count", "sum")))
+    b = rows(rolling_agg(spark, dest, "lang", "x", window=20,
+                         agg_col="x", aggs=("count", "sum")))
+    assert a == b
+
+    a = rows(join_asof(spark, src, src, "x", "lang", project_b=["url"]))
+    b = rows(join_asof(spark, dest, dest, "x", "lang",
+                       project_b=["url"]))
+    assert a == b
