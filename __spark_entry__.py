@@ -1027,6 +1027,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             preds_b=[("eq", "event_type", "click")],
         )
 
+    def arcade_join_band(spark, sf_dir):
+        """BAND (bounded-range) join (round-6): every error within one
+        hour AFTER a click by the same user — the many-to-many
+        interval shape join_asof's nearest-match cannot express. A
+        rows bucketize on exact int64 floor-division, B rows replicate
+        to the at-most-two buckets their band covers, one equi-join on
+        (user, bucket) + the band filter yields each pair exactly
+        once — no nested-loop join in the plan."""
+        _ship_package(spark)
+        from arcade_spark.readops import join_band
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return join_band(
+            spark, out, out, "ts", "ts",
+            lo=0, hi=3_600_000_000, by="user_id",
+            project_b=["value"],
+            preds_a=[("eq", "event_type", "error")],
+            preds_b=[("eq", "event_type", "click")],
+        )
+
     def arcade_top_per_key(spark, sf_dir):
         """Top-N per key (round-6): the 3 highest-value events per
         user — row_number() OVER (PARTITION BY ... ORDER BY ...) <= 3.
@@ -1278,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_join_semi": arcade_join_semi,
         "arcade_join_anti": arcade_join_anti,
         "arcade_join_asof": arcade_join_asof,
+        "arcade_join_band": arcade_join_band,
         "arcade_top_per_key": arcade_top_per_key,
         "arcade_sessionize": arcade_sessionize,
         "arcade_session_stream": arcade_session_stream,
@@ -1303,7 +1324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_group_by": arcade_group_by,
         "arcade_group_stats": arcade_group_stats,
         "arcade_group_distinct": arcade_group_distinct,
-        "arcade_distinct_count": arcade_distinct_count,
         "arcade_semijoin": arcade_semijoin,
         "arcade_table_count": arcade_table_count,
         "arcade_null_count": arcade_null_count,
@@ -1317,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_q4": arcade_q4,
         "arcade_window_stream": arcade_window_stream,
         # ---- below the driver's 50-entry sample fold ----
+        "arcade_distinct_count": arcade_distinct_count,
         "arcade_distinct": arcade_distinct,
         "arcade_filter_and": arcade_filter_and,
         "arcade_sample": arcade_sample,
@@ -1831,6 +1852,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'error') a "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b "
             "ON a.user_id = b.user_id AND a.ts >= b.ts"
+        ),
+        "arcade_join_band": (
+            "SELECT a.user_id, a.ts, b.ts AS ts_b, b.value "
+            "FROM (SELECT * FROM events WHERE event_type = 'error') a "
+            "JOIN (SELECT * FROM events WHERE event_type = 'click') b "
+            "ON a.user_id = b.user_id AND a.ts BETWEEN b.ts "
+            "AND b.ts + INTERVAL '3600 seconds'"
         ),
         "arcade_top_per_key": (
             "SELECT user_id, rn, event_id, event_type FROM ("

@@ -24,6 +24,8 @@ Subcommands:
                   [--project a,b] [--right-project c,d]
     asof          --right <dir> --on ts --by k [--direction forward]
                   [--strict] [--tolerance N] [--how left]
+    band          --right <dir> --on ts --lo N --hi N [--by k]
+                  [--how left]   (many-to-many bounded-range join)
     topn          --by k --order c -n 3 [--project a,b]
                   [--desc | --directions desc,asc]
     sessionize    --by k --ts c --gap N [--emit sessions]
@@ -196,6 +198,19 @@ def build_query(spark, args):
             allow_exact=not args.strict,
             tolerance=args.tolerance,
         )
+    if args.cmd == "band":
+        from arcade_spark.readops import join_band
+
+        return join_band(
+            spark, args.encoded, args.right, args.on,
+            on_b=args.right_on,
+            lo=args.lo, hi=args.hi,
+            by=args.by.split(",") if args.by else None,
+            project_a=args.project.split(",") if args.project else None,
+            project_b=args.right_project.split(",")
+            if args.right_project else None,
+            how=args.how,
+        )
     if args.cmd == "topn":
         from arcade_spark.readops import top_per_key
 
@@ -339,6 +354,22 @@ def main(argv: list[str] | None = None) -> int:
                      help="strict inequality (exclude exact matches)")
     asf.add_argument("--tolerance", type=int, default=None,
                      help="max |on gap| in lane units (micros for ts)")
+
+    bd = sub.add_parser("band")
+    bd.add_argument("--right", required=True,
+                    help="right side's encoded out_dir")
+    bd.add_argument("--on", required=True,
+                    help="left point column (int/ts/date lane)")
+    bd.add_argument("--right-on", default=None)
+    bd.add_argument("--lo", type=int, required=True,
+                    help="band lower offset in lane units (may be <0)")
+    bd.add_argument("--hi", type=int, required=True,
+                    help="band upper offset in lane units")
+    bd.add_argument("--by", default=None,
+                    help="comma-separated equality key columns")
+    bd.add_argument("--project", default=None)
+    bd.add_argument("--right-project", default=None)
+    bd.add_argument("--how", default="inner", choices=("inner", "left"))
 
     tn = sub.add_parser("topn")
     tn.add_argument("--by", required=True,

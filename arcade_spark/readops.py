@@ -3494,6 +3494,178 @@ def sessionize(
     )
 
 
+def join_band(
+    spark: SparkSession,
+    out_a: str,
+    out_b: str,
+    on_a: str,
+    on_b: str | None = None,
+    lo: int = 0,
+    hi: int = 0,
+    by: str | list[str] | None = None,
+    project_a: list[str] | None = None,
+    project_b: list[str] | None = None,
+    preds_a: list[tuple] | None = None,
+    preds_b: list[tuple] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """BAND (bounded-range) join — ALL pairs where
+    ``b.on_b + lo <= a.on_a <= b.on_b + hi`` (and the optional ``by``
+    keys match): the many-to-many interval shape ("every error within
+    an hour after a click"), where join_asof returns only the nearest
+    match. ``lo``/``hi`` are in lane units (micros for ts, days for
+    date) and may be negative; ``lo <= hi`` required.
+
+    Scale design — NO cartesian/nested-loop join, pure JVM plan:
+
+    1. each side's kernel emits narrow (by lanes..., on lane, rid)
+       rows (predicate-filtered, zone-pruned, payload-free);
+    2. with G = max(hi - lo, 1), A rows bucketize to
+       floor(t / G) (exact int64 arithmetic — no double division) and
+       each B row replicates to the AT MOST TWO buckets its band
+       [s+lo, s+hi] can cover;
+    3. one equi-join on (by..., bucket) + the band filter yields every
+       pair exactly once (a pair meets only in bucket(t) — no dedup
+       pass), with AQE handling hot (key, bucket) cells;
+    4. projections late-materialize at matched rowids.
+
+    SQL null semantics: null by/on values never match; ``how="left"``
+    keeps unmatched (and null-key) A rows with null B columns.
+    Output: by columns (A values), ``on_a``, ``{on_b}_b``,
+    project_a..., project_b... — one row per matched pair."""
+    from arcade_spark.partread import key_rowid_parts, materialize_rowids_parts
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left': {how!r}")
+    if lo > hi:
+        raise ValueError(f"need lo <= hi: [{lo}, {hi}]")
+    by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    on_b = on_a if on_b is None else on_b
+    project_a = project_a or []
+    project_b = project_b or []
+    clash = set(project_a) & set(project_b)
+    if clash:
+        raise ValueError(f"projection name clash across sides: {sorted(clash)}")
+    m = len(by_cols)
+
+    def _check_on(vts, col):
+        if vts[m] in ("str", "binary", "double", "float"):
+            raise NotImplementedError(
+                f"band-join on column must be int64-lane "
+                f"(int/ts/date/bool): {col} is {vts[m]}"
+            )
+
+    vts_a = _lane_vtypes(spark, out_a, by_cols + [on_a])
+    _check_on(vts_a, on_a)
+    vts_b = _lane_vtypes(spark, out_b, by_cols + [on_b])
+    _check_on(vts_b, on_b)
+    for i, (va, vb) in enumerate(zip(vts_a, vts_b)):
+        if (va in ("str", "binary")) != (vb in ("str", "binary")):
+            raise ValueError(
+                f"by-key lanes differ: {by_cols[i]} is {va} vs {vb}"
+            )
+    keep_a = how == "left"
+    ka, _ = key_rowid_parts(
+        spark, out_a, by_cols + [on_a],
+        _preds_to_spec(preds_a) if preds_a else None,
+        keep_null_keys=keep_a,
+    )
+    kb, _ = key_rowid_parts(
+        spark, out_b, by_cols + [on_b],
+        _preds_to_spec(preds_b) if preds_b else None,
+    )
+    knames = [f"k{i}" for i in range(m)]
+    tname, G = f"k{m}", max(hi - lo, 1)
+
+    def _bdiv(col):
+        # exact integer floor-division for any int64: x - pmod(x, G)
+        # is divisible by G, and the division runs in DECIMAL (Spark's
+        # `/` on longs is double division — lossy past 2^53)
+        num = (col - F.pmod(col, F.lit(G))).cast("decimal(38,0)")
+        return (num / F.lit(G).cast("decimal(38,0)")).cast("long")
+
+    left_valid = ka
+    left_null = None
+    if keep_a:
+        nn = F.lit(True)
+        for c in knames + [tname]:
+            nn = nn & F.col(c).isNotNull()
+        left_null = ka.filter(~nn)
+        left_valid = ka.filter(nn)
+    av = left_valid.select(
+        *knames, F.col(tname).alias("t"), F.col("rid").alias("rid_a"),
+        _bdiv(F.col(tname)).alias("bkt"),
+    )
+    bv = (
+        kb.select(
+            *knames, F.col(tname).alias("s"), F.col("rid").alias("rid_b"),
+        )
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.sequence(
+                    _bdiv(F.col("s") + F.lit(lo)),
+                    _bdiv(F.col("s") + F.lit(hi)),
+                )
+            ),
+        )
+    )
+    pairs = (
+        av.join(bv, [*knames, "bkt"])
+        .filter(
+            (F.col("t") >= F.col("s") + F.lit(lo))
+            & (F.col("t") <= F.col("s") + F.lit(hi))
+        )
+        .select(*knames, "t", "s", "rid_a", "rid_b")
+    )
+    ids = pairs
+    if keep_a:
+        matched = pairs.select("rid_a").distinct()
+        unmatched = (
+            av.join(matched, "rid_a", "left_anti")
+            .select(
+                *knames, "t", F.lit(None).cast("long").alias("s"),
+                "rid_a", F.lit(None).cast("long").alias("rid_b"),
+            )
+        )
+        nulls = left_null.select(
+            *knames, F.col(tname).alias("t"),
+            F.lit(None).cast("long").alias("s"),
+            F.col("rid").alias("rid_a"),
+            F.lit(None).cast("long").alias("rid_b"),
+        )
+        ids = pairs.unionByName(unmatched).unionByName(nulls)
+    out_cols = [
+        _group_key_out(F.col(kn), vt).alias(name)
+        for kn, vt, name in zip(knames, vts_a, by_cols)
+    ]
+    out_cols.append(_group_key_out(F.col("t"), vts_a[m]).alias(on_a))
+    out_cols.append(_group_key_out(F.col("s"), vts_b[m]).alias(f"{on_b}_b"))
+    joined = ids
+    if project_a:
+        mat_a = materialize_rowids_parts(
+            spark, out_a,
+            ids.select(F.col("rid_a").alias("rid")).distinct(), project_a,
+        )
+        joined = joined.join(
+            mat_a, joined["rid_a"] == mat_a["row_id"], "inner",
+        ).drop("row_id")
+        out_cols += [F.col(c) for c in project_a]
+    if project_b:
+        mat_b = materialize_rowids_parts(
+            spark, out_b,
+            ids.filter(F.col("rid_b").isNotNull())
+            .select(F.col("rid_b").alias("rid")).distinct(),
+            project_b,
+        )
+        joined = joined.join(
+            mat_b, joined["rid_b"] == mat_b["row_id"],
+            "left" if keep_a else "inner",
+        ).drop("row_id")
+        out_cols += [F.col(c) for c in project_b]
+    return joined.select(*out_cols)
+
+
 def rolling_agg(
     spark: SparkSession,
     out_dir: str,

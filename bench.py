@@ -281,6 +281,17 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     )
     _ej(spark, spark.read.parquet(f"{sf_dir}/events.parquet"), ev_enc,
         num_parts=n_cores, order_col="event_id")
+    # band join (round-6): errors within an hour after a click by the
+    # same user — many-to-many, bucketed replication, no nested loop
+    from arcade_spark.readops import join_band
+
+    timed("join_band_events", lambda: join_band(
+        spark, ev_enc, ev_enc, "ts", "ts",
+        lo=0, hi=3_600_000_000, by="user_id",
+        project_b=["value"],
+        preds_a=[("eq", "event_type", "error")],
+        preds_b=[("eq", "event_type", "click")]).count())
+
     timed("join_asof_events", lambda: join_asof(
         spark, ev_enc, ev_enc, "ts", "user_id",
         project_b=["value"],
