@@ -96,6 +96,15 @@ def build_query(spark, args):
             return v.strip().lower() in ("true", "t", "1", "yes")
         return v
 
+    def _dirs(args):
+        """--desc flag or --directions desc,asc list (shared by the
+        orderby and topn subcommands)."""
+        d = args.desc
+        if getattr(args, "directions", None):
+            d = [x.strip().lower() == "desc"
+                 for x in args.directions.split(",")]
+        return d
+
     proj = args.project.split(",") if getattr(args, "project", None) else None
     if args.cmd == "scan":
         cols = args.columns.split(",") if args.columns else None
@@ -175,13 +184,9 @@ def build_query(spark, args):
     if args.cmd == "orderby":
         from arcade_spark.readops import orderby_export
 
-        desc: bool | list[bool] = args.desc
-        if getattr(args, "directions", None):
-            desc = [d.strip().lower() == "desc"
-                    for d in args.directions.split(",")]
         return orderby_export(
             spark, args.encoded, args.columns.split(","),
-            proj or args.columns.split(","), desc=desc,
+            proj or args.columns.split(","), desc=_dirs(args),
         )
     if args.cmd == "asof":
         from arcade_spark.readops import join_asof
@@ -190,7 +195,7 @@ def build_query(spark, args):
             spark, args.encoded, args.right, args.on,
             args.by.split(","),
             on_b=args.right_on,
-            project_a=args.project.split(",") if args.project else None,
+            project_a=proj,
             project_b=args.right_project.split(",")
             if args.right_project else None,
             how=args.how,
@@ -206,7 +211,7 @@ def build_query(spark, args):
             on_b=args.right_on,
             lo=args.lo, hi=args.hi,
             by=args.by.split(",") if args.by else None,
-            project_a=args.project.split(",") if args.project else None,
+            project_a=proj,
             project_b=args.right_project.split(",")
             if args.right_project else None,
             how=args.how,
@@ -214,14 +219,10 @@ def build_query(spark, args):
     if args.cmd == "topn":
         from arcade_spark.readops import top_per_key
 
-        desc: bool | list[bool] = args.desc
-        if getattr(args, "directions", None):
-            desc = [d.strip().lower() == "desc"
-                    for d in args.directions.split(",")]
         return top_per_key(
             spark, args.encoded, args.by.split(","),
             args.order.split(","), args.n,
-            project=proj, desc=desc,
+            project=proj, desc=_dirs(args),
         )
     if args.cmd == "sessionize":
         from arcade_spark.readops import sessionize

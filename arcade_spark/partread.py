@@ -2155,8 +2155,8 @@ def column_topk_parts(
                 # emit the partition partial in the STORED domain
                 keys = best * sign
                 if is_float:
-                    bits = np.where(keys >= 0, keys, keys ^ np.int64(0x7FFFFFFFFFFFFFFF))
-                    out = bits.view(np.float64)
+                    # float_order_keys is its own inverse
+                    out = float_order_keys(keys).view(np.float64)
                     yield pa.RecordBatch.from_arrays(
                         [pa.array(out, type=pa.float64())], names=["v"]
                     )
@@ -2708,7 +2708,10 @@ def column_minmax_parts(spark: SparkSession, out_dir: str, column: str) -> DataF
         def unkey(k: int | None) -> float | None:
             if k is None:
                 return None
-            bits = k if k >= 0 else k ^ 0x7FFFFFFFFFFFFFFF
+            from arcade_spark.bits import float_order_keys
+
+            # scalar involution: key -> raw IEEE bit pattern
+            bits = float_order_keys(np.array([k], dtype=np.int64))[0]
             return float(np.int64(bits).view(np.float64))
 
         return spark.createDataFrame([(unkey(lo), unkey(hi), cnt)], ddl_out)

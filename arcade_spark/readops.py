@@ -1839,31 +1839,40 @@ def _zone_splits(
                 idx = np.nonzero(ok)[0]
                 # aggregate weights over unique pairs (full bytes for
                 # binary — prefix collisions must not merge distinct
-                # split values), then cap at 64 even slices
-                agg: dict[tuple, float] = {}
-                for j in idx:
-                    key = ((full[j] if is_str else int(keys[j])), int(k1c[j]))
-                    agg[key] = agg.get(key, 0.0) + float(w[j])
-                items = sorted(agg.items())
-                if len(items) > 64:
-                    cuts = np.linspace(0, len(items), 65).astype(np.int64)
-                    ws = np.array([it[1] for it in items])
-                    cw = np.add.reduceat(ws, cuts[:-1])
-                    items = [
-                        (items[int(c)][0], float(cw[i]))
-                        for i, c in enumerate(cuts[:-1])
-                    ]
+                # split values) VECTORIZED: factorize the first lane,
+                # lexsort the pairs, reduceat weights over pair runs —
+                # this sits on the startup path of every sort/rank
+                # query, so no per-block Python dict loop; then cap at
+                # 64 even slices
+                k1 = k1c[idx]
+                ww = w[idx].astype(np.float64)
                 if is_str:
-                    c0f = [k[0] for k, _ in items]
+                    c0_obj = np.array([full[j] for j in idx], dtype=object)
+                    uniq0, codes = np.unique(c0_obj, return_inverse=True)
+                else:
+                    uniq0, codes = np.unique(keys[idx], return_inverse=True)
+                order = np.lexsort((k1, codes))
+                cs, ks = codes[order], k1[order]
+                new = np.ones(len(order), dtype=bool)
+                new[1:] = (cs[1:] != cs[:-1]) | (ks[1:] != ks[:-1])
+                starts = np.nonzero(new)[0]
+                wsum = np.add.reduceat(ww[order], starts)
+                pc, pk = cs[starts], ks[starts]
+                if len(starts) > 64:
+                    cuts = np.linspace(0, len(starts), 65).astype(np.int64)
+                    wsum = np.add.reduceat(wsum, cuts[:-1])
+                    pc, pk = pc[cuts[:-1]], pk[cuts[:-1]]
+                if is_str:
+                    c0f = [bytes(uniq0[c]) for c in pc]
                     c0p = np.array([_prefix56(b) for b in c0f], np.int64)
                 else:
-                    c0p = np.array([k[0] for k, _ in items], np.int64)
-                    c0f = [b""] * len(items)
+                    c0p = uniq0[pc].astype(np.int64)
+                    c0f = [b""] * len(pc)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(c0p, type=pa.int64()),
                      pa.array(c0f, type=pa.binary()),
-                     pa.array([k[1] for k, _ in items], type=pa.int64()),
-                     pa.array([int(wv) for _, wv in items], type=pa.int64())],
+                     pa.array(pk.astype(np.int64), type=pa.int64()),
+                     pa.array(wsum.astype(np.int64), type=pa.int64())],
                     names=["c0p", "c0f", "c1", "w"],
                 )
 
@@ -2143,11 +2152,14 @@ def column_rank_values(
         sel_idx = idx.take(pa.array(lr))
         vals = tbl.column("k0").take(sel_idx)
         if is_float:
-            # invert the order-key map (an involution) back to IEEE
-            # bits, kernel-side — exact, no string round-trip
+            # invert the order-key map back to IEEE bits, kernel-side
+            # (bits.float_order_keys is its own inverse) — exact, no
+            # string round-trip
+            from arcade_spark.bits import float_order_keys
+
             k = vals.to_numpy(zero_copy_only=False).astype(np.int64)
-            bits = np.where(k >= 0, k, k ^ np.int64(0x7FFFFFFFFFFFFFFF))
-            vals = pa.array(bits.view(np.float64), type=pa.float64())
+            vals = pa.array(float_order_keys(k).view(np.float64),
+                            type=pa.float64())
         return pa.Table.from_arrays(
             [pa.array(gp), vals], names=["pos", "v"]
         )
@@ -2293,37 +2305,46 @@ def group_rank_values(
         f"{g} {'binary' if kvts[i + 1] in ('str', 'binary') else 'long'}"
         for i, g in enumerate(gnames)
     ) + ", bkt int"
+    # the per-cell rank targets travel ON the broadcast-joined cells
+    # frame (array columns), not in the kernel closure — closing over
+    # the targets dict would cloudpickle up to the 4M-cell guard limit
+    # into every task binary
     cells = spark.createDataFrame(
-        [tuple(gk) + (int(b),) for gk, b in targets], lanes_ddl,
+        [
+            tuple(gk) + (int(b),
+                         [int(t[0]) for t in want],
+                         [int(t[1]) for t in want])
+            for (gk, b), want in targets.items()
+        ],
+        lanes_ddl + ", lr array<long>, gp array<long>",
     )
 
     def pick(key: tuple, tbl: pa.Table) -> pa.Table:
-        kv = tuple(k.as_py() if hasattr(k, "as_py") else k for k in key)
-        gkey, b = kv[:-1], int(kv[-1])
-        want = targets[(gkey, b)]
+        # every row of the cell carries identical lr/gp arrays — read
+        # them from the first row
+        lr = np.asarray(tbl.column("lr")[0].as_py(), dtype=np.int64)
+        gp = np.asarray(tbl.column("gp")[0].as_py(), dtype=np.int64)
         idx = pa.compute.sort_indices(
             tbl, sort_keys=[("k0", "ascending"), ("rid", "ascending")]
         )
-        lr = np.array([t[0] for t in want], dtype=np.int64)
-        gp = np.array([t[1] for t in want], dtype=np.int64)
         sel_idx = idx.take(pa.array(lr))
         vals = tbl.column("k0").take(sel_idx)
         if is_float:
+            from arcade_spark.bits import float_order_keys
+
             k = vals.to_numpy(zero_copy_only=False).astype(np.int64)
-            bits = np.where(k >= 0, k, k ^ np.int64(0x7FFFFFFFFFFFFFFF))
-            vals = pa.array(bits.view(np.float64), type=pa.float64())
-        garrs = [
-            pa.array([gv] * len(want),
-                     type=pa.binary() if isinstance(gv, bytes) else pa.int64())
-            for gv in gkey
-        ]
+            # float_order_keys is its own inverse (order-key involution
+            # in the int64 bit domain): keys → raw IEEE bit patterns
+            vals = pa.array(float_order_keys(k).view(np.float64),
+                            type=pa.float64())
+        garrs = [tbl.column(g).take(sel_idx) for g in gnames]
         return pa.Table.from_arrays(
             garrs + [pa.array(gp), vals], names=list(gnames) + ["pos", "v"],
         )
 
     lane = "binary" if is_str else ("double" if is_float else "long")
     sel = (
-        keyed_b.join(F.broadcast(cells), on=gnames + ["bkt"], how="left_semi")
+        keyed_b.join(F.broadcast(cells), on=gnames + ["bkt"], how="inner")
         .groupBy(*gnames, "bkt")
         .applyInArrow(pick, schema=f"{lanes_ddl.rsplit(', bkt', 1)[0]}, "
                                    f"pos long, v {lane}")
@@ -2832,9 +2853,11 @@ def join_encoded(
         ]
         if not project_a:
             return ids.select(*out_cols)
+        # rid_a is already unique here (one row per left row after the
+        # deduped-probe semi/anti) — no distinct pass needed
         mat_a = materialize_rowids_parts(
             spark, out_a,
-            ids.select(F.col("rid_a").alias("rid")).distinct(), project_a,
+            ids.select(F.col("rid_a").alias("rid")), project_a,
         )
         joined = ids.join(mat_a, ids["rid_a"] == mat_a["row_id"], "inner")
         return joined.select(*out_cols, *[F.col(c) for c in project_a])
@@ -2882,6 +2905,17 @@ def join_encoded(
         ).drop("row_id")
         out_cols += [F.col(c) for c in project_b]
     return joined.select(*out_cols)
+
+
+def _require_int64_lane(vt: str, col: str, what: str) -> None:
+    """Shared lane-type validation for the time-ordered operators
+    (as-of/band joins, sessionize, rolling_agg): their point/interval
+    column must ride the int64 lane."""
+    if vt in ("str", "binary", "double", "float"):
+        raise NotImplementedError(
+            f"{what} column must be int64-lane "
+            f"(int/ts/date/bool): {col} is {vt}"
+        )
 
 
 def _lane_vtypes(
@@ -2974,17 +3008,10 @@ def join_asof(
     # validate lane types from the manifests BEFORE building either
     # stream, so a bad on-column reports its own error (not a missing-
     # column KeyError from the other side's key extraction)
-    def _check_on(vts, col):
-        if vts[m] in ("str", "binary", "double", "float"):
-            raise NotImplementedError(
-                f"as-of on column must be int64-lane "
-                f"(int/ts/date/bool): {col} is {vts[m]}"
-            )
-
     vts_a = _lane_vtypes(spark, out_a, by_cols + [on])
-    _check_on(vts_a, on)
+    _require_int64_lane(vts_a[m], on, "as-of on")
     vts_b = _lane_vtypes(spark, out_b, by_cols + [on_b])
-    _check_on(vts_b, on_b)
+    _require_int64_lane(vts_b[m], on_b, "as-of on")
     for i, (va, vb) in enumerate(zip(vts_a, vts_b)):
         if (va in ("str", "binary")) != (vb in ("str", "binary")):
             raise ValueError(
@@ -3029,7 +3056,6 @@ def join_asof(
     n_by_bin = list(lane_is_bin)
 
     def asof_merge(batches):
-        tbl = None
         chunks = [pa.Table.from_batches([b]) for b in batches]
         if not chunks:
             return
@@ -3054,7 +3080,9 @@ def join_asof(
         t = tbl.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
         side = tbl.column("side").to_numpy(zero_copy_only=False)
         rid = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
-        t_sort = -t if negate else t
+        # ~t (= -t-1) is an order-reversing involution with no wrap at
+        # int64 min, and its pairwise differences equal those of -t
+        t_sort = np.bitwise_not(t) if negate else t
         order = np.lexsort((rid, side, t_sort) + tuple(reversed(lanes)))
         side_s = side[order]
         t_s = t_sort[order]
@@ -3122,11 +3150,11 @@ def join_asof(
     out_cols.append(_group_key_out(F.col("t_b"), vts_b[m]).alias(f"{on_b}_b"))
     joined = ids
     if project_a:
+        # rid_a is one-per-left-row in the as-of output (never null) —
+        # no distinct pass needed before materialization
         mat_a = materialize_rowids_parts(
             spark, out_a,
-            ids.filter(F.col("rid_a").isNotNull())
-            .select(F.col("rid_a").alias("rid")).distinct(),
-            project_a,
+            ids.select(F.col("rid_a").alias("rid")), project_a,
         )
         joined = joined.join(
             mat_a, joined["rid_a"] == mat_a["row_id"], "inner",
@@ -3378,11 +3406,7 @@ def sessionize(
         raise ValueError(f"emit must be 'rows' or 'sessions': {emit!r}")
     vts = _lane_vtypes(spark, out_dir, key_cols + [ts_col])
     g = len(key_cols)
-    if vts[g] in ("str", "binary", "double", "float"):
-        raise NotImplementedError(
-            f"sessionize timestamp column must be int64-lane "
-            f"(int/ts/date/bool): {ts_col} is {vts[g]}"
-        )
+    _require_int64_lane(vts[g], ts_col, "sessionize timestamp")
     for c, vt in zip(key_cols, vts[:g]):
         if vt in ("double", "float"):
             raise NotImplementedError(
@@ -3548,17 +3572,10 @@ def join_band(
         raise ValueError(f"projection name clash across sides: {sorted(clash)}")
     m = len(by_cols)
 
-    def _check_on(vts, col):
-        if vts[m] in ("str", "binary", "double", "float"):
-            raise NotImplementedError(
-                f"band-join on column must be int64-lane "
-                f"(int/ts/date/bool): {col} is {vts[m]}"
-            )
-
     vts_a = _lane_vtypes(spark, out_a, by_cols + [on_a])
-    _check_on(vts_a, on_a)
+    _require_int64_lane(vts_a[m], on_a, "band-join on")
     vts_b = _lane_vtypes(spark, out_b, by_cols + [on_b])
-    _check_on(vts_b, on_b)
+    _require_int64_lane(vts_b[m], on_b, "band-join on")
     for i, (va, vb) in enumerate(zip(vts_a, vts_b)):
         if (va in ("str", "binary")) != (vb in ("str", "binary")):
             raise ValueError(
@@ -3577,12 +3594,16 @@ def join_band(
     knames = [f"k{i}" for i in range(m)]
     tname, G = f"k{m}", max(hi - lo, 1)
 
+    DEC = "decimal(38,0)"
+
     def _bdiv(col):
-        # exact integer floor-division for any int64: x - pmod(x, G)
-        # is divisible by G, and the division runs in DECIMAL (Spark's
-        # `/` on longs is double division — lossy past 2^53)
-        num = (col - F.pmod(col, F.lit(G))).cast("decimal(38,0)")
-        return (num / F.lit(G).cast("decimal(38,0)")).cast("long")
+        # exact integer floor-division for any int64: ALL arithmetic
+        # runs in DECIMAL — long subtraction would wrap near the int64
+        # boundary, and Spark's `/` on longs is double division
+        # (lossy past 2^53)
+        c = col.cast(DEC)
+        num = c - F.pmod(c, F.lit(G).cast(DEC))
+        return (num / F.lit(G).cast(DEC)).cast("long")
 
     left_valid = ka
     left_null = None
@@ -3602,10 +3623,12 @@ def join_band(
         )
         .withColumn(
             "bkt",
+            # band edges in decimal too — s + hi on longs wraps for s
+            # near the int64 boundary
             F.explode(
                 F.sequence(
-                    _bdiv(F.col("s") + F.lit(lo)),
-                    _bdiv(F.col("s") + F.lit(hi)),
+                    _bdiv(F.col("s").cast(DEC) + F.lit(lo)),
+                    _bdiv(F.col("s").cast(DEC) + F.lit(hi)),
                 )
             ),
         )
@@ -3613,8 +3636,8 @@ def join_band(
     pairs = (
         av.join(bv, [*knames, "bkt"])
         .filter(
-            (F.col("t") >= F.col("s") + F.lit(lo))
-            & (F.col("t") <= F.col("s") + F.lit(hi))
+            (F.col("t").cast(DEC) >= F.col("s").cast(DEC) + F.lit(lo))
+            & (F.col("t").cast(DEC) <= F.col("s").cast(DEC) + F.lit(hi))
         )
         .select(*knames, "t", "s", "rid_a", "rid_b")
     )
@@ -3718,15 +3741,9 @@ def rolling_agg(
     g = len(key_cols)
     lane_cols = key_cols + [ts_col] + ([agg_col] if need_val else [])
     vts = _lane_vtypes(spark, out_dir, lane_cols)
-    for c, vt, what in (
-        [(ts_col, vts[g], "ts")]
-        + ([(agg_col, vts[g + 1], "agg")] if need_val else [])
-    ):
-        if vt in ("str", "binary", "double", "float"):
-            raise NotImplementedError(
-                f"rolling_agg {what} column must be int64-lane "
-                f"(int/ts/date/bool): {c} is {vt}"
-            )
+    _require_int64_lane(vts[g], ts_col, "rolling_agg ts")
+    if need_val:
+        _require_int64_lane(vts[g + 1], agg_col, "rolling_agg agg")
     for c, vt in zip(key_cols, vts[:g]):
         if vt in ("double", "float"):
             raise NotImplementedError(
@@ -3812,12 +3829,18 @@ def rolling_agg(
             out_aggs["w_count"] = pa.array(cnt)
         if need_val:
             vs = vals[order]
-            # exact int64 prefix sums with a float64 magnitude guard
-            # (same contract as the fused agg lanes)
-            fmag = np.cumsum(np.abs(vs).astype(np.float64))
-            if fmag.size and fmag[-1] >= float(2**62):
+            # int64 prefix sums may WRAP mid-task (a 10^9-row hot key
+            # with 10^10-scale values is legitimate), but wrapped
+            # differences recover the true window sum exactly whenever
+            # THAT sum fits int64 — so the guard bounds the largest
+            # actual window's |v| mass (float64 prefix differences,
+            # 2^62 margin absorbs their rounding), not the task total
+            pref_f = np.concatenate(
+                ([0.0], np.cumsum(np.abs(vs), dtype=np.float64))
+            )
+            if pref_f.size > 1 and (pref_f[ub] - pref_f[lb]).max() >= float(2**62):
                 raise OverflowError(
-                    "rolling_agg prefix sums would exceed int64"
+                    "a rolling_agg window sum would exceed int64"
                 )
             pref = np.concatenate(
                 ([0], np.cumsum(vs, dtype=np.int64))
