@@ -1066,6 +1066,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             desc=[True, False],
         )
 
+    def arcade_top_rank(spark, sf_dir):
+        """rank() mode of top-N per key (round-6): ties share a rank
+        and ALL rows tied into the top n are kept — no tie-break
+        column needed, the rank value itself is deterministic. Same
+        map-side partial pass (partition rank lower-bounds global
+        rank, so the per-partition keep is a superset)."""
+        _ship_package(spark)
+        from arcade_spark.readops import top_per_key
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        return top_per_key(
+            spark, out, "l_returnflag", "l_quantity", 2,
+            mode="dense_rank",
+        )
+
     def arcade_sessionize(spark, sf_dir):
         """Gap-based sessionization (round-6): one row per (user,
         session) with event count and span, sessions split at >30 min
@@ -1300,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_join_asof": arcade_join_asof,
         "arcade_join_band": arcade_join_band,
         "arcade_top_per_key": arcade_top_per_key,
+        "arcade_top_rank": arcade_top_rank,
         "arcade_sessionize": arcade_sessionize,
         "arcade_session_stream": arcade_session_stream,
         "arcade_rolling_count": arcade_rolling_count,
@@ -1313,7 +1329,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_filter_range_double": arcade_filter_range_double,
         "arcade_filter_dnf": arcade_filter_dnf,
         "arcade_filter_like": arcade_filter_like,
-        "arcade_minmax": arcade_minmax,
         "arcade_minmax_ts": arcade_minmax_ts,
         "arcade_topk": arcade_topk,
         "arcade_topk_text": arcade_topk_text,
@@ -1337,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_q4": arcade_q4,
         "arcade_window_stream": arcade_window_stream,
         # ---- below the driver's 50-entry sample fold ----
+        "arcade_minmax": arcade_minmax,
         "arcade_distinct_count": arcade_distinct_count,
         "arcade_distinct": arcade_distinct,
         "arcade_filter_and": arcade_filter_and,
@@ -1859,6 +1875,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT * FROM events WHERE event_type = 'click') b "
             "ON a.user_id = b.user_id AND a.ts BETWEEN b.ts "
             "AND b.ts + INTERVAL '3600 seconds'"
+        ),
+        "arcade_top_rank": (
+            "SELECT l_returnflag, rn FROM ("
+            "SELECT l_returnflag, dense_rank() OVER ("
+            "PARTITION BY l_returnflag "
+            "ORDER BY l_quantity ASC NULLS LAST) AS rn "
+            "FROM lineitem) WHERE rn <= 2"
         ),
         "arcade_top_per_key": (
             "SELECT user_id, rn, event_id, event_type FROM ("

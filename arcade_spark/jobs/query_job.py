@@ -223,6 +223,7 @@ def build_query(spark, args):
             spark, args.encoded, args.by.split(","),
             args.order.split(","), args.n,
             project=proj, desc=_dirs(args),
+            mode=getattr(args, "mode", "row_number"),
         )
     if args.cmd == "sessionize":
         from arcade_spark.readops import sessionize
@@ -382,6 +383,8 @@ def main(argv: list[str] | None = None) -> int:
     tn.add_argument("--desc", action="store_true")
     tn.add_argument("--directions", default=None,
                     help="per-key direction mix, e.g. desc,asc")
+    tn.add_argument("--mode", default="row_number",
+                    choices=("row_number", "rank", "dense_rank"))
 
     se = sub.add_parser("sessionize")
     se.add_argument("--by", required=True,

@@ -3213,6 +3213,7 @@ def top_per_key(
     project: list[str] | None = None,
     desc: bool | list[bool] = False,
     preds: list[tuple] | None = None,
+    mode: str = "row_number",
 ) -> DataFrame:
     """Top-N rows per key — ``row_number() OVER (PARTITION BY
     group_cols ORDER BY order_cols [DESC] NULLS LAST, rowid) <= n``
@@ -3241,8 +3242,17 @@ def top_per_key(
     group components compare equal (their own partition). Double
     order columns ride the order-preserving int64 key lane; double
     GROUP columns are rejected (float equality is not a sane
-    partition contract). Output: group columns, ``rn`` (1-based),
-    projection columns."""
+    partition contract).
+
+    ``mode`` selects the SQL ranking function: ``"row_number"`` (the
+    default — exactly n rows per key, rid tie-break),``"rank"`` (ties
+    share a rank and gaps follow; ALL rows tied into the top n are
+    kept, so a key may emit more than n rows) or ``"dense_rank"``
+    (ties share a rank, no gaps — keeps every row of the top n
+    DISTINCT order values). The partial pass stays correct for all
+    three: a row's partition-local rank is a lower bound on its global
+    rank, so the per-partition keep is a superset of the survivors.
+    Output: group columns, ``rn`` (1-based), projection columns."""
     import pyarrow as pa
     from arcade_spark.partread import key_rowid_parts, materialize_rowids_parts
 
@@ -3267,6 +3277,10 @@ def top_per_key(
             f"project and group_cols overlap (group values are already "
             f"output): {sorted(clash)}"
         )
+    if mode not in ("row_number", "rank", "dense_rank"):
+        raise ValueError(
+            f"mode must be row_number/rank/dense_rank: {mode!r}"
+        )
     vts = _lane_vtypes(spark, out_dir, group_cols + order_cols)
     g = len(group_cols)
     for c, vt in zip(group_cols, vts[:g]):
@@ -3286,6 +3300,7 @@ def top_per_key(
     knames = [f"k{i}" for i in range(m)]
     top_n = n
     o_dirs = list(dirs)
+    rank_mode = mode
 
     def topn_kernel(emit_rank: bool):
         def kernel(batches):
@@ -3317,7 +3332,24 @@ def top_per_key(
                 vs, ns = val[order], isn[order]
                 change[1:] |= (vs[1:] != vs[:-1]) | (ns[1:] != ns[:-1])
             run_start = np.maximum.accumulate(np.where(change, idx, 0))
-            rank = idx - run_start  # 0-based within group
+            if rank_mode == "row_number":
+                rank = idx - run_start  # 0-based within group
+            else:
+                # tie runs: a new tie starts at a group change or any
+                # ORDER lane value/null change
+                tie = change.copy()
+                for isn, val, _o in ol:
+                    vs, ns = val[order], isn[order]
+                    tie[1:] |= (vs[1:] != vs[:-1]) | (ns[1:] != ns[:-1])
+                if rank_mode == "rank":
+                    tie_start = np.maximum.accumulate(
+                        np.where(tie, idx, 0)
+                    )
+                    rank = tie_start - run_start
+                else:  # dense_rank
+                    c = np.cumsum(tie)
+                    first_c = np.maximum.accumulate(np.where(change, c, 0))
+                    rank = c - first_c
             keep = rank < top_n
             sel = order[keep]
             # group then order lanes ship through for the final pass:

@@ -345,3 +345,37 @@ def test_rolling_validation(spark, sess_table):
     with pytest.raises(NotImplementedError):
         rolling_agg(spark, out, "uid", "t", window=5,
                     agg_col="ev", aggs=("sum",))  # string agg col
+
+
+def test_top_rank_mode_ties_kept(spark, win_table):
+    """mode='rank': all rows tied into the top n are kept (a key may
+    emit more than n rows), ranks have gaps after ties."""
+    out, con = win_table
+    got = _rows(top_per_key(
+        spark, out, "uid", "score", 3, project=["tb"],
+        desc=True, mode="rank"))
+    exp = _sql(con, """
+        SELECT uid, rn, tb FROM (
+          SELECT uid, tb, rank() OVER (
+            PARTITION BY uid ORDER BY score DESC NULLS LAST) AS rn
+          FROM t) WHERE rn <= 3""")
+    assert got == exp
+
+
+def test_top_dense_rank_mode(spark, win_table):
+    out, con = win_table
+    got = _rows(top_per_key(
+        spark, out, "grp", "score", 2, project=["tb"],
+        mode="dense_rank"))
+    exp = _sql(con, """
+        SELECT grp, rn, tb FROM (
+          SELECT grp, tb, dense_rank() OVER (
+            PARTITION BY grp ORDER BY score ASC NULLS LAST) AS rn
+          FROM t) WHERE rn <= 2""")
+    assert got == exp
+
+
+def test_top_rank_mode_validation(spark, win_table):
+    out, _ = win_table
+    with pytest.raises(ValueError):
+        top_per_key(spark, out, "uid", "score", 1, mode="ntile")
