@@ -1896,10 +1896,10 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts) AS prev FROM events "
             "WHERE ts IS NOT NULL AND user_id IS NOT NULL"
             "), sess AS ("
-            "SELECT user_id, ts, SUM(CASE WHEN prev IS NULL "
+            "SELECT user_id, ts, CAST(SUM(CASE WHEN prev IS NULL "
             "OR ts - prev > INTERVAL '1800 seconds' THEN 1 ELSE 0 END) "
             "OVER (PARTITION BY user_id ORDER BY ts "
-            "ROWS UNBOUNDED PRECEDING) - 1 AS s FROM lagged) "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS s FROM lagged) "
             "SELECT min(ts) AS session_start, "
             "max(ts) + INTERVAL '1800 seconds' AS session_end, "
             "user_id, count(*) AS n_events "
@@ -1916,10 +1916,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ts, lag(ts) OVER ("
             "PARTITION BY user_id ORDER BY ts) AS prev FROM events"
             "), sess AS ("
-            "SELECT user_id, ts, SUM(CASE WHEN prev IS NULL "
+            # CAST: DuckDB types a window SUM as HUGEINT, which pandas
+            # converts to float64 — the driver then hashes 0.0 vs the
+            # engine's bigint 0 (the r6 red row). Never project a window
+            # SUM uncast; tools/check_correctness.py now gates on this.
+            "SELECT user_id, ts, CAST(SUM(CASE WHEN prev IS NULL "
             "OR ts - prev > INTERVAL '1800 seconds' THEN 1 ELSE 0 END) "
             "OVER (PARTITION BY user_id ORDER BY ts "
-            "ROWS UNBOUNDED PRECEDING) - 1 AS session FROM lagged) "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session FROM lagged) "
             "SELECT user_id, session, count(*) AS n_events, "
             "min(ts) AS ts_start, max(ts) AS ts_end "
             "FROM sess GROUP BY user_id, session"

@@ -2265,15 +2265,17 @@ def group_rank_values(
         _register_key_cache(keyed_b)
 
     gnames = [f"k{i + 1}" for i in range(len(group_cols))]
-    crows = (
-        keyed_b.groupBy(*gnames, "bkt")
-        .agg(F.count("*").alias("cnt")).collect()
-    )
-    if len(crows) > 4_000_000:
+    cells = keyed_b.groupBy(*gnames, "bkt").agg(F.count("*").alias("cnt"))
+    # probe the cell count BEFORE collecting — an oversized grouping must
+    # fail without first materializing 4M+ rows on the driver (mirrors
+    # the _SEMIJOIN_MAX_KEYS pre-check)
+    probe = cells.limit(4_000_001).count()
+    if probe > 4_000_000:
         raise ValueError(
-            f"{len(crows)} (group, bucket) cells — too many groups for "
-            "driver-side rank targeting; aggregate or pre-filter first"
+            f"over {probe - 1} (group, bucket) cells — too many groups "
+            "for driver-side rank targeting; aggregate or pre-filter first"
         )
+    crows = cells.collect()
     from collections import defaultdict
 
     gb: dict[tuple, dict[int, int]] = defaultdict(dict)
@@ -3102,8 +3104,15 @@ def join_asof(
         safe = np.where(ok, match, 0)
         if tol is not None:
             # gap in original units: backward t_a - t_b; forward
-            # t_b - t_a — both equal t_sort[left] - t_sort[match]
-            ok &= (t_s[left_pos] - t_s[safe]) <= tol
+            # t_b - t_a — both equal t_sort[left] - t_sort[match].
+            # Sorted order makes the true gap nonnegative, so two's-
+            # complement uint64 subtraction is EXACT even when the lane
+            # spans more than int63 (plain int64 subtraction would wrap
+            # negative and silently pass the tolerance); rows where
+            # safe is the 0 placeholder are already ok=False and a huge
+            # wrapped uint64 gap keeps them false.
+            gap = t_s[left_pos].astype(np.uint64) - t_s[safe].astype(np.uint64)
+            ok &= gap <= np.uint64(tol)
             safe = np.where(ok, match, 0)
         if inner_only:
             left_pos = left_pos[ok]
@@ -3827,7 +3836,15 @@ def rolling_agg(
         # ts[j] >= ts[i] - window — vectorized binary search bounded
         # to each row's run (global searchsorted can't cross-compare
         # between runs)
-        q_lo = ts_s - win_units
+        # saturating lower bound: ts near int64 min (sentinel stamps)
+        # would wrap ts - win to a huge positive bound and corrupt the
+        # binary search; clamping to int64 min is exact — the true bound
+        # is below every representable value, so the frame reaches the
+        # run start either way
+        i64_min = np.iinfo(np.int64).min
+        q_lo = np.where(
+            ts_s < i64_min + win_units, i64_min, ts_s - win_units
+        )
         lo = run_start.copy()
         hi = idx + 1
         while True:

@@ -73,7 +73,26 @@ def main() -> int:
             print(f"rows-only  {name}: {len(got)} rows")
             continue
         try:
-            exp = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            # Type gate: a projected HUGEINT (DuckDB's type for window /
+            # 128-bit SUMs) converts to float64 in .df(), so the driver
+            # hashes 1.0 against the engine's bigint 1 and grades the row
+            # red even when values agree (the r6 arcade_sessionize bug).
+            # Oracles must CAST such columns to BIGINT explicitly.
+            hug = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, [str(t) for t in rel.types])
+                if t in ("HUGEINT", "UHUGEINT")
+            ]
+            if hug:
+                print(
+                    f"FAIL  {name}: oracle projects {hug} — wrap in "
+                    "CAST(... AS BIGINT); pandas would coerce to float64 "
+                    "and the driver's hash would mismatch"
+                )
+                failures.append(name)
+                continue
+            exp = rel.df()
         except Exception as e:
             print(f"FAIL  {name}: oracle raised {type(e).__name__}: {e}")
             failures.append(name)
