@@ -1110,6 +1110,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, out, "user_id", "ts", window=1_800_000_000
         )
 
+    def arcade_rolling_minmax(spark, sf_dir):
+        """Trailing-window MIN/MAX (round-7): earliest/latest event id
+        in each user's last 30 minutes, for every event. Variable-width
+        RANGE frames answered from a per-task sparse table (log n
+        doubling passes + two lookups per row) — fully vectorized, no
+        monotonic-deque per-row loop."""
+        _ship_package(spark)
+        from arcade_spark.readops import rolling_agg
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return rolling_agg(
+            spark, out, "user_id", "ts", window=1_800_000_000,
+            agg_col="event_id", aggs=("min", "max"),
+        )
+
+    def arcade_window_lag(spark, sf_dir):
+        """LAG as a first-class operator (round-7): each document's
+        n_chars next to the previous document's within its language —
+        the SQL LAG(v) OVER (PARTITION BY k ORDER BY o) shape. Narrow
+        lanes, one hash shuffle, one lexsort + clipped gather per
+        task."""
+        _ship_package(spark)
+        from arcade_spark.readops import window_shift
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return window_shift(spark, out, "lang", "doc_id", "n_chars")
+
     def arcade_q3(spark, sf_dir):
         """Fused join+aggregate (round-5) — the TPC-H Q3 shape:
         revenue = Σ l_extendedprice·(1−l_discount) per o_orderpriority
@@ -1301,6 +1328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # representative per operator family; long-green redundant
         # variants (r3-r5 hash-exact every sampled round) sit below
         # the fold.
+        "arcade_rolling_minmax": arcade_rolling_minmax,
+        "arcade_window_lag": arcade_window_lag,
         "arcade_scan_documents": arcade_scan_documents,
         "arcade_join_multi": arcade_join_multi,
         "arcade_join_right": arcade_join_right,
@@ -1910,6 +1939,21 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL '1800 seconds' PRECEDING "
             "AND CURRENT ROW) AS w_count FROM events"
+        ),
+        "arcade_rolling_minmax": (
+            "SELECT user_id, ts, min(event_id) OVER w AS w_min, "
+            "max(event_id) OVER w AS w_max FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_id IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL '1800 seconds' PRECEDING "
+            "AND CURRENT ROW)"
+        ),
+        "arcade_window_lag": (
+            "SELECT lang, doc_id, n_chars, lag(n_chars) OVER ("
+            "PARTITION BY lang ORDER BY doc_id) AS shifted "
+            "FROM documents WHERE lang IS NOT NULL "
+            "AND doc_id IS NOT NULL"
         ),
         "arcade_sessionize": (
             "WITH lagged AS ("

@@ -3754,14 +3754,20 @@ def rolling_agg(
     passes, no per-key Python) resolve every frame — O(n log n) per
     task, payload never moves.
 
-    ``aggs`` ⊆ {"count", "sum", "avg"}; sum/avg need an int64-lane
-    ``agg_col`` (int/bigint/ts-as-micros/date/bool) — exact int64
-    arithmetic, avg is one IEEE division of exact ints (replayable
-    cross-engine). Rows with a null key component, null ``ts``, or
-    null ``agg_col`` are excluded entirely (document-level contract:
-    filter nulls explicitly for SQL-identical null handling). Output:
-    key columns, ``ts``, then ``w_count`` / ``w_sum`` / ``w_avg`` as
-    requested."""
+    ``aggs`` ⊆ {"count", "sum", "avg", "min", "max"}; all but count
+    need an int64-lane ``agg_col`` (int/bigint/ts-as-micros/date/bool)
+    — exact int64 arithmetic, avg is one IEEE division of exact ints
+    (replayable cross-engine). min/max answer each row's frame from a
+    per-task SPARSE TABLE (log2 n doubling passes, two lookups per
+    row) — the frames are variable-width RANGE windows, so the classic
+    monotonic deque would be a per-row Python loop; the sparse table
+    keeps the whole pass vectorized at O(n log n) time/memory, and
+    min/max of a timestamp/date/bool column restores its logical type
+    on output. Rows with a null key component, null ``ts``, or null
+    ``agg_col`` are excluded entirely (document-level contract: filter
+    nulls explicitly for SQL-identical null handling). Output: key
+    columns, ``ts``, then ``w_count`` / ``w_sum`` / ``w_avg`` /
+    ``w_min`` / ``w_max`` as requested."""
     import pyarrow as pa
     from arcade_spark.partread import key_rowid_parts
 
@@ -3771,14 +3777,16 @@ def rolling_agg(
     if window <= 0:
         raise ValueError(f"window must be > 0: {window}")
     aggs = tuple(aggs)
-    bad = set(aggs) - {"count", "sum", "avg"}
+    bad = set(aggs) - {"count", "sum", "avg", "min", "max"}
     if bad or not aggs:
         raise ValueError(
-            f"aggs must be a non-empty subset of count/sum/avg: {aggs}"
+            f"aggs must be a non-empty subset of count/sum/avg/min/max: {aggs}"
         )
-    need_val = ("sum" in aggs) or ("avg" in aggs)
+    need_sum = ("sum" in aggs) or ("avg" in aggs)
+    need_ext = ("min" in aggs) or ("max" in aggs)
+    need_val = need_sum or need_ext
     if need_val and agg_col is None:
-        raise ValueError("sum/avg need an agg_col")
+        raise ValueError("sum/avg/min/max need an agg_col")
     g = len(key_cols)
     lane_cols = key_cols + [ts_col] + ([agg_col] if need_val else [])
     vts = _lane_vtypes(spark, out_dir, lane_cols)
@@ -3876,8 +3884,8 @@ def rolling_agg(
         out_aggs = {}
         if "count" in want:
             out_aggs["w_count"] = pa.array(cnt)
-        if need_val:
-            vs = vals[order]
+        vs = vals[order] if need_val else None
+        if need_sum:
             # int64 prefix sums may WRAP mid-task (a 10^9-row hot key
             # with 10^10-scale values is legitimate), but wrapped
             # differences recover the true window sum exactly whenever
@@ -3901,6 +3909,35 @@ def rolling_agg(
                 out_aggs["w_avg"] = pa.array(
                     wsum.astype(np.float64) / cnt.astype(np.float64)
                 )
+        if need_ext:
+            # sparse table: level k holds op over [i, i + 2^k); a frame
+            # of length L answers as op(level[kq][lb], level[kq][ub-2^kq])
+            # with 2^kq the largest power <= L — the two blocks overlap
+            # and exactly cover [lb, ub). Frames never span runs (lb is
+            # bounded below by run_start), so one table serves all keys.
+            frame_len = ub - lb  # >= 1: the frame includes current row
+            kq = np.frexp(frame_len.astype(np.float64))[1] - 1
+            levels_needed = int(kq.max()) + 1
+
+            def _ext(op):
+                levels = [vs]
+                size = 1
+                while len(levels) < levels_needed:
+                    prev = levels[-1]
+                    levels.append(op(prev[: prev.size - size], prev[size:]))
+                    size *= 2
+                out = np.empty(nr, dtype=np.int64)
+                for k in np.unique(kq):
+                    m = kq == k
+                    half = 1 << int(k)
+                    lvl = levels[int(k)]
+                    out[m] = op(lvl[lb[m]], lvl[ub[m] - half])
+                return out
+
+            if "min" in want:
+                out_aggs["w_min"] = pa.array(_ext(np.minimum))
+            if "max" in want:
+                out_aggs["w_max"] = pa.array(_ext(np.maximum))
         cols_out = []
         for (isn, val, obj), b in zip(kl, k_bin):
             if b:
@@ -3921,6 +3958,10 @@ def rolling_agg(
         agg_ddl.append("w_sum long")
     if "avg" in aggs:
         agg_ddl.append("w_avg double")
+    if "min" in aggs:
+        agg_ddl.append("w_min long")
+    if "max" in aggs:
+        agg_ddl.append("w_max long")
     lanes_ddl = ", ".join(
         f"{k} {'binary' if b else 'long'}" for k, b in zip(knames, k_bin)
     )
@@ -3939,7 +3980,208 @@ def rolling_agg(
         out_cols.append(F.col("w_sum"))
     if "avg" in aggs:
         out_cols.append(F.col("w_avg"))
+    # min/max commute with the lane mapping, so restoring the agg
+    # column's logical type (ts/date/bool) is exact
+    if "min" in aggs:
+        out_cols.append(
+            _group_key_out(F.col("w_min"), kvts[g + 1]).alias("w_min")
+        )
+    if "max" in aggs:
+        out_cols.append(
+            _group_key_out(F.col("w_max"), kvts[g + 1]).alias("w_max")
+        )
     return ids.select(*out_cols)
+
+
+def window_shift(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: str | list[str],
+    order_cols: str | list[str],
+    val_col: str,
+    offset: int = 1,
+    direction: str = "lag",
+    preds: list[tuple] | None = None,
+) -> DataFrame:
+    """LAG/LEAD as a first-class operator — for every row, the value of
+    ``val_col`` ``offset`` rows earlier (``lag``) or later (``lead``)
+    within its key, ordered by ``order_cols``: the SQL ``LAG(v, k) OVER
+    (PARTITION BY key ORDER BY o...)`` shape. The reference has no
+    window functions at all (README.md:126-131).
+
+    Scale design (the sessionize lane, readops sessionize kernel):
+    the key-stream kernel ships narrow (key lanes, order lanes, val
+    lane, rid) rows, one hash shuffle on the key lanes; per task ONE
+    lexsort + a clipped gather resolves every shift — no per-key loop,
+    no payload movement beyond the single val lane.
+
+    Rows with a null key component or null order component are dropped
+    (document-level contract, same as sessionize); rows with a null
+    ``val_col`` are KEPT — SQL LAG both propagates a null source value
+    and counts the row as a step. Remaining ties after ``order_cols``
+    break by rowid, which across hash-assigned encode partitions is
+    NOT the input order — append a unique column to ``order_cols`` for
+    SQL-identical output. Order and val columns may be any type
+    (strings sort bytewise; float columns ride their order-preserving
+    int64 keys and are restored exactly — bits.float_order_keys is an
+    involution). Output: key columns, order columns, ``val_col``,
+    ``shifted``."""
+    import pyarrow as pa
+    from arcade_spark.partread import key_rowid_parts
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order_cols = (
+        [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    )
+    if not key_cols or not order_cols:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    if offset < 1:
+        raise ValueError(f"offset must be >= 1: {offset}")
+    if direction not in ("lag", "lead"):
+        raise ValueError(f"direction must be 'lag' or 'lead': {direction!r}")
+    g = len(key_cols)
+    m = len(order_cols)
+    lane_cols = key_cols + order_cols + [val_col]
+    vts = _lane_vtypes(spark, out_dir, lane_cols)
+    for c, vt in zip(key_cols, vts[:g]):
+        if vt in ("double", "float"):
+            raise NotImplementedError(
+                f"float key columns are not a sane partition contract: {c}"
+            )
+    # keep_null_keys so null-VAL rows survive the kernel; the required
+    # non-null key/order contract is re-imposed on the lanes below
+    keyed, kvts = key_rowid_parts(
+        spark, out_dir, lane_cols,
+        _preds_to_spec(preds) if preds else None,
+        keep_null_keys=True,
+        float_order_lane=any(
+            vt in ("double", "float") for vt in vts[g:]
+        ),
+    )
+    keyed = keyed.filter(
+        F.expr(" AND ".join(f"k{i} IS NOT NULL" for i in range(g + m)))
+    )
+    k_bin = [vt in ("str", "binary") for vt in kvts[:g]]
+    o_bin = [vt in ("str", "binary") for vt in kvts[g:g + m]]
+    o_float = [vt in ("double", "float") for vt in kvts[g:g + m]]
+    v_bin = kvts[g + m] in ("str", "binary")
+    v_float = kvts[g + m] in ("double", "float")
+    knames = [f"k{i}" for i in range(g)]
+    onames = [f"k{g + i}" for i in range(m)]
+    off = int(offset)
+    is_lag = direction == "lag"
+
+    def shift_kernel(batches):
+        from arcade_spark.bits import float_order_keys
+
+        chunks = [pa.Table.from_batches([b]) for b in batches]
+        if not chunks:
+            return
+        tbl = pa.concat_tables(chunks).combine_chunks()
+        nr = tbl.num_rows
+        if nr == 0:
+            return
+        kl = _win_lanes(tbl, knames, k_bin)
+        ol = _win_lanes(tbl, onames, o_bin)
+        rid = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
+        (v_isn, v_val, v_obj), = _win_lanes(tbl, [f"k{g + m}"], [v_bin])
+        # order lanes have no nulls (filtered above), so their isn keys
+        # are skipped; binary lanes sort by their per-task dense codes
+        # (np.unique is lexicographic, matching bytewise ORDER BY)
+        keys = [rid]
+        for _isn, oval, _o in reversed(ol):
+            keys.append(oval)
+        for isn, val, _o in reversed(kl):
+            keys.append(val)
+            keys.append(isn)
+        order = np.lexsort(tuple(keys))
+        idx = np.arange(nr, dtype=np.int64)
+        change = np.zeros(nr, dtype=bool)
+        change[0] = True
+        for isn, val, _o in kl:
+            vs = val[order]
+            change[1:] |= vs[1:] != vs[:-1]
+        run_start = np.maximum.accumulate(np.where(change, idx, 0))
+        if is_lag:
+            src = idx - off
+            valid = src >= run_start
+        else:
+            starts = np.nonzero(change)[0]
+            run_end = np.repeat(
+                np.append(starts[1:], nr), np.diff(np.append(starts, nr))
+            )
+            src = idx + off
+            valid = src < run_end
+        src_c = np.clip(src, 0, nr - 1)
+        v_isn_s = v_isn[order]
+        shift_null = ~valid | (v_isn_s[src_c] == 1)
+        cols_out = []
+        for (isn, val, obj), b in zip(kl, k_bin):
+            if b:
+                cols_out.append(pa.array(obj[order], type=pa.binary()))
+            else:
+                cols_out.append(pa.array(val[order]))
+        for (isn, oval, obj), b, fl in zip(ol, o_bin, o_float):
+            if b:
+                cols_out.append(pa.array(obj[order], type=pa.binary()))
+            elif fl:
+                cols_out.append(pa.array(
+                    float_order_keys(oval[order]).view(np.float64)
+                ))
+            else:
+                cols_out.append(pa.array(oval[order]))
+        if v_bin:
+            v_obj_s = v_obj[order]
+            cols_out.append(pa.array(v_obj_s, type=pa.binary()))
+            cols_out.append(
+                pa.array(v_obj_s[src_c], type=pa.binary(), mask=shift_null)
+            )
+        else:
+            v_val_s = v_val[order]
+            if v_float:
+                # the lane carries order-preserving int64 keys
+                # (bits.float_order_keys is an involution — apply it
+                # again and reinterpret to restore the exact doubles)
+                v_val_s = float_order_keys(v_val_s).view(np.float64)
+            cols_out.append(pa.array(v_val_s, mask=v_isn_s == 1))
+            cols_out.append(pa.array(v_val_s[src_c], mask=shift_null))
+        yield pa.RecordBatch.from_arrays(
+            cols_out, names=[*knames, *onames, "v", "s"]
+        )
+
+    def _lane_ddl(b: bool, fl: bool) -> str:
+        return "binary" if b else ("double" if fl else "long")
+
+    lanes_ddl = ", ".join(
+        [f"{k} {_lane_ddl(b, False)}" for k, b in zip(knames, k_bin)]
+        + [
+            f"{o} {_lane_ddl(b, fl)}"
+            for o, b, fl in zip(onames, o_bin, o_float)
+        ]
+    )
+    v_ddl = _lane_ddl(v_bin, v_float)
+    u = keyed.repartition(*[F.col(k) for k in knames])
+    ids = u.mapInArrow(
+        shift_kernel, schema=f"{lanes_ddl}, v {v_ddl}, s {v_ddl}"
+    )
+
+    def _restore(col, vt):
+        if vt in ("double", "float"):
+            return col.cast(spark_type_for(vt))
+        return _group_key_out(col, vt)
+
+    return ids.select(
+        *[
+            _group_key_out(F.col(kn), vt).alias(name)
+            for kn, vt, name in zip(knames, kvts, key_cols)
+        ],
+        *[
+            _restore(F.col(on), vt).alias(name)
+            for on, vt, name in zip(onames, kvts[g:g + m], order_cols)
+        ],
+        _restore(F.col("v"), kvts[g + m]).alias(val_col),
+        _restore(F.col("s"), kvts[g + m]).alias("shifted"),
+    )
 
 
 def join_group_by(

@@ -322,6 +322,19 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     timed("rolling_count_users", lambda: rolling_agg(
         spark, ev_enc, "user_id", "ts", window=1_800_000_000).count())
 
+    # trailing-window MIN/MAX (round-7): variable-width RANGE frames
+    # answered from a per-task sparse table (log n doubling passes)
+    timed("rolling_minmax_users", lambda: rolling_agg(
+        spark, ev_enc, "user_id", "ts", window=1_800_000_000,
+        agg_col="event_id", aggs=("min", "max")).count())
+
+    # LAG as a first-class operator (round-7): narrow lanes, one hash
+    # shuffle, one lexsort + clipped gather per task
+    from arcade_spark.readops import window_shift
+
+    timed("window_lag_value", lambda: window_shift(
+        spark, ev_enc, "user_id", ["ts", "event_id"], "value").count())
+
     # general ORDER BY export (round-5): zone-map range buckets,
     # per-bucket sorts, global rank, late-materialized projection
     from arcade_spark.readops import orderby_export

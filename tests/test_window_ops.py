@@ -330,6 +330,58 @@ def test_rolling_window_covers_all(spark, sess_table):
     assert got == exp
 
 
+def test_rolling_min_max(spark, sess_table):
+    from arcade_spark.readops import rolling_agg
+
+    out, con = sess_table
+    got = _rows(rolling_agg(
+        spark, out, "uid", "t", window=800, agg_col="amt",
+        aggs=("min", "max")))
+    exp = _sql(con, """
+        SELECT uid, t,
+               min(amt) OVER w AS w_min,
+               max(amt) OVER w AS w_max
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL
+                 AND amt IS NOT NULL
+        WINDOW w AS (PARTITION BY uid ORDER BY t
+                     RANGE BETWEEN 800 PRECEDING AND CURRENT ROW)""")
+    assert got == exp
+
+
+def test_rolling_min_max_narrow_and_full_windows(spark, sess_table):
+    """window=1 (frames of near-peers only) and window spanning
+    everything (cumulative min/max) both hit the sparse table's edge
+    levels."""
+    from arcade_spark.readops import rolling_agg
+
+    out, con = sess_table
+    for win, frame in ((1, "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW"),
+                       (10**9, "RANGE BETWEEN UNBOUNDED PRECEDING "
+                               "AND CURRENT ROW")):
+        got = _rows(rolling_agg(
+            spark, out, "uid", "t", window=win, agg_col="amt",
+            aggs=("min", "max", "count")))
+        exp = _sql(con, f"""
+            SELECT uid, t, count(*) OVER w AS w_count,
+                   min(amt) OVER w AS w_min, max(amt) OVER w AS w_max
+            FROM t WHERE uid IS NOT NULL AND t IS NOT NULL
+                     AND amt IS NOT NULL
+            WINDOW w AS (PARTITION BY uid ORDER BY t {frame})""")
+        assert got == exp
+
+
+def test_rolling_min_max_ts_agg_restores_type(spark, sess_table):
+    """min/max over an int64-lane column commute with the lane mapping;
+    a rolling max of t itself equals t (frames end at the current
+    row's peers)."""
+    from arcade_spark.readops import rolling_agg
+
+    out, _ = sess_table
+    got = rolling_agg(spark, out, "uid", "t", window=500,
+                      agg_col="t", aggs=("max",)).collect()
+    assert got and all(r["w_max"] == r["t"] for r in got)
+
+
 def test_rolling_validation(spark, sess_table):
     from arcade_spark.readops import rolling_agg
 
@@ -338,6 +390,8 @@ def test_rolling_validation(spark, sess_table):
         rolling_agg(spark, out, "uid", "t", window=0)
     with pytest.raises(ValueError):
         rolling_agg(spark, out, "uid", "t", window=5, aggs=("sum",))
+    with pytest.raises(ValueError):
+        rolling_agg(spark, out, "uid", "t", window=5, aggs=("min",))
     with pytest.raises(ValueError):
         rolling_agg(spark, out, "uid", "t", window=5, aggs=("median",))
     with pytest.raises(NotImplementedError):
@@ -379,3 +433,85 @@ def test_top_rank_mode_validation(spark, win_table):
     out, _ = win_table
     with pytest.raises(ValueError):
         top_per_key(spark, out, "uid", "score", 1, mode="ntile")
+
+
+# --------------------------------------------------------- window_shift
+
+def test_window_shift_lag_int(spark, sess_table):
+    from arcade_spark.readops import window_shift
+
+    out, con = sess_table
+    got = _rows(window_shift(spark, out, "uid", ["t", "ev"], "amt"))
+    # rowid order was pinned to ev at encode, so the engine's (t, rid)
+    # tie-break == ORDER BY t, ev; null-amt rows are kept (LAG
+    # propagates null source values), null uid/t rows drop
+    exp = _sql(con, """
+        SELECT uid, t, ev, amt, lag(amt) OVER (
+          PARTITION BY uid ORDER BY t, ev) AS shifted
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL""")
+    assert got == exp
+
+
+def test_window_shift_lead_offset2(spark, sess_table):
+    from arcade_spark.readops import window_shift
+
+    out, con = sess_table
+    got = _rows(window_shift(spark, out, "uid", ["t", "ev"], "amt",
+                             offset=2, direction="lead"))
+    exp = _sql(con, """
+        SELECT uid, t, ev, amt, lead(amt, 2) OVER (
+          PARTITION BY uid ORDER BY t, ev) AS shifted
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL""")
+    assert got == exp
+
+
+def test_window_shift_string_val(spark, sess_table):
+    from arcade_spark.readops import window_shift
+
+    out, con = sess_table
+    got = _rows(window_shift(spark, out, "uid", ["t", "ev"], "site"))
+    exp = _sql(con, """
+        SELECT uid, t, ev, site, lag(site) OVER (
+          PARTITION BY uid ORDER BY t, ev) AS shifted
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL""")
+    assert got == exp
+
+
+def test_window_shift_composite_key_preds(spark, sess_table):
+    from arcade_spark.readops import window_shift
+
+    out, con = sess_table
+    got = _rows(window_shift(
+        spark, out, ["site", "uid"], ["t", "ev"], "amt",
+        preds=[("range", "amt", 0, 150)]))
+    exp = _sql(con, """
+        SELECT site, uid, t, ev, amt, lag(amt) OVER (
+          PARTITION BY site, uid ORDER BY t, ev) AS shifted
+        FROM t WHERE uid IS NOT NULL AND site IS NOT NULL
+                 AND t IS NOT NULL AND amt BETWEEN 0 AND 150""")
+    assert got == exp
+
+
+def test_window_shift_float_val(spark, win_table):
+    from arcade_spark.readops import window_shift
+
+    out, con = win_table
+    got = _rows(window_shift(spark, out, "uid", ["score", "tb"], "val"))
+    # rowid order pinned to tb at encode → tie-break ORDER BY score, tb
+    exp = _sql(con, """
+        SELECT uid, score, tb, val, lag(val) OVER (
+          PARTITION BY uid ORDER BY score, tb) AS shifted
+        FROM t WHERE uid IS NOT NULL AND score IS NOT NULL""")
+    assert got == exp
+
+
+def test_window_shift_validation(spark, sess_table):
+    from arcade_spark.readops import window_shift
+
+    out, _ = sess_table
+    with pytest.raises(ValueError):
+        window_shift(spark, out, "uid", "t", "amt", offset=0)
+    with pytest.raises(ValueError):
+        window_shift(spark, out, "uid", "t", "amt", direction="shuffle")
+    with pytest.raises(ValueError):
+        window_shift(spark, out, "uid", [], "amt")  # no order cols
