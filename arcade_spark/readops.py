@@ -3406,6 +3406,124 @@ def top_per_key(
     return result.select(*out_cols)
 
 
+# per-task row bound for the per-key window operators (sessionize /
+# rolling_agg): a key whose row count exceeds this pre-splits into
+# time-range slices so no single task absorbs its whole timeline.
+# 4M narrow lane rows ≈ 100-160 MB of lexsort input — comfortable for
+# one executor task; at 10^12 rows the stats pass that finds hot keys
+# is one map-side-combined O(distinct keys) aggregation.
+_HOT_KEY_ROWS = 4_000_000
+_HOT_KEY_MAX = 100_000  # collectible hot-key descriptors
+
+
+def _split_hot_keys(
+    spark: SparkSession,
+    keyed: DataFrame,
+    knames: list[str],
+    k_bin: list[bool],
+    t_name: str,
+    overlap: int,
+    threshold: int,
+    max_hot: int = _HOT_KEY_MAX,
+) -> tuple[DataFrame | None, int]:
+    """Time-range pre-split for hot keys (PLANS.md §9 escape hatch).
+
+    Finds keys with more than ``threshold`` rows (one map-side-combined
+    aggregation over the narrow key stream), assigns every row of a hot
+    key a time-range slice ``slc = (t - tmin) div S`` with slice width
+    ``S = max(overlap, ceil(span / ceil(cnt / threshold)))``, and —
+    when ``overlap > 0`` (rolling frames) — replicates each row in the
+    ``overlap`` band below a slice boundary into the NEXT slice as a
+    context row (``emit = false``): every emitted row's trailing frame
+    is then complete within its own (key, slc) task. ``overlap = 0``
+    (sessionize) adds no context rows; boundary stitching is the
+    caller's job via the ``nsl`` column (> 1 marks sliced keys).
+
+    Returns ``(sliced_df, n_hot)`` where sliced_df adds ``slc`` (long),
+    ``emit`` (boolean) and ``nsl`` (long, slices for the row's key) to
+    ``keyed``'s columns — or ``(None, 0)`` when no key is hot. All
+    arithmetic is exact int64 (Spark ``div``/``%`` on longs; the
+    driver-side slice math uses Python ints)."""
+    stats = (
+        keyed.groupBy(*knames)
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(t_name).alias("_tmin"),
+            F.max(t_name).alias("_tmax"),
+        )
+        .filter(F.col("_cnt") > threshold)
+    )
+    hot = stats.limit(max_hot + 1).collect()
+    if not hot:
+        return None, 0
+    if len(hot) > max_hot:
+        raise ValueError(
+            f"more than {max_hot} keys exceed {threshold} rows — raise "
+            "the hot-key threshold or aggregate first"
+        )
+    rows = []
+    for r in hot:
+        cnt, tmin, tmax = int(r["_cnt"]), int(r["_tmin"]), int(r["_tmax"])
+        span = tmax - tmin
+        if float(tmax) - float(tmin) >= float(2**62):
+            raise NotImplementedError(
+                "a hot key's timeline spans more than 2^62 lane units — "
+                "time-range slicing would overflow; filter sentinels first"
+            )
+        nsl_target = -(-cnt // threshold)  # ceil
+        s_width = max(int(overlap), -(-(span + 1) // nsl_target), 1)
+        nsl = span // s_width + 1
+        key_vals = tuple(
+            bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+            for v in (r[k] for k in knames)
+        )
+        rows.append((*key_vals, tmin, s_width, nsl))
+    lanes_ddl = ", ".join(
+        f"{k} {'binary' if b else 'long'}" for k, b in zip(knames, k_bin)
+    )
+    hot_df = spark.createDataFrame(
+        rows, schema=f"{lanes_ddl}, _tmin long, _s long, _nsl long"
+    )
+    j = keyed.join(F.broadcast(hot_df), on=knames, how="left")
+    slc = F.expr(f"CASE WHEN _s IS NULL THEN 0L "
+                 f"ELSE ({t_name} - _tmin) div _s END")
+    base = F.struct(slc.alias("slc"), F.lit(True).alias("emit"))
+    copies = F.array(base)
+    if overlap > 0:
+        # rows within `overlap` below the next slice's lower boundary
+        # replicate into it as context (emit=false); s_width >= overlap
+        # caps replication at one extra copy per row
+        ctx_cond = (
+            F.col("_s").isNotNull()
+            & (slc < F.col("_nsl") - 1)
+            & (F.expr(f"({t_name} - _tmin) % _s")
+               >= F.col("_s") - F.lit(int(overlap)))
+        )
+        ctx = F.struct((slc + 1).alias("slc"), F.lit(False).alias("emit"))
+        copies = F.when(ctx_cond, F.array(base, ctx)).otherwise(copies)
+    out = (
+        j.withColumn("_se", F.explode(copies))
+        .select(
+            *keyed.columns,
+            F.col("_se.slc").alias("slc"),
+            F.col("_se.emit").alias("emit"),
+            F.coalesce(F.col("_nsl"), F.lit(1)).alias("nsl"),
+        )
+    )
+    return out, len(hot)
+
+
+def _manifest_total_rows(out_dir: str) -> int:
+    """Total row count from the manifest alone (the blocksizes-index
+    read) — the free upper bound that lets the per-key window ops skip
+    the hot-key stats pass entirely when no key CAN exceed the
+    threshold."""
+    from arcade_spark.partread import load_manifest
+
+    _cols, parts = load_manifest(out_dir)
+    return sum(n for _pid, n in parts)
+
+
 def sessionize(
     spark: SparkSession,
     out_dir: str,
@@ -3414,6 +3532,7 @@ def sessionize(
     gap: int,
     preds: list[tuple] | None = None,
     emit: str = "rows",
+    hot_key_threshold: int | None = _HOT_KEY_ROWS,
 ) -> DataFrame:
     """Gap-based sessionization — assign every event its session ordinal
     per key, where a new session starts when the time since the
@@ -3430,6 +3549,18 @@ def sessionize(
     (key..., ts, session); ``emit="sessions"`` aggregates in-kernel to
     one row per session (key..., session, n_events, ts_start, ts_end)
     — the output a 100-TB pipeline actually stores.
+
+    Hot-key escape hatch (PLANS.md §9, gap-boundary stitching): a key
+    with more than ``hot_key_threshold`` rows pre-splits into
+    time-range slices (no context rows); a summary pass emits ONE row
+    per sliced (key, slc) — local session count + first/last ts — the
+    driver stitches bases (a session bridging a boundary merges when
+    ``first(s) − last(s−1) <= gap``, exactly the batch ``> gap`` bump
+    complement), and the final pass adds each slice's base to its local
+    ordinals. Output is identical to the unsplit path; ``sessions``
+    mode merges boundary-straddling aggregate rows with one O(sessions)
+    group-by. The stats pass is skipped when the manifest row total
+    cannot exceed the threshold; ``hot_key_threshold=None`` disables.
 
     Rows with a null key component or null timestamp are dropped
     (SQL: they join no session — filter them explicitly if needed).
@@ -3462,101 +3593,249 @@ def sessionize(
     gap_units = gap
     want_rows = emit == "rows"
 
-    def session_kernel(batches):
-        chunks = [pa.Table.from_batches([b]) for b in batches]
-        if not chunks:
-            return
-        tbl = pa.concat_tables(chunks).combine_chunks()
-        nr = tbl.num_rows
-        if nr == 0:
-            return
-        kl = _win_lanes(tbl, knames, k_bin)
-        ts = (
-            tbl.column(f"k{g}").to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        rid = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
-        keys = [rid, ts]
-        for isn, val, _o in reversed(kl):
-            keys.append(val)
-            keys.append(isn)
-        order = np.lexsort(tuple(keys))
-        idx = np.arange(nr, dtype=np.int64)
-        change = np.zeros(nr, dtype=bool)
-        change[0] = True
-        for isn, val, _o in kl:
-            vs = val[order]
-            change[1:] |= vs[1:] != vs[:-1]
-        ts_s = ts[order]
-        bump = np.zeros(nr, dtype=bool)
-        bump[1:] = ts_s[1:] - ts_s[:-1] > gap_units
-        new_sess = change | bump
-        gs = np.cumsum(new_sess)  # 1-based global session ordinal
-        first_gs = np.maximum.accumulate(np.where(change, gs, 0))
-        sess = gs - first_gs  # 0-based session id within key
-        if want_rows:
+    def _make_kernel(with_slices: bool, summary: bool):
+        def kern(batches):
+            chunks = [pa.Table.from_batches([b]) for b in batches]
+            if not chunks:
+                return
+            tbl = pa.concat_tables(chunks).combine_chunks()
+            nr = tbl.num_rows
+            if nr == 0:
+                return
+            kl = _win_lanes(tbl, knames, k_bin)
+            ts = (
+                tbl.column(f"k{g}").to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            rid = (
+                tbl.column("rid").to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            ss = None
+            keys = [rid, ts]
+            if with_slices:
+                slc = (
+                    tbl.column("slc").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                keys.append(slc)
+            for isn, val, _o in reversed(kl):
+                keys.append(val)
+                keys.append(isn)
+            order = np.lexsort(tuple(keys))
+            idx = np.arange(nr, dtype=np.int64)
+            change = np.zeros(nr, dtype=bool)
+            change[0] = True
+            for isn, val, _o in kl:
+                vs = val[order]
+                change[1:] |= vs[1:] != vs[:-1]
+            if with_slices:
+                # a slice boundary is a run boundary: local ordinals
+                # restart and the stitch pass re-bases them
+                ss = slc[order]
+                change[1:] |= ss[1:] != ss[:-1]
+            ts_s = ts[order]
+            bump = np.zeros(nr, dtype=bool)
+            bump[1:] = ts_s[1:] - ts_s[:-1] > gap_units
+            new_sess = change | bump
+            gs = np.cumsum(new_sess)  # 1-based global session ordinal
+            first_gs = np.maximum.accumulate(np.where(change, gs, 0))
+            sess = gs - first_gs  # 0-based session id within run
+            if summary:
+                # one row per SLICED (key, slc) run: local session count
+                # + boundary timestamps (unsliced keys skipped — the
+                # collect stays O(hot rows / threshold))
+                nsl = (
+                    tbl.column("nsl").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                starts = np.nonzero(change)[0]
+                ends = np.append(starts[1:], nr)
+                keep = nsl[order][starts] > 1
+                rs = starts[keep]
+                re_ = ends[keep]
+                if rs.size == 0:
+                    return
+                sel = order[rs]
+                cols_out = []
+                for (isn, val, obj), b in zip(kl, k_bin):
+                    if b:
+                        cols_out.append(pa.array(obj[sel], type=pa.binary()))
+                    else:
+                        cols_out.append(pa.array(val[sel]))
+                cols_out.append(pa.array(ss[rs]))
+                cols_out.append(pa.array(sess[re_ - 1] + 1))
+                cols_out.append(pa.array(ts_s[rs]))
+                cols_out.append(pa.array(ts_s[re_ - 1]))
+                yield pa.RecordBatch.from_arrays(
+                    cols_out,
+                    names=[*knames, "slc", "n_sess", "t_first", "t_last"],
+                )
+                return
+            if with_slices:
+                bs = (
+                    tbl.column("base").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                sess = sess + bs[order]
+            if want_rows:
+                cols_out = []
+                for (isn, val, obj), b in zip(kl, k_bin):
+                    if b:
+                        cols_out.append(
+                            pa.array(obj[order], type=pa.binary())
+                        )
+                    else:
+                        cols_out.append(pa.array(val[order]))
+                cols_out.append(pa.array(ts_s))
+                cols_out.append(pa.array(sess))
+                yield pa.RecordBatch.from_arrays(
+                    cols_out, names=[*knames, "t", "session"]
+                )
+                return
+            # per-session aggregate: runs of new_sess
+            starts = np.nonzero(new_sess)[0]
+            ends = np.append(starts[1:], nr)
+            sel = order[starts]
             cols_out = []
             for (isn, val, obj), b in zip(kl, k_bin):
                 if b:
-                    cols_out.append(pa.array(obj[order], type=pa.binary()))
+                    cols_out.append(pa.array(obj[sel], type=pa.binary()))
                 else:
-                    cols_out.append(pa.array(val[order]))
-            cols_out.append(pa.array(ts_s))
-            cols_out.append(pa.array(sess))
+                    cols_out.append(pa.array(val[sel]))
+            cols_out.append(pa.array(sess[starts]))
+            cols_out.append(pa.array(ends - starts))
+            cols_out.append(pa.array(ts_s[starts]))
+            cols_out.append(pa.array(ts_s[ends - 1]))
             yield pa.RecordBatch.from_arrays(
-                cols_out, names=[*knames, "t", "session"]
+                cols_out,
+                names=[*knames, "session", "n_events", "t_start", "t_end"],
             )
-            return
-        # per-session aggregate: runs of new_sess
-        starts = np.nonzero(new_sess)[0]
-        ends = np.append(starts[1:], nr)
-        sel = order[starts]
-        cols_out = []
-        for (isn, val, obj), b in zip(kl, k_bin):
-            if b:
-                cols_out.append(pa.array(obj[sel], type=pa.binary()))
-            else:
-                cols_out.append(pa.array(val[sel]))
-        cols_out.append(pa.array(sess[starts]))
-        cols_out.append(pa.array(ends - starts))
-        cols_out.append(pa.array(ts_s[starts]))
-        cols_out.append(pa.array(ts_s[ends - 1]))
-        yield pa.RecordBatch.from_arrays(
-            cols_out,
-            names=[*knames, "session", "n_events", "t_start", "t_end"],
-        )
+
+        return kern
 
     lanes_ddl = ", ".join(
         f"{k} {'binary' if b else 'long'}" for k, b in zip(knames, k_bin)
     )
-    u = keyed.repartition(*[F.col(k) for k in knames])
     key_out = [
         _group_key_out(F.col(kn), vt).alias(name)
         for kn, vt, name in zip(knames, kvts, key_cols)
     ]
-    if want_rows:
+    sliced = None
+    if (
+        hot_key_threshold is not None
+        and _manifest_total_rows(out_dir) > hot_key_threshold
+    ):
+        sliced, _n_hot = _split_hot_keys(
+            spark, keyed, knames, k_bin, f"k{g}",
+            overlap=0, threshold=hot_key_threshold,
+        )
+    if sliced is None:
+        u = keyed.repartition(*[F.col(k) for k in knames])
+        if want_rows:
+            ids = u.mapInArrow(
+                _make_kernel(False, False),
+                schema=f"{lanes_ddl}, t long, session long",
+            )
+            return ids.select(
+                *key_out,
+                _group_key_out(F.col("t"), kvts[g]).alias(ts_col),
+                F.col("session"),
+            )
         ids = u.mapInArrow(
-            session_kernel, schema=f"{lanes_ddl}, t long, session long"
+            _make_kernel(False, False),
+            schema=(
+                f"{lanes_ddl}, session long, n_events long, "
+                f"t_start long, t_end long"
+            ),
         )
         return ids.select(
+            *key_out,
+            F.col("session"),
+            F.col("n_events"),
+            _group_key_out(F.col("t_start"), kvts[g]).alias(f"{ts_col}_start"),
+            _group_key_out(F.col("t_end"), kvts[g]).alias(f"{ts_col}_end"),
+        )
+    # --- split path: summaries → driver stitch → re-based final pass.
+    # The repartitioned slice stream persists so the two passes share
+    # one kernel read; the handle is registered for release.
+    from collections import defaultdict
+
+    from pyspark import StorageLevel
+
+    release_key_caches()
+    u = sliced.repartition(
+        *[F.col(k) for k in knames], F.col("slc")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _register_key_cache(u)
+    summaries = u.mapInArrow(
+        _make_kernel(True, True),
+        schema=f"{lanes_ddl}, slc long, n_sess long, t_first long, t_last long",
+    ).collect()
+    per_key: dict[tuple, list] = defaultdict(list)
+    for r in summaries:
+        kv = tuple(
+            bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+            for v in (r[k] for k in knames)
+        )
+        per_key[kv].append(
+            (int(r["slc"]), int(r["n_sess"]), int(r["t_first"]),
+             int(r["t_last"]))
+        )
+    brows = []
+    for kv, lst in per_key.items():
+        lst.sort()
+        base = 0
+        prev_ns = prev_tl = None
+        for s, ns, tf, tl in lst:
+            if prev_ns is not None:
+                # a session bridges the boundary iff the gap between
+                # the last event before it and the first after it is
+                # <= gap — the exact complement of the batch > gap bump
+                merge = 1 if tf - prev_tl <= gap_units else 0
+                base = base + prev_ns - merge
+            brows.append((*kv, s, base))
+            prev_ns, prev_tl = ns, tl
+    bases_df = spark.createDataFrame(
+        brows, schema=f"{lanes_ddl}, slc long, base long"
+    )
+    ub = u.join(
+        F.broadcast(bases_df), on=[*knames, "slc"], how="left"
+    ).withColumn("base", F.coalesce(F.col("base"), F.lit(0)))
+    if want_rows:
+        ids = ub.mapInArrow(
+            _make_kernel(True, False),
+            schema=f"{lanes_ddl}, t long, session long",
+        )
+        res = ids.select(
             *key_out,
             _group_key_out(F.col("t"), kvts[g]).alias(ts_col),
             F.col("session"),
         )
-    ids = u.mapInArrow(
-        session_kernel,
-        schema=(
-            f"{lanes_ddl}, session long, n_events long, "
-            f"t_start long, t_end long"
-        ),
-    )
-    return ids.select(
-        *key_out,
-        F.col("session"),
-        F.col("n_events"),
-        _group_key_out(F.col("t_start"), kvts[g]).alias(f"{ts_col}_start"),
-        _group_key_out(F.col("t_end"), kvts[g]).alias(f"{ts_col}_end"),
-    )
+    else:
+        ids = ub.mapInArrow(
+            _make_kernel(True, False),
+            schema=(
+                f"{lanes_ddl}, session long, n_events long, "
+                f"t_start long, t_end long"
+            ),
+        )
+        # boundary-straddling sessions emitted from two slices merge
+        # here — one O(sessions) group-by, not O(events)
+        merged = ids.groupBy(*knames, "session").agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("t_start").alias("t_start"),
+            F.max("t_end").alias("t_end"),
+        )
+        res = merged.select(
+            *key_out,
+            F.col("session"),
+            F.col("n_events"),
+            _group_key_out(F.col("t_start"), kvts[g]).alias(f"{ts_col}_start"),
+            _group_key_out(F.col("t_end"), kvts[g]).alias(f"{ts_col}_end"),
+        )
+    res._arcade_key_cache = u
+    return res
 
 
 def join_band(
@@ -3739,6 +4018,7 @@ def rolling_agg(
     agg_col: str | None = None,
     aggs: tuple = ("count",),
     preds: list[tuple] | None = None,
+    hot_key_threshold: int | None = _HOT_KEY_ROWS,
 ) -> DataFrame:
     """Trailing-window aggregate per key — for every row, COUNT/SUM/AVG
     over the rows of the same key with ``ts`` in ``[t - window, t]``:
@@ -3753,6 +4033,15 @@ def rolling_agg(
     sums, and a vectorized run-bounded binary search (≈log2 n numpy
     passes, no per-key Python) resolve every frame — O(n log n) per
     task, payload never moves.
+
+    Hot-key escape hatch (PLANS.md §9): a key with more than
+    ``hot_key_threshold`` rows pre-splits into time-range slices with
+    window-width context overlap, so no task absorbs the whole
+    timeline — each emitted row's trailing frame is complete inside
+    its own (key, slc) task, and output is byte-identical to the
+    unsplit path. The stats pass that finds hot keys is skipped
+    entirely (zero overhead) when the manifest row total cannot exceed
+    the threshold; ``hot_key_threshold=None`` disables splitting.
 
     ``aggs`` ⊆ {"count", "sum", "avg", "min", "max"}; all but count
     need an int64-lane ``agg_col`` (int/bigint/ts-as-micros/date/bool)
@@ -3806,6 +4095,16 @@ def rolling_agg(
     knames = [f"k{i}" for i in range(g)]
     win_units = window
     want = aggs
+    sliced = None
+    if (
+        hot_key_threshold is not None
+        and _manifest_total_rows(out_dir) > hot_key_threshold
+    ):
+        sliced, _n_hot = _split_hot_keys(
+            spark, keyed, knames, k_bin, f"k{g}",
+            overlap=win_units, threshold=hot_key_threshold,
+        )
+    has_slices = sliced is not None
 
     def rolling_kernel(batches):
         chunks = [pa.Table.from_batches([b]) for b in batches]
@@ -3824,7 +4123,16 @@ def rolling_agg(
                 tbl.column(f"k{g + 1}")
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             )
+        slc = emit = None
+        if has_slices:
+            slc = (
+                tbl.column("slc").to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            emit = tbl.column("emit").to_numpy(zero_copy_only=False)
         keys = [rid, ts]
+        if has_slices:
+            keys.append(slc)
         for isn, val, _o in reversed(kl):
             keys.append(val)
             keys.append(isn)
@@ -3835,6 +4143,11 @@ def rolling_agg(
         for isn, val, _o in kl:
             vs = val[order]
             change[1:] |= vs[1:] != vs[:-1]
+        if has_slices:
+            # a slice boundary is a run boundary: context rows carry the
+            # previous slice's tail, so frames never need to cross it
+            ss = slc[order]
+            change[1:] |= ss[1:] != ss[:-1]
         run_start = np.maximum.accumulate(np.where(change, idx, 0))
         # run_end (exclusive): next run's start, backwards-filled
         starts = np.nonzero(change)[0]
@@ -3883,7 +4196,7 @@ def rolling_agg(
         cnt = ub - lb
         out_aggs = {}
         if "count" in want:
-            out_aggs["w_count"] = pa.array(cnt)
+            out_aggs["w_count"] = cnt
         vs = vals[order] if need_val else None
         if need_sum:
             # int64 prefix sums may WRAP mid-task (a 10^9-row hot key
@@ -3904,9 +4217,9 @@ def rolling_agg(
             )
             wsum = pref[ub] - pref[lb]
             if "sum" in want:
-                out_aggs["w_sum"] = pa.array(wsum)
+                out_aggs["w_sum"] = wsum
             if "avg" in want:
-                out_aggs["w_avg"] = pa.array(
+                out_aggs["w_avg"] = (
                     wsum.astype(np.float64) / cnt.astype(np.float64)
                 )
         if need_ext:
@@ -3935,19 +4248,27 @@ def rolling_agg(
                 return out
 
             if "min" in want:
-                out_aggs["w_min"] = pa.array(_ext(np.minimum))
+                out_aggs["w_min"] = _ext(np.minimum)
             if "max" in want:
-                out_aggs["w_max"] = pa.array(_ext(np.maximum))
+                out_aggs["w_max"] = _ext(np.maximum)
+        sel = None
+        if has_slices:
+            # context rows (emit=false) exist only to complete their
+            # slice's leading frames — their own rows emit from the
+            # previous slice
+            sel = np.nonzero(emit[order])[0]
         cols_out = []
         for (isn, val, obj), b in zip(kl, k_bin):
+            lane = obj if b else val
+            lane = lane[order] if sel is None else lane[order][sel]
             if b:
-                cols_out.append(pa.array(obj[order], type=pa.binary()))
+                cols_out.append(pa.array(lane, type=pa.binary()))
             else:
-                cols_out.append(pa.array(val[order]))
-        cols_out.append(pa.array(ts_s))
+                cols_out.append(pa.array(lane))
+        cols_out.append(pa.array(ts_s if sel is None else ts_s[sel]))
         names = [*knames, "t"]
         for nm, arr in out_aggs.items():
-            cols_out.append(arr)
+            cols_out.append(pa.array(arr if sel is None else arr[sel]))
             names.append(nm)
         yield pa.RecordBatch.from_arrays(cols_out, names=names)
 
@@ -3965,7 +4286,10 @@ def rolling_agg(
     lanes_ddl = ", ".join(
         f"{k} {'binary' if b else 'long'}" for k, b in zip(knames, k_bin)
     )
-    u = keyed.repartition(*[F.col(k) for k in knames])
+    if has_slices:
+        u = sliced.repartition(*[F.col(k) for k in knames], F.col("slc"))
+    else:
+        u = keyed.repartition(*[F.col(k) for k in knames])
     ids = u.mapInArrow(
         rolling_kernel, schema=f"{lanes_ddl}, t long, {', '.join(agg_ddl)}"
     )

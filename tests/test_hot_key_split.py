@@ -1,0 +1,167 @@
+"""Hot-key escape hatch (PLANS.md §9): per-key window operators
+pre-split a hot key's timeline into time-range slices so no task
+absorbs the whole key — rolling_agg with window-width context overlap,
+sessionize with gap-boundary stitching. Checks: (1) split output is
+IDENTICAL to the unsplit path and to DuckDB, (2) the split actually
+bounds per-(key, slice) task rows, (3) small tables skip the stats
+pass entirely."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from arcade_spark.encode import encode_job
+from arcade_spark.readops import rolling_agg, sessionize
+
+
+@pytest.fixture(scope="module")
+def hot_table(spark, tmp_path_factory):
+    """One 3000-row hot key (uid 7) + 40 cold keys (~50 rows each):
+    the zipf shape that pins a whole timeline to one task."""
+    rng = np.random.default_rng(77)
+    n_hot, n_cold = 3000, 2000
+    uid = np.concatenate([
+        np.full(n_hot, 7, dtype=np.int64),
+        rng.integers(100, 140, n_cold).astype(np.int64),
+    ])
+    t = np.concatenate([
+        # hot key: bursty timeline (clusters + quiet gaps) so slices
+        # carry uneven row counts and sessions straddle boundaries
+        np.sort(rng.integers(0, 500_000, n_hot)).astype(np.int64),
+        np.sort(rng.integers(0, 500_000, n_cold)).astype(np.int64),
+    ])
+    n = n_hot + n_cold
+    df = pd.DataFrame({
+        "uid": pd.array(uid, dtype="Int64"),
+        "t": pd.array(t, dtype="Int64"),
+        "amt": pd.array(
+            rng.integers(-40, 120, n).astype(np.int64), dtype="Int64"
+        ),
+        "ev": [f"e{i:05d}" for i in range(n)],
+    })
+    df.loc[rng.random(n) < 0.02, "amt"] = pd.NA
+    out = str(tmp_path_factory.mktemp("hot") / "enc")
+    encode_job(spark, spark.createDataFrame(df), out,
+               num_parts=3, block_rows=512, order_col="ev")
+    con = duckdb.connect()
+    con.register("t", df)
+    return out, con
+
+
+def _key(rows):
+    return sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
+
+
+def _rows(df):
+    return _key([tuple(r) for r in df.collect()])
+
+
+def _sql(con, q):
+    return _key([tuple(r) for r in con.execute(q).fetchall()])
+
+
+THRESH = 400  # forces uid 7 (3000 rows) over the threshold
+
+
+def test_rolling_split_matches_unsplit_and_oracle(spark, hot_table):
+    out, con = hot_table
+    kw = dict(window=5000, agg_col="amt",
+              aggs=("count", "sum", "avg", "min", "max"))
+    split = _rows(rolling_agg(spark, out, "uid", "t",
+                              hot_key_threshold=THRESH, **kw))
+    unsplit = _rows(rolling_agg(spark, out, "uid", "t",
+                                hot_key_threshold=None, **kw))
+    assert split == unsplit
+    exp = _sql(con, """
+        SELECT uid, t, count(*) OVER w AS w_count,
+               sum(amt) OVER w AS w_sum,
+               CAST(sum(amt) OVER w AS DOUBLE)/count(*) OVER w AS w_avg,
+               min(amt) OVER w AS w_min, max(amt) OVER w AS w_max
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL
+                 AND amt IS NOT NULL
+        WINDOW w AS (PARTITION BY uid ORDER BY t
+                     RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)""")
+    assert split == exp
+
+
+def test_split_bounds_task_rows(spark, hot_table):
+    """The slice assignment itself: the hot key splits into >1 slice,
+    every (key, slc) group is far below the unsplit key's size, and
+    context replication adds at most one copy per row."""
+    from pyspark.sql import functions as F
+
+    from arcade_spark.partread import key_rowid_parts
+    from arcade_spark.readops import _split_hot_keys
+
+    out, _ = hot_table
+    keyed, kvts = key_rowid_parts(spark, out, ["uid", "t"])
+    sliced, n_hot = _split_hot_keys(
+        spark, keyed, ["k0"], [False], "k1",
+        overlap=5000, threshold=THRESH)
+    assert n_hot == 1
+    cells = (
+        sliced.groupBy("k0", "slc")
+        .agg(F.count("*").alias("rows"),
+             F.sum(F.col("emit").cast("long")).alias("emitted"))
+        .collect()
+    )
+    hot_cells = [r for r in cells if r["k0"] == 7]
+    assert len(hot_cells) > 1  # actually sliced
+    # every slice's task rows are bounded well below the hot key's 3000
+    assert max(r["rows"] for r in hot_cells) <= 2 * THRESH
+    # emitted rows partition the key exactly; context adds the rest
+    assert sum(r["emitted"] for r in hot_cells) == 3000
+    total = sum(r["rows"] for r in hot_cells)
+    assert 3000 <= total <= 2 * 3000  # ≤ one context copy per row
+
+
+def test_small_table_skips_stats_pass(spark, hot_table):
+    """With the threshold above the manifest row total, no stats pass
+    runs (zero extra jobs) and output equals the disabled path."""
+    out, _ = hot_table
+    df = rolling_agg(spark, out, "uid", "t", window=5000,
+                     hot_key_threshold=10**9)
+    got = _rows(df)
+    ref = _rows(rolling_agg(spark, out, "uid", "t", window=5000,
+                            hot_key_threshold=None))
+    assert got == ref
+
+
+def test_sessionize_split_matches_unsplit_and_oracle(spark, hot_table):
+    out, con = hot_table
+    for emit in ("rows", "sessions"):
+        split = _rows(sessionize(spark, out, "uid", "t", gap=800,
+                                 emit=emit, hot_key_threshold=THRESH))
+        unsplit = _rows(sessionize(spark, out, "uid", "t", gap=800,
+                                   emit=emit, hot_key_threshold=None))
+        assert split == unsplit, emit
+    exp = _sql(con, """
+        WITH lagged AS (
+          SELECT uid, t, lag(t) OVER (PARTITION BY uid ORDER BY t) AS prev
+          FROM t WHERE uid IS NOT NULL AND t IS NOT NULL
+        ), sess AS (
+          SELECT uid, t, CAST(SUM(CASE WHEN prev IS NULL OR t - prev > 800
+                     THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY uid ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session
+          FROM lagged)
+        SELECT uid, session, count(*) AS n_events,
+               min(t) AS t_start, max(t) AS t_end
+        FROM sess GROUP BY uid, session""")
+    got = _rows(sessionize(spark, out, "uid", "t", gap=800,
+                           emit="sessions", hot_key_threshold=THRESH))
+    assert got == exp
+
+
+def test_sessionize_split_gap_exactly_at_boundary(spark, hot_table):
+    """Sessions whose bridging gap lands exactly ON a slice boundary
+    must stitch (<= gap merges, matching the batch > gap bump)."""
+    out, con = hot_table
+    split = _rows(sessionize(spark, out, "uid", "t", gap=50_000,
+                             hot_key_threshold=THRESH))
+    unsplit = _rows(sessionize(spark, out, "uid", "t", gap=50_000,
+                               hot_key_threshold=None))
+    assert split == unsplit
