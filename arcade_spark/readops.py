@@ -2753,6 +2753,14 @@ def filter_semijoin(
     )
 
 
+# auto-broadcast cap for join_encoded key streams: 2M (key, rid) rows
+# ≈ 32 MB of int lanes — a hash relation every executor holds without
+# strain, while saving the fact side's key shuffle entirely. The
+# manifest row total is a FREE upper bound (predicates only shrink the
+# stream), so the decision costs zero jobs.
+_BCAST_MAX_KEY_ROWS = 2_000_000
+
+
 def join_encoded(
     spark: SparkSession,
     out_a: str,
@@ -2764,6 +2772,7 @@ def join_encoded(
     preds_a: list[tuple] | None = None,
     preds_b: list[tuple] | None = None,
     how: str = "inner",
+    broadcast: str | None = "auto",
 ) -> DataFrame:
     """Equi-join between TWO ENCODED tables — the shape past
     filter_semijoin's broadcast-key ceiling (readops.py semijoin cap):
@@ -2793,7 +2802,16 @@ def join_encoded(
     COALESCE(a.k, b.k) as in a USING join), then project_a, then
     project_b — names must not clash. The reference lists joins as
     future work (README.md:126-131); this is the Spark-native design
-    for it."""
+    for it.
+
+    ``broadcast="auto"`` (default) hints Spark to BROADCAST a side's
+    key stream when its manifest row total — a free upper bound on the
+    stream, known before any job runs — fits ``_BCAST_MAX_KEY_ROWS``:
+    the fact side's keys then never shuffle at all (key streams come
+    out of mapInArrow, whose size Catalyst cannot estimate statically,
+    so without the hint a dim⋈fact join sort-merges both streams until
+    AQE notices at runtime). ``broadcast="b"`` forces the hint on B,
+    ``broadcast=None`` disables (both sides huge — let AQE decide)."""
     from arcade_spark.partread import key_rowid_parts, materialize_rowids_parts
 
     if how not in ("inner", "left", "right", "full", "semi", "anti"):
@@ -2844,9 +2862,23 @@ def join_encoded(
     knames = [f"k{i}" for i in range(len(keys_a))]
     ka_n = ka.select(*knames, F.col("rid").alias("rid_a"))
     kb_n = kb.select(*knames, F.col("rid").alias("rid_b"))
+    if broadcast not in (None, "auto", "b"):
+        raise ValueError(f"broadcast must be 'auto', 'b' or None: {broadcast!r}")
+    # manifest row totals are a free pre-job upper bound on each key
+    # stream; B under the cap → hint BroadcastHashJoin so the fact
+    # side's keys never shuffle (every B usage below is a build side)
+    bc_b = broadcast == "b" or (
+        broadcast == "auto"
+        and _manifest_total_rows(out_b) <= _BCAST_MAX_KEY_ROWS
+    )
+    bc_a = (
+        broadcast == "auto"
+        and _manifest_total_rows(out_a) <= _BCAST_MAX_KEY_ROWS
+    )
+    _hb = F.broadcast if bc_b else (lambda df: df)
     if how in ("semi", "anti"):
         ids = ka_n.join(
-            kb_n.select(*knames).distinct(), knames,
+            _hb(kb_n.select(*knames).distinct()), knames,
             "left_semi" if how == "semi" else "left_anti",
         )
         out_cols = [
@@ -2863,17 +2895,20 @@ def join_encoded(
         )
         joined = ids.join(mat_a, ids["rid_a"] == mat_a["row_id"], "inner")
         return joined.select(*out_cols, *[F.col(c) for c in project_a])
-    ids = ka_n.join(kb_n, knames)
+    ids = ka_n.join(_hb(kb_n), knames)
     if keep_a:
         # ANTI join keeps null-key rows too (null never equi-matches)
         unmatched_a = (
-            ka_n.join(kb_n.select(*knames).distinct(), knames, "left_anti")
+            ka_n.join(_hb(kb_n.select(*knames).distinct()), knames,
+                      "left_anti")
             .select(*knames, "rid_a", F.lit(None).cast("long").alias("rid_b"))
         )
         ids = ids.unionByName(unmatched_a)
     if keep_b:
+        a_keys = ka_n.select(*knames).distinct()
         unmatched_b = (
-            kb_n.join(ka_n.select(*knames).distinct(), knames, "left_anti")
+            kb_n.join(F.broadcast(a_keys) if bc_a else a_keys, knames,
+                      "left_anti")
             .select(*knames, F.lit(None).cast("long").alias("rid_a"), "rid_b")
         )
         ids = ids.unionByName(unmatched_b)
@@ -4728,6 +4763,176 @@ def join_group_by(
     names = [(cspecs_a if s == "a" else cspecs_b)[i]["name"]
              for s, i in slots]
     return merged.select(*out_cols, *names)
+
+
+def join_group_by_chain(
+    spark: SparkSession,
+    out_a: str,
+    out_b: str,
+    out_c: str,
+    key_a: str,
+    key_b_a: str,
+    key_b_c: str,
+    key_c: str,
+    aggs: list[tuple],
+    group_c: list[str] | None = None,
+    preds_a: list[tuple] | None = None,
+    preds_b: list[tuple] | None = None,
+    preds_c: list[tuple] | None = None,
+    agg_scale: int = 100,
+) -> DataFrame:
+    """THREE-table fused join chain + GROUP BY + aggregates — the full
+    TPC-H Q5 shape (``SELECT c.g, sum(expr_a) FROM a JOIN b ON a.ka =
+    b.kba JOIN c ON b.kbc = c.kc WHERE ... GROUP BY c.g``) WITHOUT
+    materializing a joined row at either hop.
+
+    Eager aggregation composes through the chain because each hop's
+    fold is linear: A (the fact) collapses to exact int64 fixed-point
+    partials per join key; B (the bridge, e.g. orders) collapses to
+    multiplicities per (key_b_a, key_b_c); the first fold re-keys A's
+    partials to C's key — ``S(kc) = Σ_ka S_A(ka)·nb(ka, kc)`` — and the
+    second multiplies by C's per-(key, group) multiplicity and groups:
+    ``Σ_kc S(kc)·nc(kc, g)``. min/max ignore multiplicities (inner
+    join: a group exists iff every hop matched); avg divides the same
+    two folds. All three shuffles stay O(distinct keys/tuples); the
+    fact payload never leaves its encode partition.
+
+    ``aggs`` uses the filter_group_by_multi spec grammar, columns from
+    side A only (cross-side products don't factor); ``group_c`` names
+    C's group columns. SQL inner-join semantics: null keys at any hop
+    drop. Exactness: the chained products must stay under 2^63 — the
+    per-value 2^62 bar times realistic bridge/dim multiplicities. The
+    reference lists joins and aggregations as future work
+    (README.md:115-138)."""
+    from arcade_spark.partread import filter_group_by_multi_partials
+
+    group_c = group_c or []
+    if not aggs:
+        raise ValueError("aggs must be non-empty")
+    out_names = group_c + [a[0] for a in aggs]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"output name clash: {out_names}")
+    for sp0 in aggs:
+        if len(sp0) == 4 and sp0[3] != "a":
+            raise ValueError(
+                "chain aggregates must reference side A (the fact); "
+                f"got side {sp0[3]!r}"
+            )
+    aggs_a = [sp[:3] for sp in aggs]
+
+    partial_a, vts_a, cspecs_a = filter_group_by_multi_partials(
+        spark, out_a, _preds_to_spec(preds_a or []), [key_a],
+        aggs_a, agg_scale,
+    )
+    partial_b, vts_b, _cs_b = filter_group_by_multi_partials(
+        spark, out_b, _preds_to_spec(preds_b or []), [key_b_a, key_b_c],
+        [], agg_scale,
+    )
+    partial_c, vts_c, _cs_c = filter_group_by_multi_partials(
+        spark, out_c, _preds_to_spec(preds_c or []), [key_c] + group_c,
+        [], agg_scale,
+    )
+    for vt, col in ((vts_a[0], key_a), (vts_b[0], key_b_a),
+                    (vts_b[1], key_b_c), (vts_c[0], key_c)):
+        if vt in ("double", "float"):
+            raise NotImplementedError(
+                f"join on float keys is not supported: {col}"
+            )
+    if (vts_a[0] in ("str", "binary")) != (vts_b[0] in ("str", "binary")):
+        raise ValueError(f"join key lanes differ: {key_a} vs {key_b_a}")
+    if (vts_b[1] in ("str", "binary")) != (vts_c[0] in ("str", "binary")):
+        raise ValueError(f"join key lanes differ: {key_b_c} vs {key_c}")
+    live = [i for i, sp in enumerate(cspecs_a) if sp["kind"] != "count"]
+
+    # per-side merge to one row per distinct tuple BEFORE each join —
+    # the joins stay distinct×distinct even under hot keys
+    a_aggs = []
+    for i in live:
+        kind = cspecs_a[i]["kind"]
+        if kind == "min":
+            s = F.min(f"s{i}")
+        elif kind == "max":
+            s = F.max(f"s{i}")
+        else:
+            s = F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}"))
+        a_aggs.append(s.alias(f"as{i}"))
+        a_aggs.append(F.sum(f"c{i}").alias(f"ac{i}"))
+    a_aggs.append(F.sum("c").alias("ca"))
+    A = partial_a.groupBy("k0").agg(*a_aggs).withColumnRenamed("k0", "jka")
+    B = (
+        partial_b.groupBy("k0", "k1").agg(F.sum("c").alias("nb"))
+        .select(F.col("k0").alias("jkb_a"), F.col("k1").alias("jkb_c"), "nb")
+    )
+    C = (
+        partial_c.groupBy(
+            "k0", *[f"k{i + 1}" for i in range(len(group_c))]
+        )
+        .agg(F.sum("c").alias("nc"))
+        .select(
+            F.col("k0").alias("jkc"),
+            *[F.col(f"k{i + 1}").alias(f"gc{i}")
+              for i in range(len(group_c))],
+            "nc",
+        )
+    )
+
+    # hop 1: re-key A's partials to C's key through the bridge
+    j1 = A.join(B, A["jka"] == B["jkb_a"])
+    h_aggs = []
+    for i in live:
+        kind = cspecs_a[i]["kind"]
+        if kind == "min":
+            s = F.min(f"as{i}")
+        elif kind == "max":
+            s = F.max(f"as{i}")
+        else:
+            s = F.when(
+                F.sum(F.col(f"ac{i}") * F.col("nb")) > 0,
+                F.sum(F.col(f"as{i}") * F.col("nb")),
+            )
+        h_aggs.append(s.alias(f"hs{i}"))
+        h_aggs.append(F.sum(F.col(f"ac{i}") * F.col("nb")).alias(f"hc{i}"))
+    h_aggs.append(F.sum(F.col("ca") * F.col("nb")).alias("cab"))
+    AB = j1.groupBy("jkb_c").agg(*h_aggs)
+
+    # hop 2: multiply by C's multiplicity, group by C's group columns
+    j2 = AB.join(C, AB["jkb_c"] == C["jkc"])
+    gkeys = [f"gc{i}" for i in range(len(group_c))]
+    final_aggs = []
+    for i, sp in enumerate(cspecs_a):
+        name, kind, div = sp["name"], sp["kind"], sp["div"]
+        if kind == "count":
+            final_aggs.append(
+                F.sum(F.col("cab") * F.col("nc")).alias(name)
+            )
+            continue
+        if kind in ("min", "max"):
+            s = F.min(f"hs{i}") if kind == "min" else F.max(f"hs{i}")
+        else:
+            s = F.when(
+                F.sum(F.col(f"hc{i}") * F.col("nc")) > 0,
+                F.sum(F.col(f"hs{i}") * F.col("nc")),
+            )
+        if kind in ("min", "max") and sp.get("vt") in (
+            "ts", "tsntz", "date", "bool", "str", "binary"
+        ):
+            final_aggs.append(_group_key_out(s, sp["vt"]).alias(name))
+            continue
+        if kind == "avg":
+            num = (s.cast("double") / F.lit(float(div))) if div != 1 \
+                else s.cast("double")
+            expr = num / F.sum(F.col(f"hc{i}") * F.col("nc")).cast("double")
+        else:
+            expr = (s.cast("double") / F.lit(float(div))) if div != 1 else s
+        final_aggs.append(expr.alias(name))
+    merged = j2.groupBy(*gkeys).agg(*final_aggs) if gkeys \
+        else j2.agg(*final_aggs)
+
+    out_cols = [
+        _group_key_out(F.col(f"gc{i}"), vts_c[i + 1]).alias(gname)
+        for i, gname in enumerate(group_c)
+    ]
+    return merged.select(*out_cols, *[sp["name"] for sp in cspecs_a])
 
 
 def _random_access_targets(out_dir: str, row_ids: list[int]):

@@ -258,6 +258,25 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         key_b="o_orderkey", group_b=["o_orderpriority"],
         preds_a=[("range", "l_shipdate", _cut[0], _cut[1])]).count())
 
+    # three-table fused join chain (round-7, full TPC-H Q5 shape):
+    # aggregation pushed below BOTH joins — lineitem partials re-key
+    # through orders to customer; every shuffle stays O(distinct keys)
+    from arcade_spark.readops import join_group_by_chain
+
+    cu_enc = os.path.join(
+        tempfile.gettempdir(), f"arcade_bench_customer_v{FORMAT_REV}_{sf}_{n_cores}"
+    )
+    _ej(spark, spark.read.parquet(f"{sf_dir}/customer.parquet"), cu_enc,
+        num_parts=max(2, n_cores // 4), order_col="c_custkey")
+    timed("join_q5_chain", lambda: join_group_by_chain(
+        spark, li_enc, or_enc, cu_enc,
+        key_a="l_orderkey", key_b_a="o_orderkey",
+        key_b_c="o_custkey", key_c="c_custkey",
+        aggs=[("revenue", "sumprod", [_price, _omd]),
+              ("cnt", "count", None)],
+        group_c=["c_mktsegment"],
+        preds_a=[("range", "l_shipdate", _cut[0], _cut[1])]).count())
+
     # EXISTS / NOT EXISTS at shuffle scale (round-6): probe side
     # collapses to distinct keys before the semi/anti
     timed("join_semi_orders", lambda: join_encoded(

@@ -393,3 +393,64 @@ def test_join_semi_anti_validation(spark, two_tables):
                      project_b=["name"], how="semi")
     with pytest.raises(ValueError):
         join_encoded(spark, oa, ob, "fk", "pk", how="bogus")
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString echoes the pre-adaptive plan below the final one —
+    # only the Final Plan section says what actually ran
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_small_dim_side_broadcasts(spark, two_tables):
+    """A dimension side whose manifest row total fits the broadcast cap
+    must hint BroadcastHashJoin on the key-stream join — key streams
+    come out of mapInArrow, which Catalyst cannot size statically, so
+    without the hint the fact side's keys sort-merge-shuffle. Results
+    must be identical with the hint disabled."""
+    oa, ob, _, _ = two_tables
+    j = join_encoded(spark, oa, ob, "fk", "pk",
+                     project_a=["qty"], project_b=["grade"])
+    plan = _executed_plan(j)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    def _nsafe(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda r: tuple((v is None, str(v)) for v in r),
+        )
+
+    off = join_encoded(spark, oa, ob, "fk", "pk",
+                       project_a=["qty"], project_b=["grade"],
+                       broadcast=None)
+    assert _nsafe(j) == _nsafe(off)
+
+
+def test_semi_and_outer_broadcast_and_match(spark, two_tables):
+    """semi/anti and outer variants keep their semantics under the
+    hint and still broadcast the deduped dim keys."""
+    oa, ob, _, _ = two_tables
+    for how in ("semi", "anti"):
+        j = join_encoded(spark, oa, ob, "fk", "pk",
+                         project_a=["url"], how=how)
+        plan = _executed_plan(j)
+        assert "BroadcastHashJoin" in plan, (how, plan)
+        off = join_encoded(spark, oa, ob, "fk", "pk",
+                           project_a=["url"], how=how, broadcast=None)
+        assert sorted(
+            (tuple(r) for r in j.collect()),
+            key=lambda r: tuple((v is None, str(v)) for v in r),
+        ) == sorted(
+            (tuple(r) for r in off.collect()),
+            key=lambda r: tuple((v is None, str(v)) for v in r),
+        )
+    full = join_encoded(spark, oa, ob, "fk", "pk",
+                        project_b=["grade"], how="full")
+    full_off = join_encoded(spark, oa, ob, "fk", "pk",
+                            project_b=["grade"], how="full",
+                            broadcast=None)
+    key = lambda r: tuple((v is None, str(v)) for v in r)
+    assert sorted((tuple(r) for r in full.collect()), key=key) == \
+        sorted((tuple(r) for r in full_off.collect()), key=key)
