@@ -1199,6 +1199,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       _dt.datetime(1999, 1, 1, tzinfo=utc))],
         )
 
+    def arcade_q5(spark, sf_dir):
+        """Three-table fused join chain (round-7) — the full TPC-H Q5
+        shape: revenue per customer market segment over lineitem ⋈
+        orders ⋈ customer WITHOUT materializing a joined row at either
+        hop. Eager aggregation composes through the chain: lineitem
+        collapses to exact fixed-point partials per orderkey, orders to
+        multiplicities per (orderkey, custkey), hop 1 re-keys the
+        partials to custkey, customer contributes per-(custkey, segment)
+        multiplicities at hop 2 — every shuffle stays O(distinct keys);
+        the fact payload never leaves its encode partition."""
+        _ship_package(spark)
+        import datetime as _dt
+
+        from arcade_spark.readops import join_group_by_chain
+
+        out_li = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        out_or = _encoded_dir(spark, sf_dir, "orders", "o_orderkey")
+        out_cu = _encoded_dir(spark, sf_dir, "customer", "c_custkey")
+        utc = _dt.timezone.utc
+        return join_group_by_chain(
+            spark, out_li, out_or, out_cu,
+            key_a="l_orderkey", key_b_a="o_orderkey",
+            key_b_c="o_custkey", key_c="c_custkey",
+            aggs=[("revenue", "sumprod",
+                   [("l_extendedprice", 1, 0), ("l_discount", -1, 100)]),
+                  ("sum_qty", "sum", "l_quantity"),
+                  ("cnt", "count", None)],
+            group_c=["c_mktsegment"],
+            preds_a=[("range", "l_shipdate",
+                      _dt.datetime(1994, 1, 1, tzinfo=utc),
+                      _dt.datetime(1999, 1, 1, tzinfo=utc))],
+            preds_b=[("range", "o_orderdate",
+                      _dt.datetime(1994, 1, 1, tzinfo=utc),
+                      _dt.datetime(1996, 12, 31, tzinfo=utc))],
+            preds_c=[("range", "c_nationkey", 0, 15)],
+        )
+
     def arcade_q4(spark, sf_dir):
         """TPC-H Q4 shape (round-5): orders per priority that have at
         least one matching lineitem — EXISTS expressed in the fused
@@ -1323,84 +1360,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- engine operators (SURVEY.md §2 W1-W11 / R1-R9) ----
         # Ordering note: the driver samples a PREFIX of this dict
-        # (r5 checked exactly the first 50 entries), so queries that
-        # have never had a driver-oracle row come first, then one
-        # representative per operator family; long-green redundant
-        # variants (r3-r5 hash-exact every sampled round) sit below
-        # the fold.
+        # (r5/r6 checked exactly the first 50 entries), so: round-new
+        # queries first, then the dedup/ANN/textops/multimodal family
+        # (rotated up in r7 — last driver rows were r4/r3), then one
+        # representative per operator family. Long-green redundant
+        # variants sit below the fold; rotate per round so driver
+        # evidence never ages more than ~2 rounds for any family.
+        "arcade_q5": arcade_q5,
         "arcade_rolling_minmax": arcade_rolling_minmax,
         "arcade_window_lag": arcade_window_lag,
-        "arcade_scan_documents": arcade_scan_documents,
-        "arcade_join_multi": arcade_join_multi,
-        "arcade_join_right": arcade_join_right,
-        "arcade_join_full": arcade_join_full,
-        "arcade_q10": arcade_q10,
-        "arcade_orderby_mixed": arcade_orderby_mixed,
-        "arcade_group_quantiles": arcade_group_quantiles,
-        "arcade_group_minmax_ts": arcade_group_minmax_ts,
-        "arcade_group_minmax_str": arcade_group_minmax_str,
-        "arcade_join_semi": arcade_join_semi,
-        "arcade_join_anti": arcade_join_anti,
-        "arcade_join_asof": arcade_join_asof,
-        "arcade_join_band": arcade_join_band,
-        "arcade_top_per_key": arcade_top_per_key,
-        "arcade_top_rank": arcade_top_rank,
         "arcade_sessionize": arcade_sessionize,
-        "arcade_session_stream": arcade_session_stream,
-        "arcade_rolling_count": arcade_rolling_count,
-        "arcade_dedup_stream": arcade_dedup_stream,
-        "arcade_scan_lineitem": arcade_scan_lineitem,
-        "arcade_filter_lang": arcade_filter_lang,
-        "arcade_filter_count": arcade_filter_count,
-        "arcade_random_access": arcade_random_access,
-        "arcade_filter_events": arcade_filter_events,
-        "arcade_filter_range": arcade_filter_range,
-        "arcade_filter_range_double": arcade_filter_range_double,
-        "arcade_filter_dnf": arcade_filter_dnf,
-        "arcade_filter_like": arcade_filter_like,
-        "arcade_minmax_ts": arcade_minmax_ts,
-        "arcade_topk": arcade_topk,
-        "arcade_topk_text": arcade_topk_text,
-        "arcade_sum_avg": arcade_sum_avg,
-        "arcade_sum_avg_double": arcade_sum_avg_double,
-        "arcade_group_count": arcade_group_count,
-        "arcade_group_sum": arcade_group_sum,
-        "arcade_group_by": arcade_group_by,
-        "arcade_group_stats": arcade_group_stats,
-        "arcade_group_distinct": arcade_group_distinct,
-        "arcade_semijoin": arcade_semijoin,
-        "arcade_table_count": arcade_table_count,
-        "arcade_null_count": arcade_null_count,
-        "arcade_compact_scan": arcade_compact_scan,
-        "arcade_filter_agg": arcade_filter_agg,
-        "arcade_q1": arcade_q1,
-        "arcade_q1_complete": arcade_q1_complete,
-        "arcade_join": arcade_join,
-        "arcade_join_left": arcade_join_left,
-        "arcade_q3": arcade_q3,
-        "arcade_q4": arcade_q4,
-        "arcade_window_stream": arcade_window_stream,
-        # ---- below the driver's 50-entry sample fold ----
-        "arcade_minmax": arcade_minmax,
-        "arcade_distinct_count": arcade_distinct_count,
-        "arcade_distinct": arcade_distinct,
-        "arcade_filter_and": arcade_filter_and,
-        "arcade_sample": arcade_sample,
-        "arcade_filter_neq": arcade_filter_neq,
-        "arcade_q1_groups": arcade_q1_groups,
-        "arcade_q1_double": arcade_q1_double,
-        "arcade_orderby": arcade_orderby,
-        "arcade_orderby_double": arcade_orderby_double,
-        "arcade_quantiles": arcade_quantiles,
-        "arcade_filter_in": arcade_filter_in,
-        "arcade_filter_or": arcade_filter_or,
-        "arcade_filter_prefix": arcade_filter_prefix,
-        "arcade_filter_contains": arcade_filter_contains,
-        "arcade_filter_suffix": arcade_filter_suffix,
-        "arcade_minmax_double": arcade_minmax_double,
-        "arcade_minmax_str": arcade_minmax_str,
-        "arcade_codec_report": arcade_codec_report,
-        # ---- training-data pipeline operators ----
         "token_stats": _wrap(token_stats),
         "quality_score": _wrap(quality_score),
         "fingerprint": _wrap(fingerprint),
@@ -1420,6 +1389,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _wrap(media_meta),
         "media_resize_meta": _wrap(media_resize_meta),
         "media_frame_sample": _wrap(media_frame_sample),
+        "arcade_scan_documents": arcade_scan_documents,
+        "arcade_scan_lineitem": arcade_scan_lineitem,
+        "arcade_filter_lang": arcade_filter_lang,
+        "arcade_filter_count": arcade_filter_count,
+        "arcade_filter_range": arcade_filter_range,
+        "arcade_filter_dnf": arcade_filter_dnf,
+        "arcade_random_access": arcade_random_access,
+        "arcade_topk_text": arcade_topk_text,
+        "arcade_orderby_mixed": arcade_orderby_mixed,
+        "arcade_sum_avg_double": arcade_sum_avg_double,
+        "arcade_group_by": arcade_group_by,
+        "arcade_group_stats": arcade_group_stats,
+        "arcade_group_quantiles": arcade_group_quantiles,
+        "arcade_group_minmax_str": arcade_group_minmax_str,
+        "arcade_join_multi": arcade_join_multi,
+        "arcade_q3": arcade_q3,
+        "arcade_q4": arcade_q4,
+        "arcade_q10": arcade_q10,
+        "arcade_join_semi": arcade_join_semi,
+        "arcade_join_anti": arcade_join_anti,
+        "arcade_join_asof": arcade_join_asof,
+        "arcade_join_band": arcade_join_band,
+        "arcade_top_rank": arcade_top_rank,
+        "arcade_rolling_count": arcade_rolling_count,
+        "arcade_session_stream": arcade_session_stream,
+        "arcade_dedup_stream": arcade_dedup_stream,
+        "arcade_window_stream": arcade_window_stream,
+        # ---- below the driver's 50-entry sample fold ----
+        "arcade_join_right": arcade_join_right,
+        "arcade_join_full": arcade_join_full,
+        "arcade_group_minmax_ts": arcade_group_minmax_ts,
+        "arcade_top_per_key": arcade_top_per_key,
+        "arcade_filter_events": arcade_filter_events,
+        "arcade_filter_range_double": arcade_filter_range_double,
+        "arcade_filter_like": arcade_filter_like,
+        "arcade_minmax_ts": arcade_minmax_ts,
+        "arcade_topk": arcade_topk,
+        "arcade_sum_avg": arcade_sum_avg,
+        "arcade_group_count": arcade_group_count,
+        "arcade_group_sum": arcade_group_sum,
+        "arcade_group_distinct": arcade_group_distinct,
+        "arcade_semijoin": arcade_semijoin,
+        "arcade_table_count": arcade_table_count,
+        "arcade_null_count": arcade_null_count,
+        "arcade_compact_scan": arcade_compact_scan,
+        "arcade_filter_agg": arcade_filter_agg,
+        "arcade_q1": arcade_q1,
+        "arcade_q1_complete": arcade_q1_complete,
+        "arcade_join": arcade_join,
+        "arcade_join_left": arcade_join_left,
+        "arcade_minmax": arcade_minmax,
+        "arcade_distinct_count": arcade_distinct_count,
+        "arcade_distinct": arcade_distinct,
+        "arcade_filter_and": arcade_filter_and,
+        "arcade_sample": arcade_sample,
+        "arcade_filter_neq": arcade_filter_neq,
+        "arcade_q1_groups": arcade_q1_groups,
+        "arcade_q1_double": arcade_q1_double,
+        "arcade_orderby": arcade_orderby,
+        "arcade_orderby_double": arcade_orderby_double,
+        "arcade_quantiles": arcade_quantiles,
+        "arcade_filter_in": arcade_filter_in,
+        "arcade_filter_or": arcade_filter_or,
+        "arcade_filter_prefix": arcade_filter_prefix,
+        "arcade_filter_contains": arcade_filter_contains,
+        "arcade_filter_suffix": arcade_filter_suffix,
+        "arcade_minmax_double": arcade_minmax_double,
+        "arcade_minmax_str": arcade_minmax_str,
+        "arcade_codec_report": arcade_codec_report,
     }
 
 
@@ -2003,6 +2041,25 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND "
             "TIMESTAMP '1999-01-01' "
             "GROUP BY o_orderpriority"
+        ),
+        "arcade_q5": (
+            # three-way inner join replayed flat; the engine folds the
+            # same exact fixed-point partials through two hops
+            "SELECT c_mktsegment, "
+            "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) "
+            "AS DOUBLE)/10000 AS revenue, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) "
+            "AS DOUBLE)/100 AS sum_qty, "
+            "count(*) AS cnt "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND "
+            "TIMESTAMP '1999-01-01' "
+            "AND o_orderdate BETWEEN TIMESTAMP '1994-01-01' AND "
+            "TIMESTAMP '1996-12-31' "
+            "AND c_nationkey BETWEEN 0 AND 15 "
+            "GROUP BY c_mktsegment"
         ),
         "arcade_dedup_stream": (
             # first-batch-per-fingerprint: batches are doc_id % 4 in
