@@ -1027,6 +1027,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             preds_b=[("eq", "event_type", "click")],
         )
 
+    def arcade_join_asof_nearest(spark, sf_dir):
+        """AS-OF nearest (round-7): for every error event, the click by
+        the same user CLOSEST in time (before or after; equal distances
+        prefer the earlier click). One ascending lexsort serves both
+        candidates — backward by grouped forward-fill, forward by a
+        run-bounded binary search + suffix-min — then a vectorized
+        pick-closer."""
+        _ship_package(spark)
+        from arcade_spark.readops import join_asof
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return join_asof(
+            spark, out, out, "ts", "user_id",
+            project_b=["value"],
+            preds_a=[("eq", "event_type", "error")],
+            preds_b=[("eq", "event_type", "click")],
+            direction="nearest",
+        )
+
     def arcade_join_band(spark, sf_dir):
         """BAND (bounded-range) join (round-6): every error within one
         hour AFTER a click by the same user — the many-to-many
@@ -1137,6 +1156,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
         return window_shift(spark, out, "lang", "doc_id", "n_chars")
 
+    def arcade_cumulative(spark, sf_dir):
+        """Cumulative running aggregates (round-7): ``window=None``
+        makes the rolling frame UNBOUNDED PRECEDING — SQL's default
+        ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` frame
+        (peers of the current timestamp included). Same narrow-lane
+        lexsort kernel; under a hot key the time-range pre-split
+        stitches per-slice bases exactly like sessionize."""
+        _ship_package(spark)
+        from arcade_spark.readops import rolling_agg
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return rolling_agg(
+            spark, out, "user_id", "ts", window=None,
+            agg_col="event_id", aggs=("count", "sum", "min", "max"),
+        )
+
     def arcade_q3(spark, sf_dir):
         """Fused join+aggregate (round-5) — the TPC-H Q3 shape:
         revenue = Σ l_extendedprice·(1−l_discount) per o_orderpriority
@@ -1197,6 +1232,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             preds_a=[("range", "l_shipdate",
                       _dt.datetime(1994, 1, 1, tzinfo=utc),
                       _dt.datetime(1999, 1, 1, tzinfo=utc))],
+        )
+
+    def arcade_rollup(spark, sf_dir):
+        """GROUP BY ROLLUP (round-7): the TPC-H Q1 shape at every
+        rollup level in ONE fused kernel pass — the finest-grain
+        partials persist and each level re-folds them (sums/counts/
+        min/max/sumprod partials are decomposable), so extra levels
+        cost O(distinct tuples) shuffles, never another scan. Output
+        carries grouping_id (first group column = MSB, 1 = rolled up,
+        the Spark/DuckDB GROUPING convention); null group values and
+        rolled-up nulls stay distinguishable."""
+        _ship_package(spark)
+        import datetime as _dt
+
+        from arcade_spark.readops import filter_group_by_sets
+
+        out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+        utc = _dt.timezone.utc
+        return filter_group_by_sets(
+            spark, out,
+            [("range", "l_shipdate",
+              _dt.datetime(1994, 1, 1, tzinfo=utc),
+              _dt.datetime(1998, 9, 2, tzinfo=utc))],
+            ["l_returnflag", "l_linestatus"],
+            [("sum_qty", "sum", "l_quantity"),
+             ("sum_disc_price", "sumprod",
+              [("l_extendedprice", 1, 0), ("l_discount", -1, 100)]),
+             ("cnt", "count", None)],
+            sets="rollup",
         )
 
     def arcade_q5(spark, sf_dir):
@@ -1367,8 +1431,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variants sit below the fold; rotate per round so driver
         # evidence never ages more than ~2 rounds for any family.
         "arcade_q5": arcade_q5,
+        "arcade_rollup": arcade_rollup,
         "arcade_rolling_minmax": arcade_rolling_minmax,
         "arcade_window_lag": arcade_window_lag,
+        "arcade_cumulative": arcade_cumulative,
         "arcade_sessionize": arcade_sessionize,
         "token_stats": _wrap(token_stats),
         "quality_score": _wrap(quality_score),
@@ -1390,7 +1456,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_meta": _wrap(media_resize_meta),
         "media_frame_sample": _wrap(media_frame_sample),
         "arcade_scan_documents": arcade_scan_documents,
-        "arcade_scan_lineitem": arcade_scan_lineitem,
         "arcade_filter_lang": arcade_filter_lang,
         "arcade_filter_count": arcade_filter_count,
         "arcade_filter_range": arcade_filter_range,
@@ -1410,13 +1475,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_join_semi": arcade_join_semi,
         "arcade_join_anti": arcade_join_anti,
         "arcade_join_asof": arcade_join_asof,
+        "arcade_join_asof_nearest": arcade_join_asof_nearest,
         "arcade_join_band": arcade_join_band,
         "arcade_top_rank": arcade_top_rank,
-        "arcade_rolling_count": arcade_rolling_count,
         "arcade_session_stream": arcade_session_stream,
         "arcade_dedup_stream": arcade_dedup_stream,
-        "arcade_window_stream": arcade_window_stream,
         # ---- below the driver's 50-entry sample fold ----
+        "arcade_scan_lineitem": arcade_scan_lineitem,
+        "arcade_rolling_count": arcade_rolling_count,
+        "arcade_window_stream": arcade_window_stream,
         "arcade_join_right": arcade_join_right,
         "arcade_join_full": arcade_join_full,
         "arcade_group_minmax_ts": arcade_group_minmax_ts,
@@ -1936,6 +2003,31 @@ def oracle_sql() -> dict[str, str]:
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b "
             "ON a.user_id = b.user_id AND a.ts >= b.ts"
         ),
+        "arcade_join_asof_nearest": (
+            # pick-closer over the backward/forward candidates; equal
+            # distances prefer the backward match (the engine contract).
+            # forward candidate strict — an exact tie IS backward's.
+            "WITH lv AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'error' AND user_id IS NOT NULL "
+            "AND ts IS NOT NULL), "
+            "ck AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'click'), "
+            "bb AS (SELECT lv.event_id, max(ck.ts) AS tb FROM lv JOIN ck "
+            "ON lv.user_id = ck.user_id AND ck.ts <= lv.ts "
+            "GROUP BY lv.event_id), "
+            "ff AS (SELECT lv.event_id, min(ck.ts) AS tf FROM lv JOIN ck "
+            "ON lv.user_id = ck.user_id AND ck.ts > lv.ts "
+            "GROUP BY lv.event_id), "
+            "pick AS (SELECT lv.event_id, lv.user_id, lv.ts, "
+            "CASE WHEN tb IS NULL THEN tf WHEN tf IS NULL THEN tb "
+            "WHEN epoch_us(lv.ts) - epoch_us(tb) <= "
+            "epoch_us(tf) - epoch_us(lv.ts) THEN tb ELSE tf END AS tm "
+            "FROM lv LEFT JOIN bb USING (event_id) "
+            "LEFT JOIN ff USING (event_id)) "
+            "SELECT p.user_id, p.ts, p.tm AS ts_b, ck.value "
+            "FROM pick p JOIN ck "
+            "ON p.user_id = ck.user_id AND p.tm = ck.ts"
+        ),
         "arcade_join_band": (
             "SELECT a.user_id, a.ts, b.ts AS ts_b, b.value "
             "FROM (SELECT * FROM events WHERE event_type = 'error') a "
@@ -1993,6 +2085,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE lang IS NOT NULL "
             "AND doc_id IS NOT NULL"
         ),
+        "arcade_cumulative": (
+            # default SQL frame (RANGE UNBOUNDED PRECEDING, peers
+            # included); window SUM is HUGEINT in DuckDB — CAST keeps
+            # the driver's value hash integer (the sessionize lesson)
+            "SELECT user_id, ts, count(*) OVER w AS w_count, "
+            "CAST(sum(event_id) OVER w AS BIGINT) AS w_sum, "
+            "min(event_id) OVER w AS w_min, "
+            "max(event_id) OVER w AS w_max "
+            "FROM events WHERE user_id IS NOT NULL "
+            "AND ts IS NOT NULL AND event_id IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+        ),
         "arcade_sessionize": (
             "WITH lagged AS ("
             "SELECT user_id, ts, lag(ts) OVER ("
@@ -2041,6 +2145,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND "
             "TIMESTAMP '1999-01-01' "
             "GROUP BY o_orderpriority"
+        ),
+        "arcade_rollup": (
+            # every rollup level replays the same exact fixed-point
+            # arithmetic; GROUPING() = the engine's grouping_id
+            "SELECT l_returnflag, l_linestatus, "
+            "GROUPING(l_returnflag, l_linestatus) AS grouping_id, "
+            "CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) "
+            "AS DOUBLE)/100 AS sum_qty, "
+            "CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) "
+            "* (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) "
+            "AS DOUBLE)/10000 AS sum_disc_price, "
+            "count(*) AS cnt "
+            "FROM lineitem "
+            "WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND "
+            "TIMESTAMP '1998-09-02' "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "arcade_q5": (
             # three-way inner join replayed flat; the engine folds the

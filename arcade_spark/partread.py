@@ -1718,6 +1718,7 @@ def filter_group_by_multi_partials(
     agg_specs: list[tuple],
     agg_scale: int = AGG_SCALE,
     dnf_spec: list[list[tuple[str, tuple]]] | None = None,
+    keep_null_keys: bool = False,
 ) -> tuple[DataFrame, list[str], list[dict]]:
     """MULTI-aggregate fused ``WHERE <conj> GROUP BY g1.. `` — the
     COMPLETE TPC-H Q1 shape: one predicate pass, one positional decode
@@ -1728,7 +1729,12 @@ def filter_group_by_multi_partials(
     Partial schema: k0..kn, then (s{i}, c{i}) per non-count spec, then
     ``c`` (matched rows). A row feeds spec i iff every referenced
     column is valid there (SQL aggregate null semantics); count counts
-    all matched rows with non-null group keys."""
+    all matched rows with non-null group keys. ``keep_null_keys=True``
+    switches to full SQL GROUP BY semantics instead: a null group
+    value is its own group (code −1 in-kernel, a null k-lane in the
+    partials) and count counts every matched row — the grouping-sets
+    operator needs this, since a rolled-up level must keep rows that
+    are null in an unrelated group column."""
     from arcade_spark.readops import _Pred
 
     all_cols, parts = load_manifest(out_dir)
@@ -1888,11 +1894,17 @@ def filter_group_by_multi_partials(
                             uniq, codes = np.unique(gv, return_inverse=True)
                             gvalid = ib.validity
                             resolve = (lambda used, u=uniq: u[used])
-                        key_codes.append(codes.astype(np.int64)[pos])
-                        resolvers.append(resolve)
+                        kc = codes.astype(np.int64)[pos]
                         if gvalid is not None:
                             gv_pos = gvalid[pos]
-                            cmask = gv_pos if cmask is None else (cmask & gv_pos)
+                            if keep_null_keys:
+                                # null is its own group: code -1
+                                kc = np.where(gv_pos, kc, np.int64(-1))
+                            else:
+                                cmask = (gv_pos if cmask is None
+                                         else (cmask & gv_pos))
+                        key_codes.append(kc)
+                        resolvers.append(resolve)
                     for c in bcf:
                         str_dec[c] = _str_chunk_codes(
                             bdecs[c], bblobs[c][b],
@@ -2036,15 +2048,38 @@ def filter_group_by_multi_partials(
                     used = np.nonzero(cnt)[0]
                     arrays = []
                     for i, vt in enumerate(vts):
-                        vals = resolvers[i](tuples[i, used])
+                        code_row = tuples[i, used]
+                        nullm = code_row < 0  # keep_null_keys groups
+                        if nullm.all():
+                            nz = len(code_row)
+                            if vt in ("str", "binary"):
+                                arrays.append(pa.array(
+                                    [None] * nz, type=pa.binary()))
+                            elif vt in ("double", "float"):
+                                arrays.append(pa.array(
+                                    np.zeros(nz), type=pa.float64(),
+                                    mask=nullm))
+                            else:
+                                arrays.append(pa.array(
+                                    np.zeros(nz, dtype=np.int64),
+                                    type=pa.int64(), mask=nullm))
+                            continue
+                        safe = (np.where(nullm, code_row[~nullm][0],
+                                         code_row)
+                                if nullm.any() else code_row)
+                        mask = nullm if nullm.any() else None
+                        vals = resolvers[i](safe)
                         if vt in ("str", "binary"):
-                            arrays.append(pa.array(list(vals), type=pa.binary()))
+                            arrays.append(pa.array(
+                                list(vals), type=pa.binary(), mask=mask))
                         elif vt in ("double", "float"):
                             arrays.append(pa.array(
-                                vals.view(np.float64), type=pa.float64()))
+                                vals.view(np.float64), type=pa.float64(),
+                                mask=mask))
                         else:
                             arrays.append(pa.array(
-                                vals.astype(np.int64), type=pa.int64()))
+                                vals.astype(np.int64), type=pa.int64(),
+                                mask=mask))
                     names = [f"k{i}" for i in range(len(group_cols))]
                     for j, i in enumerate(live):
                         if _bin_spec(cspecs[i]):

@@ -1629,6 +1629,45 @@ def filter_group_by(
     )
 
 
+def _multi_agg_exprs(cspecs: list[dict], total_row: bool = False) -> list:
+    """Merge expressions folding filter_group_by_multi_partials output
+    (s{i}/c{i} per aggregate, c row count) to final typed aggregates —
+    shared by the fused group-by, grouping-sets, and chain operators.
+    ``total_row=True`` hardens COUNTs for the no-keys grand-total row
+    (Spark's global agg over an empty relation sums to null; SQL's
+    grand total is COUNT 0)."""
+    agg_exprs = []
+    for i, sp in enumerate(cspecs):
+        name, kind, div = sp["name"], sp["kind"], sp["div"]
+        if kind == "count":
+            cexpr = F.sum("c")
+            if total_row:
+                cexpr = F.coalesce(cexpr, F.lit(0))
+            agg_exprs.append(cexpr.alias(name))
+            continue
+        if kind == "min":
+            s = F.min(f"s{i}")  # partials null-masked when empty
+        elif kind == "max":
+            s = F.max(f"s{i}")
+        else:
+            s = F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}"))
+        if kind in ("min", "max") and sp.get("vt") in (
+            "ts", "tsntz", "date", "bool", "str", "binary"
+        ):
+            # ts/date/bool extrema ride the int64 lane, str/binary the
+            # binary value lane (Spark's binary min/max is unsigned
+            # lexicographic — same order the kernel ranked by); restore
+            # the logical type at output
+            expr = _group_key_out(s, sp["vt"])
+        elif kind == "avg":
+            num = (s.cast("double") / F.lit(float(div))) if div != 1 else s.cast("double")
+            expr = num / F.sum(f"c{i}").cast("double")
+        else:  # sum / sumprod / min / max
+            expr = (s.cast("double") / F.lit(float(div))) if div != 1 else s
+        agg_exprs.append(expr.alias(name))
+    return agg_exprs
+
+
 def filter_group_by_multi(
     spark: SparkSession,
     out_dir: str,
@@ -1665,33 +1704,7 @@ def filter_group_by_multi(
         dnf_spec=[_preds_to_spec(c) for c in dnf] if dnf is not None else None,
     )
     keys = [f"k{i}" for i in range(len(group_cols))]
-    agg_exprs = []
-    for i, sp in enumerate(cspecs):
-        name, kind, div = sp["name"], sp["kind"], sp["div"]
-        if kind == "count":
-            agg_exprs.append(F.sum("c").alias(name))
-            continue
-        if kind == "min":
-            s = F.min(f"s{i}")  # partials null-masked when empty
-        elif kind == "max":
-            s = F.max(f"s{i}")
-        else:
-            s = F.when(F.sum(f"c{i}") > 0, F.sum(f"s{i}"))
-        if kind in ("min", "max") and sp.get("vt") in (
-            "ts", "tsntz", "date", "bool", "str", "binary"
-        ):
-            # ts/date/bool extrema ride the int64 lane, str/binary the
-            # binary value lane (Spark's binary min/max is unsigned
-            # lexicographic — same order the kernel ranked by); restore
-            # the logical type at output
-            expr = _group_key_out(s, sp["vt"])
-        elif kind == "avg":
-            num = (s.cast("double") / F.lit(float(div))) if div != 1 else s.cast("double")
-            expr = num / F.sum(f"c{i}").cast("double")
-        else:  # sum / sumprod / min / max
-            expr = (s.cast("double") / F.lit(float(div))) if div != 1 else s
-        agg_exprs.append(expr.alias(name))
-    merged = partial.groupBy(*keys).agg(*agg_exprs)
+    merged = partial.groupBy(*keys).agg(*_multi_agg_exprs(cspecs))
     out_keys = [
         _group_key_out(F.col(k), vt).alias(nm)
         for k, vt, nm in zip(keys, vts, group_cols)
@@ -1709,6 +1722,115 @@ def group_by_multi(
     """Full-table multi-aggregate GROUP BY (no predicate) — same spec
     grammar and exactness contract as ``filter_group_by_multi``."""
     return filter_group_by_multi(spark, out_dir, [], group_cols, aggs, agg_scale)
+
+
+_MAX_GROUPING_SETS = 64
+
+
+def filter_group_by_sets(
+    spark: SparkSession,
+    out_dir: str,
+    preds: list[tuple],
+    group_cols: list[str],
+    aggs: list[tuple],
+    agg_scale: int = 100,
+    sets: str | list[list[str]] = "rollup",
+    dnf: list[list[tuple]] | None = None,
+) -> DataFrame:
+    """GROUPING SETS / ROLLUP / CUBE over the fused predicate+group-by
+    kernel — ``SELECT g..., aggs FROM t WHERE ... GROUP BY ROLLUP
+    (g...)`` in ONE pass over the encoded table.
+
+    The finest-grain partials (one row per distinct group tuple per
+    part, from the same kernel filter_group_by_multi uses) compute
+    once and PERSIST; every grouping set then re-folds them — sums,
+    counts, min/max and sumprod partials are all decomposable, and avg
+    refolds as sum/count — so each extra set costs one O(distinct
+    tuples) shuffle over the tiny partial frame, never another scan.
+
+    ``sets``: ``"rollup"`` (prefixes, SQL ROLLUP), ``"cube"`` (all
+    subsets), or an explicit list of column-name lists (GROUPING
+    SETS). Output: the group columns (NULL where a set rolls a column
+    up, SQL semantics), ``grouping_id`` (bit per column, first column
+    most significant, 1 = rolled up — Spark's grouping_id() / DuckDB's
+    GROUPING() convention), then the aggregates. The grand-total set
+    emits its row even on empty input (COUNT 0, SUM NULL). The
+    returned frame persists its partials; ``release_key_caches()``
+    frees them."""
+    from arcade_spark.partread import filter_group_by_multi_partials
+    from arcade_spark.schema import spark_type_for
+
+    n = len(group_cols)
+    if n == 0:
+        raise ValueError("group_cols must be non-empty")
+    if isinstance(sets, str):
+        if sets == "rollup":
+            idx_sets = [list(range(k)) for k in range(n, -1, -1)]
+        elif sets == "cube":
+            idx_sets = [
+                [i for i in range(n) if mask & (1 << i)]
+                for mask in range((1 << n) - 1, -1, -1)
+            ]
+        else:
+            raise ValueError(
+                f"sets must be 'rollup', 'cube' or a list: {sets!r}"
+            )
+    else:
+        idx_sets = []
+        for s in sets:
+            bad = [c for c in s if c not in group_cols]
+            if bad:
+                raise ValueError(f"grouping-set columns not grouped: {bad}")
+            idx_sets.append(sorted(group_cols.index(c) for c in s))
+    if len(idx_sets) > _MAX_GROUPING_SETS:
+        raise ValueError(
+            f"{len(idx_sets)} grouping sets exceed {_MAX_GROUPING_SETS}"
+        )
+    partial, vts, cspecs = filter_group_by_multi_partials(
+        spark, out_dir, _preds_to_spec(preds), group_cols, aggs, agg_scale,
+        dnf_spec=[_preds_to_spec(c) for c in dnf] if dnf is not None else None,
+        keep_null_keys=True,  # SQL GROUP BY semantics: null groups are
+        # real groups — a rolled-up level must keep rows that are null
+        # in an unrelated group column
+    )
+    from pyspark import StorageLevel
+
+    release_key_caches()
+    partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
+    _register_key_cache(partial)
+
+    def _null_type(vt: str) -> str:
+        return {
+            "str": "string", "binary": "binary", "ts": "timestamp",
+            "tsntz": "timestamp_ntz", "date": "date",
+        }.get(vt, spark_type_for(vt))
+
+    frames = []
+    for idx in idx_sets:
+        live = set(idx)
+        keys = [f"k{i}" for i in idx]
+        exprs = _multi_agg_exprs(cspecs, total_row=not keys)
+        agged = (
+            partial.groupBy(*keys).agg(*exprs) if keys
+            else partial.agg(*exprs)
+        )
+        gid = sum(1 << (n - 1 - i) for i in range(n) if i not in live)
+        out_keys = [
+            _group_key_out(F.col(f"k{i}"), vts[i]).alias(group_cols[i])
+            if i in live
+            else F.lit(None).cast(_null_type(vts[i])).alias(group_cols[i])
+            for i in range(n)
+        ]
+        frames.append(agged.select(
+            *out_keys,
+            F.lit(gid).cast("long").alias("grouping_id"),
+            *[sp["name"] for sp in cspecs],
+        ))
+    res = frames[0]
+    for f in frames[1:]:
+        res = res.unionByName(f)
+    res._arcade_key_cache = partial
+    return res
 
 
 def _prefix56(b: bytes) -> int:
@@ -2989,8 +3111,10 @@ def join_asof(
     """AS-OF join between two encoded tables — for every left row,
     the single right row with the same ``by`` key and the greatest
     right ``on`` value ≤ the left's (``direction="backward"``; ties on
-    the right broken by greatest rowid, deterministic), or the least
-    value ≥ it (``"forward"``). The time-series/funnel join DuckDB
+    the right broken by greatest rowid, deterministic), the least
+    value ≥ it (``"forward"``), or whichever of those two candidates
+    is closest in absolute distance (``"nearest"``; equal distances
+    prefer the backward match). The time-series/funnel join DuckDB
     spells ``a ASOF JOIN b ON a.by = b.by AND a.on >= b.on`` — the
     reference engine has no joins at all (README.md:126-131).
 
@@ -3024,9 +3148,10 @@ def join_asof(
 
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left': {how!r}")
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"direction must be 'backward' or 'forward': {direction!r}"
+            f"direction must be 'backward', 'forward' or 'nearest': "
+            f"{direction!r}"
         )
     by_cols = [by] if isinstance(by, str) else list(by)
     if not by_cols:
@@ -3071,6 +3196,7 @@ def join_asof(
     # the tied right; strict sorts left first so it doesn't
     side_right, side_left = (0, 1) if allow_exact else (1, 0)
     negate = direction == "forward"  # backward merge over negated lane
+    nearest = direction == "nearest"
     left_valid = ka
     if keep_a:
         nn = F.lit(True)
@@ -3137,7 +3263,56 @@ def join_asof(
         match = acc[left_pos]
         ok = match >= run_start[left_pos]
         safe = np.where(ok, match, 0)
-        if tol is not None:
+        if nearest:
+            # forward candidate on the SAME ascending sort: the first
+            # in-run position with t strictly greater than the left's
+            # (an exact-tie right is already the backward candidate at
+            # gap 0, which wins every tie) via run-bounded binary
+            # search, then a suffix-min of right positions
+            starts_n = np.nonzero(change)[0]
+            run_end = np.repeat(
+                np.append(starts_n[1:], n),
+                np.diff(np.append(starts_n, n)),
+            )
+            q = t_s[left_pos]
+            lo = left_pos + 1
+            hi = run_end[left_pos]
+            while True:
+                active = lo < hi
+                if not active.any():
+                    break
+                mid = (lo + hi) // 2
+                le = t_s[np.minimum(mid, n - 1)] <= q
+                step = active & le
+                lo = np.where(step, mid + 1, lo)
+                hi = np.where(active & ~le, mid, hi)
+            sufmin = np.minimum.accumulate(
+                np.where(is_right, idx, n)[::-1]
+            )[::-1]
+            sufmin = np.append(sufmin, n)
+            match_f = sufmin[lo]
+            ok_f = match_f < run_end[left_pos]
+            safe_f = np.where(ok_f, match_f, 0)
+            u64max = np.uint64(np.iinfo(np.uint64).max)
+            # both gaps nonnegative in sorted order → exact uint64
+            gap_b = np.where(
+                ok,
+                t_s[left_pos].astype(np.uint64) - t_s[safe].astype(np.uint64),
+                u64max,
+            )
+            gap_f = np.where(
+                ok_f,
+                t_s[safe_f].astype(np.uint64) - t_s[left_pos].astype(np.uint64),
+                u64max,
+            )
+            use_f = ok_f & (~ok | (gap_f < gap_b))
+            match = np.where(use_f, match_f, match)
+            ok = ok | ok_f
+            if tol is not None:
+                gap = np.where(use_f, gap_f, gap_b)
+                ok &= gap <= np.uint64(tol)
+            safe = np.where(ok, match, 0)
+        elif tol is not None:
             # gap in original units: backward t_a - t_b; forward
             # t_b - t_a — both equal t_sort[left] - t_sort[match].
             # Sorted order makes the true gap nonnegative, so two's-
@@ -4049,7 +4224,7 @@ def rolling_agg(
     out_dir: str,
     key_cols: str | list[str],
     ts_col: str,
-    window: int,
+    window: int | None,
     agg_col: str | None = None,
     aggs: tuple = ("count",),
     preds: list[tuple] | None = None,
@@ -4061,7 +4236,10 @@ def rolling_agg(
     window PRECEDING AND CURRENT ROW)`` frame (peers of the current
     timestamp are included on both engines). ``window`` is in lane
     units: MICROSECONDS for timestamp columns, days for date, raw
-    value for ints.
+    value for ints. ``window=None`` makes the frame UNBOUNDED
+    PRECEDING — cumulative running aggregates (SQL's default ``RANGE
+    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` frame, peers of the
+    current timestamp included).
 
     Scale design: narrow (key lanes, ts, [agg lane], rid) rows, one
     hash shuffle on the key lanes; per task ONE lexsort, global prefix
@@ -4074,9 +4252,15 @@ def rolling_agg(
     window-width context overlap, so no task absorbs the whole
     timeline — each emitted row's trailing frame is complete inside
     its own (key, slc) task, and output is byte-identical to the
-    unsplit path. The stats pass that finds hot keys is skipped
-    entirely (zero overhead) when the manifest row total cannot exceed
-    the threshold; ``hot_key_threshold=None`` disables splitting.
+    unsplit path. Cumulative frames (``window=None``) cannot carry
+    context overlap; they stitch instead (the sessionize pattern): a
+    summary pass emits one row per sliced (key, slc) with the slice's
+    total count/sum/min/max, the driver prefix-combines those into
+    per-slice BASES (exact Python-int arithmetic, overflow-checked),
+    and the final pass folds each row's local frame with its slice's
+    base. The stats pass is skipped entirely (zero overhead) when the
+    manifest row total cannot exceed the threshold;
+    ``hot_key_threshold=None`` disables splitting.
 
     ``aggs`` ⊆ {"count", "sum", "avg", "min", "max"}; all but count
     need an int64-lane ``agg_col`` (int/bigint/ts-as-micros/date/bool)
@@ -4098,7 +4282,8 @@ def rolling_agg(
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
-    if window <= 0:
+    cumulative = window is None
+    if not cumulative and window <= 0:
         raise ValueError(f"window must be > 0: {window}")
     aggs = tuple(aggs)
     bad = set(aggs) - {"count", "sum", "avg", "min", "max"}
@@ -4137,9 +4322,12 @@ def rolling_agg(
     ):
         sliced, _n_hot = _split_hot_keys(
             spark, keyed, knames, k_bin, f"k{g}",
-            overlap=win_units, threshold=hot_key_threshold,
+            overlap=0 if cumulative else win_units,
+            threshold=hot_key_threshold,
         )
     has_slices = sliced is not None
+    with_bases = has_slices and cumulative
+    _I64_MAX, _I64_MIN = np.iinfo(np.int64).max, np.iinfo(np.int64).min
 
     def rolling_kernel(batches):
         chunks = [pa.Table.from_batches([b]) for b in batches]
@@ -4188,31 +4376,35 @@ def rolling_agg(
         starts = np.nonzero(change)[0]
         run_end = np.repeat(np.append(starts[1:], nr), np.diff(np.append(starts, nr)))
         ts_s = ts[order]
-        # frame lower bound: first j in [run_start, i] with
-        # ts[j] >= ts[i] - window — vectorized binary search bounded
-        # to each row's run (global searchsorted can't cross-compare
-        # between runs)
-        # saturating lower bound: ts near int64 min (sentinel stamps)
-        # would wrap ts - win to a huge positive bound and corrupt the
-        # binary search; clamping to int64 min is exact — the true bound
-        # is below every representable value, so the frame reaches the
-        # run start either way
-        i64_min = np.iinfo(np.int64).min
-        q_lo = np.where(
-            ts_s < i64_min + win_units, i64_min, ts_s - win_units
-        )
-        lo = run_start.copy()
-        hi = idx + 1
-        while True:
-            active = lo < hi
-            if not active.any():
-                break
-            mid = (lo + hi) // 2
-            less = ts_s[np.minimum(mid, nr - 1)] < q_lo
-            step = active & less
-            lo = np.where(step, mid + 1, lo)
-            hi = np.where(active & ~less, mid, hi)
-        lb = lo
+        if cumulative:
+            # UNBOUNDED PRECEDING: the frame starts at the run start
+            lb = run_start
+        else:
+            # frame lower bound: first j in [run_start, i] with
+            # ts[j] >= ts[i] - window — vectorized binary search bounded
+            # to each row's run (global searchsorted can't cross-compare
+            # between runs)
+            # saturating lower bound: ts near int64 min (sentinel stamps)
+            # would wrap ts - win to a huge positive bound and corrupt
+            # the binary search; clamping to int64 min is exact — the
+            # true bound is below every representable value, so the
+            # frame reaches the run start either way
+            i64_min = np.iinfo(np.int64).min
+            q_lo = np.where(
+                ts_s < i64_min + win_units, i64_min, ts_s - win_units
+            )
+            lo = run_start.copy()
+            hi = idx + 1
+            while True:
+                active = lo < hi
+                if not active.any():
+                    break
+                mid = (lo + hi) // 2
+                less = ts_s[np.minimum(mid, nr - 1)] < q_lo
+                step = active & less
+                lo = np.where(step, mid + 1, lo)
+                hi = np.where(active & ~less, mid, hi)
+            lb = lo
         # frame upper bound: last j in run with ts[j] <= ts[i]
         # (peers after i included) — upper_bound of ts[i] within run
         q_hi = ts_s
@@ -4229,6 +4421,28 @@ def rolling_agg(
             hi2 = np.where(active & ~le, mid, hi2)
         ub = lo2
         cnt = ub - lb
+        bc = bs = bmin = bmax = None
+        if with_bases:
+            # per-(key, slc) BASES from the driver stitch ride every
+            # row (constant within a slice); identities for unsliced
+            # keys / slice 0 arrive as 0 / 0 / int64 max / int64 min
+            bc = (
+                tbl.column("b_cnt").to_numpy(zero_copy_only=False)
+                .astype(np.int64)[order]
+            )
+            bs = (
+                tbl.column("b_sum").to_numpy(zero_copy_only=False)
+                .astype(np.int64)[order]
+            )
+            bmin = (
+                tbl.column("b_min").to_numpy(zero_copy_only=False)
+                .astype(np.int64)[order]
+            )
+            bmax = (
+                tbl.column("b_max").to_numpy(zero_copy_only=False)
+                .astype(np.int64)[order]
+            )
+            cnt = cnt + bc
         out_aggs = {}
         if "count" in want:
             out_aggs["w_count"] = cnt
@@ -4243,7 +4457,10 @@ def rolling_agg(
             pref_f = np.concatenate(
                 ([0.0], np.cumsum(np.abs(vs), dtype=np.float64))
             )
-            if pref_f.size > 1 and (pref_f[ub] - pref_f[lb]).max() >= float(2**62):
+            mass = pref_f[ub] - pref_f[lb]
+            if with_bases:
+                mass = mass + np.abs(bs).astype(np.float64)
+            if mass.size and mass.max() >= float(2**62):
                 raise OverflowError(
                     "a rolling_agg window sum would exceed int64"
                 )
@@ -4251,6 +4468,8 @@ def rolling_agg(
                 ([0], np.cumsum(vs, dtype=np.int64))
             )
             wsum = pref[ub] - pref[lb]
+            if with_bases:
+                wsum = wsum + bs
             if "sum" in want:
                 out_aggs["w_sum"] = wsum
             if "avg" in want:
@@ -4283,9 +4502,15 @@ def rolling_agg(
                 return out
 
             if "min" in want:
-                out_aggs["w_min"] = _ext(np.minimum)
+                ext = _ext(np.minimum)
+                out_aggs["w_min"] = (
+                    np.minimum(ext, bmin) if with_bases else ext
+                )
             if "max" in want:
-                out_aggs["w_max"] = _ext(np.maximum)
+                ext = _ext(np.maximum)
+                out_aggs["w_max"] = (
+                    np.maximum(ext, bmax) if with_bases else ext
+                )
         sel = None
         if has_slices:
             # context rows (emit=false) exist only to complete their
@@ -4307,6 +4532,75 @@ def rolling_agg(
             names.append(nm)
         yield pa.RecordBatch.from_arrays(cols_out, names=names)
 
+    def summary_kernel(batches):
+        # cumulative split pass 1: one row per SLICED (key, slc) run —
+        # the slice's total count/sum/min/max (unsliced keys skipped,
+        # so the driver collect stays O(hot rows / threshold))
+        chunks = [pa.Table.from_batches([b]) for b in batches]
+        if not chunks:
+            return
+        tbl = pa.concat_tables(chunks).combine_chunks()
+        nr = tbl.num_rows
+        if nr == 0:
+            return
+        kl = _win_lanes(tbl, knames, k_bin)
+        ts = tbl.column(f"k{g}").to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
+        slc = tbl.column("slc").to_numpy(zero_copy_only=False).astype(np.int64)
+        nsl = tbl.column("nsl").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [rid, ts, slc]
+        for isn, val, _o in reversed(kl):
+            keys.append(val)
+            keys.append(isn)
+        order = np.lexsort(tuple(keys))
+        change = np.zeros(nr, dtype=bool)
+        change[0] = True
+        for isn, val, _o in kl:
+            vs_ = val[order]
+            change[1:] |= vs_[1:] != vs_[:-1]
+        ss = slc[order]
+        change[1:] |= ss[1:] != ss[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], nr)
+        keep = nsl[order][starts] > 1
+        rs, re_ = starts[keep], ends[keep]
+        if rs.size == 0:
+            return
+        s_cnt = re_ - rs
+        if need_val:
+            vs = (
+                tbl.column(f"k{g + 1}")
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            )[order]
+            pref_f = np.concatenate(
+                ([0.0], np.cumsum(np.abs(vs), dtype=np.float64))
+            )
+            if (pref_f[re_] - pref_f[rs]).max() >= float(2**62):
+                raise OverflowError(
+                    "a cumulative slice sum would exceed int64"
+                )
+            pref = np.concatenate(([0], np.cumsum(vs, dtype=np.int64)))
+            s_sum = pref[re_] - pref[rs]
+            s_min = np.minimum.reduceat(vs, starts)[keep]
+            s_max = np.maximum.reduceat(vs, starts)[keep]
+        else:
+            s_sum = np.zeros(rs.size, dtype=np.int64)
+            s_min = np.full(rs.size, _I64_MAX, dtype=np.int64)
+            s_max = np.full(rs.size, _I64_MIN, dtype=np.int64)
+        sel = order[rs]
+        cols_out = []
+        for (isn, val, obj), b in zip(kl, k_bin):
+            if b:
+                cols_out.append(pa.array(obj[sel], type=pa.binary()))
+            else:
+                cols_out.append(pa.array(val[sel]))
+        cols_out += [pa.array(ss[rs]), pa.array(s_cnt), pa.array(s_sum),
+                     pa.array(s_min), pa.array(s_max)]
+        yield pa.RecordBatch.from_arrays(
+            cols_out,
+            names=[*knames, "slc", "s_cnt", "s_sum", "s_min", "s_max"],
+        )
+
     agg_ddl = []
     if "count" in aggs:
         agg_ddl.append("w_count long")
@@ -4321,13 +4615,91 @@ def rolling_agg(
     lanes_ddl = ", ".join(
         f"{k} {'binary' if b else 'long'}" for k, b in zip(knames, k_bin)
     )
-    if has_slices:
-        u = sliced.repartition(*[F.col(k) for k in knames], F.col("slc"))
+    key_cache = None
+    if with_bases:
+        # cumulative + hot keys: summaries → driver prefix-combine →
+        # per-slice bases folded in the final pass. The repartitioned
+        # slice stream persists so the two passes share one kernel read.
+        from collections import defaultdict
+
+        from pyspark import StorageLevel
+
+        release_key_caches()
+        u = sliced.repartition(
+            *[F.col(k) for k in knames], F.col("slc")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _register_key_cache(u)
+        key_cache = u
+        summaries = u.mapInArrow(
+            summary_kernel,
+            schema=(f"{lanes_ddl}, slc long, s_cnt long, s_sum long, "
+                    f"s_min long, s_max long"),
+        ).collect()
+        per_key: dict[tuple, list] = defaultdict(list)
+        for r in summaries:
+            kv = tuple(
+                bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+                for v in (r[k] for k in knames)
+            )
+            per_key[kv].append(
+                (int(r["slc"]), int(r["s_cnt"]), int(r["s_sum"]),
+                 int(r["s_min"]), int(r["s_max"]))
+            )
+        brows = []
+        for kv, lst in per_key.items():
+            lst.sort()
+            b_cnt, b_sum = 0, 0
+            b_min, b_max = int(_I64_MAX), int(_I64_MIN)
+            for s, sc, ssum, smin, smax in lst:
+                brows.append((*kv, s, b_cnt, b_sum, b_min, b_max))
+                b_cnt += sc
+                b_sum += ssum  # exact Python ints — never wraps
+                if abs(b_sum) >= 2**62:
+                    raise OverflowError(
+                        "a cumulative running sum would exceed int64"
+                    )
+                b_min, b_max = min(b_min, smin), max(b_max, smax)
+        if brows:
+            bases_df = spark.createDataFrame(
+                brows,
+                schema=(f"{lanes_ddl}, slc long, b_cnt long, b_sum long, "
+                        f"b_min long, b_max long"),
+            )
+            ub_df = u.join(
+                F.broadcast(bases_df), on=[*knames, "slc"], how="left"
+            )
+        else:
+            # every hot key collapsed to one slice (zero time span) —
+            # identities only
+            ub_df = u.withColumns({
+                "b_cnt": F.lit(None).cast("long"),
+                "b_sum": F.lit(None).cast("long"),
+                "b_min": F.lit(None).cast("long"),
+                "b_max": F.lit(None).cast("long"),
+            })
+        ub_df = (
+            ub_df
+            .withColumn("b_cnt", F.coalesce(F.col("b_cnt"), F.lit(0)))
+            .withColumn("b_sum", F.coalesce(F.col("b_sum"), F.lit(0)))
+            .withColumn(
+                "b_min", F.coalesce(F.col("b_min"), F.lit(int(_I64_MAX)))
+            )
+            .withColumn(
+                "b_max", F.coalesce(F.col("b_max"), F.lit(int(_I64_MIN)))
+            )
+        )
+        ids = ub_df.mapInArrow(
+            rolling_kernel,
+            schema=f"{lanes_ddl}, t long, {', '.join(agg_ddl)}",
+        )
     else:
-        u = keyed.repartition(*[F.col(k) for k in knames])
-    ids = u.mapInArrow(
-        rolling_kernel, schema=f"{lanes_ddl}, t long, {', '.join(agg_ddl)}"
-    )
+        if has_slices:
+            u = sliced.repartition(*[F.col(k) for k in knames], F.col("slc"))
+        else:
+            u = keyed.repartition(*[F.col(k) for k in knames])
+        ids = u.mapInArrow(
+            rolling_kernel, schema=f"{lanes_ddl}, t long, {', '.join(agg_ddl)}"
+        )
     out_cols = [
         _group_key_out(F.col(kn), vt).alias(name)
         for kn, vt, name in zip(knames, kvts, key_cols)
@@ -4349,7 +4721,10 @@ def rolling_agg(
         out_cols.append(
             _group_key_out(F.col("w_max"), kvts[g + 1]).alias("w_max")
         )
-    return ids.select(*out_cols)
+    res = ids.select(*out_cols)
+    if key_cache is not None:
+        res._arcade_key_cache = key_cache
+    return res
 
 
 def window_shift(

@@ -212,6 +212,23 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
          ("avg_disc", "avg", "l_discount"),
          ("count_order", "count", None)]).count())
 
+    # GROUP BY ROLLUP (round-7): one kernel pass, every level re-folds
+    # the persisted finest-grain partials
+    from arcade_spark.readops import filter_group_by_sets, release_key_caches
+
+    def _rollup():
+        n = filter_group_by_sets(
+            spark, li_enc, [("range", "l_shipdate", _cut[0], _cut[1])],
+            ["l_returnflag", "l_linestatus"],
+            [("sum_qty", "sum", "l_quantity"),
+             ("sum_disc_price", "sumprod", [_price, _omd]),
+             ("cnt", "count", None)],
+            sets="rollup").count()
+        release_key_caches()
+        return n
+
+    timed("rollup_q1_levels", _rollup)
+
     # encoded-to-encoded shuffle join: (key, rowid) streams + late
     # materialization at matched rowids
     or_enc = os.path.join(
@@ -317,6 +334,15 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         preds_a=[("eq", "event_type", "error")],
         preds_b=[("eq", "event_type", "click")]).count())
 
+    # AS-OF nearest (round-7): backward fill + run-bounded forward
+    # search + vectorized pick-closer, one lexsort
+    timed("join_asof_nearest", lambda: join_asof(
+        spark, ev_enc, ev_enc, "ts", "user_id",
+        project_b=["value"],
+        preds_a=[("eq", "event_type", "error")],
+        preds_b=[("eq", "event_type", "click")],
+        direction="nearest").count())
+
     # top-N per key (round-6): partial top-3 per encode partition
     # before the shuffle (combiner bound), ranks finalized per key
     from arcade_spark.readops import top_per_key
@@ -346,6 +372,12 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     timed("rolling_minmax_users", lambda: rolling_agg(
         spark, ev_enc, "user_id", "ts", window=1_800_000_000,
         agg_col="event_id", aggs=("min", "max")).count())
+
+    # cumulative running aggregates (round-7): window=None = SQL's
+    # default RANGE UNBOUNDED PRECEDING frame
+    timed("cumulative_users", lambda: rolling_agg(
+        spark, ev_enc, "user_id", "ts", window=None,
+        agg_col="event_id", aggs=("count", "sum", "min", "max")).count())
 
     # LAG as a first-class operator (round-7): narrow lanes, one hash
     # shuffle, one lexsort + clipped gather per task

@@ -165,3 +165,37 @@ def test_sessionize_split_gap_exactly_at_boundary(spark, hot_table):
     unsplit = _rows(sessionize(spark, out, "uid", "t", gap=50_000,
                                hot_key_threshold=None))
     assert split == unsplit
+
+
+def test_cumulative_split_matches_unsplit_and_oracle(spark, hot_table):
+    """window=None under a forced-hot key: per-slice base stitching
+    must make the split path identical to the unsplit one and to
+    DuckDB's default-frame running aggregates."""
+    out, con = hot_table
+    kw = dict(window=None, agg_col="amt",
+              aggs=("count", "sum", "avg", "min", "max"))
+    split = _rows(rolling_agg(spark, out, "uid", "t",
+                              hot_key_threshold=THRESH, **kw))
+    unsplit = _rows(rolling_agg(spark, out, "uid", "t",
+                                hot_key_threshold=None, **kw))
+    assert split == unsplit
+    exp = _sql(con, """
+        SELECT uid, t, count(*) OVER w AS w_count,
+               sum(amt) OVER w AS w_sum,
+               CAST(sum(amt) OVER w AS DOUBLE)/count(*) OVER w AS w_avg,
+               min(amt) OVER w AS w_min, max(amt) OVER w AS w_max
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL
+                 AND amt IS NOT NULL
+        WINDOW w AS (PARTITION BY uid ORDER BY t)""")
+    assert split == exp
+
+
+def test_cumulative_split_count_only(spark, hot_table):
+    out, con = hot_table
+    split = _rows(rolling_agg(spark, out, "uid", "t", window=None,
+                              hot_key_threshold=THRESH))
+    exp = _sql(con, """
+        SELECT uid, t, count(*) OVER (PARTITION BY uid ORDER BY t)
+               AS w_count
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL""")
+    assert split == exp

@@ -241,3 +241,57 @@ def test_validation_errors(spark, asof_tables):
         join_asof(spark, oa, ob, "t", "uid", tolerance=-1)
     with pytest.raises(NotImplementedError):
         join_asof(spark, oa, ob, "ev", "uid")  # string on column
+
+
+def test_nearest(spark, asof_tables):
+    """direction='nearest': whichever of the backward / forward
+    candidates is closest in absolute distance; equal distances prefer
+    the backward match. Oracle: pick-closer over the two candidate
+    CTEs (forward strict — an exact tie IS the backward candidate)."""
+    oa, ob, con = asof_tables
+    got = _rows(join_asof(
+        spark, oa, ob, "t", "uid", project_b=["w"],
+        direction="nearest", how="left"))
+    exp = _sql(con, """
+        WITH lv AS (SELECT row_number() OVER () AS rn, uid, t
+                    FROM a WHERE uid IS NOT NULL AND t IS NOT NULL),
+        bb AS (SELECT lv.rn, max(b.t) AS tb FROM lv JOIN b
+               ON lv.uid = b.uid AND b.t <= lv.t GROUP BY lv.rn),
+        ff AS (SELECT lv.rn, min(b.t) AS tf FROM lv JOIN b
+               ON lv.uid = b.uid AND b.t > lv.t GROUP BY lv.rn),
+        pick AS (SELECT lv.rn, lv.uid, lv.t,
+                 CASE WHEN tb IS NULL THEN tf
+                      WHEN tf IS NULL THEN tb
+                      WHEN lv.t - tb <= tf - lv.t THEN tb
+                      ELSE tf END AS tm
+                 FROM lv LEFT JOIN bb USING (rn) LEFT JOIN ff USING (rn))
+        SELECT p.uid, p.t, p.tm, b.w
+        FROM pick p LEFT JOIN b ON p.uid = b.uid AND p.tm = b.t
+        UNION ALL
+        SELECT uid, t, NULL, NULL FROM a
+        WHERE uid IS NULL OR t IS NULL""")
+    assert got == exp
+
+
+def test_nearest_tolerance(spark, asof_tables):
+    oa, ob, con = asof_tables
+    got = _rows(join_asof(
+        spark, oa, ob, "t", "uid", project_b=["w"],
+        direction="nearest", tolerance=15))
+    exp = _sql(con, """
+        WITH lv AS (SELECT row_number() OVER () AS rn, uid, t
+                    FROM a WHERE uid IS NOT NULL AND t IS NOT NULL),
+        bb AS (SELECT lv.rn, max(b.t) AS tb FROM lv JOIN b
+               ON lv.uid = b.uid AND b.t <= lv.t GROUP BY lv.rn),
+        ff AS (SELECT lv.rn, min(b.t) AS tf FROM lv JOIN b
+               ON lv.uid = b.uid AND b.t > lv.t GROUP BY lv.rn),
+        pick AS (SELECT lv.rn, lv.uid, lv.t,
+                 CASE WHEN tb IS NULL THEN tf
+                      WHEN tf IS NULL THEN tb
+                      WHEN lv.t - tb <= tf - lv.t THEN tb
+                      ELSE tf END AS tm
+                 FROM lv LEFT JOIN bb USING (rn) LEFT JOIN ff USING (rn))
+        SELECT p.uid, p.t, p.tm, b.w
+        FROM pick p JOIN b ON p.uid = b.uid AND p.tm = b.t
+        WHERE abs(p.t - p.tm) <= 15""")
+    assert got == exp

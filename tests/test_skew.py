@@ -83,8 +83,13 @@ def test_join_skew_aqe_split(spark, tmp_path_factory):
         # the uniform median is so large the hot partition misses the
         # factor bar (the mechanism needs hot >> median, not hot >> 0)
         conf.set("spark.sql.shuffle.partitions", "8")
+        # broadcast=None: this test exercises AQE's skew split on the
+        # SORT-MERGE path — the round-7 auto-broadcast hint would turn
+        # this small dim into a BroadcastHashJoin and skip it entirely
+        # (that behavior has its own test in test_join_encoded.py)
         df = join_encoded(spark, of, od, "k", "dk",
-                          project_a=["v"], project_b=["label"])
+                          project_a=["v"], project_b=["label"],
+                          broadcast=None)
         # execute THROUGH this Dataset (count() builds a separate
         # query execution and would leave this plan un-finalized)
         assert len(df.collect()) == n

@@ -515,3 +515,38 @@ def test_window_shift_validation(spark, sess_table):
         window_shift(spark, out, "uid", "t", "amt", direction="shuffle")
     with pytest.raises(ValueError):
         window_shift(spark, out, "uid", [], "amt")  # no order cols
+
+
+def test_cumulative_full_grammar(spark, sess_table):
+    """window=None: running aggregates over SQL's DEFAULT frame (RANGE
+    UNBOUNDED PRECEDING — peers of the current ts included)."""
+    from arcade_spark.readops import rolling_agg
+
+    out, con = sess_table
+    got = _rows(rolling_agg(
+        spark, out, "uid", "t", window=None, agg_col="amt",
+        aggs=("count", "sum", "avg", "min", "max")))
+    exp = _sql(con, """
+        SELECT uid, t,
+               count(*) OVER w AS w_count,
+               sum(amt) OVER w AS w_sum,
+               CAST(sum(amt) OVER w AS DOUBLE)
+                 / count(*) OVER w AS w_avg,
+               min(amt) OVER w AS w_min,
+               max(amt) OVER w AS w_max
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL
+                 AND amt IS NOT NULL
+        WINDOW w AS (PARTITION BY uid ORDER BY t)""")
+    assert got == exp
+
+
+def test_cumulative_count_only(spark, sess_table):
+    from arcade_spark.readops import rolling_agg
+
+    out, con = sess_table
+    got = _rows(rolling_agg(spark, out, "uid", "t", window=None))
+    exp = _sql(con, """
+        SELECT uid, t, count(*) OVER (PARTITION BY uid ORDER BY t)
+               AS w_count
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL""")
+    assert got == exp
