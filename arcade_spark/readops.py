@@ -2882,6 +2882,17 @@ def filter_semijoin(
 # stream), so the decision costs zero jobs.
 _BCAST_MAX_KEY_ROWS = 2_000_000
 
+# per-task row bound for the per-key window operators (sessionize /
+# rolling_agg / join_asof): a key whose row count exceeds this pre-splits into
+# time-range slices so no single task absorbs its whole timeline.
+# 4M narrow lane rows ≈ 100-160 MB of lexsort input — comfortable for
+# one executor task; at 10^12 rows the stats pass that finds hot keys
+# is one map-side-combined O(distinct keys) aggregation.
+_HOT_KEY_ROWS = 4_000_000
+_HOT_KEY_MAX = 100_000  # collectible hot-key descriptors
+
+
+
 
 def join_encoded(
     spark: SparkSession,
@@ -3107,6 +3118,7 @@ def join_asof(
     direction: str = "backward",
     allow_exact: bool = True,
     tolerance: int | None = None,
+    hot_key_threshold: int | None = _HOT_KEY_ROWS,
 ) -> DataFrame:
     """AS-OF join between two encoded tables — for every left row,
     the single right row with the same ``by`` key and the greatest
@@ -3139,6 +3151,17 @@ def join_asof(
     than that from the left row. SQL null semantics: null by/on values
     never match; ``how="left"`` keeps unmatched and null-key left rows
     with null right columns, ``"inner"`` drops them.
+
+    Hot-key escape hatch (PLANS.md §9): when a by-key's UNION stream
+    exceeds ``hot_key_threshold`` rows it pre-splits into time-range
+    slices, and each slice receives CARRY rows — one virtual right row
+    per slice and direction (backward: the latest right of all earlier
+    slices; forward: the earliest right of all later slices; nearest:
+    both) — so every slice's merge is complete in its own task and the
+    output is identical to the unsplit path. Carries duplicate real
+    right rows and the kernel emits left rows only, so nothing double-
+    counts; the stats pass is skipped when the two manifests' row
+    total cannot exceed the threshold.
 
     Output: by columns (left values), ``on`` (left), ``{on_b}_b``
     (matched right value, null if unmatched), project_a..., project_b...
@@ -3212,7 +3235,101 @@ def join_asof(
         *knames, F.col(f"k{m}").alias("t"),
         F.lit(side_right).cast("int").alias("side"), "rid",
     )
-    u = lv.unionByName(rv).repartition(*[F.col(k) for k in knames])
+    u_base = lv.unionByName(rv)
+    sliced = None
+    if hot_key_threshold is not None and (
+        _manifest_total_rows(out_a) + _manifest_total_rows(out_b)
+        > hot_key_threshold
+    ):
+        sliced, _n_hot = _split_hot_keys(
+            spark, u_base, knames, lane_is_bin, "t",
+            overlap=0, threshold=hot_key_threshold,
+        )
+    with_slices = sliced is not None
+    if with_slices:
+        # CARRY rows give each slice the out-of-slice context its merge
+        # needs — one virtual right row per (hot key, slice, direction):
+        # backward = the latest right of all EARLIER slices (exclusive
+        # prefix max over per-slice argmax); forward = the earliest
+        # right of all LATER slices (suffix min, ties to greatest rid);
+        # nearest carries both. A carried row duplicates a real right
+        # row, and the kernel emits left rows only, so output never
+        # duplicates. Boundary ties are impossible: a carry's t is
+        # strictly outside its target slice's time range.
+        want_back = direction in ("backward", "nearest")
+        want_fwd = direction in ("forward", "nearest")
+        is_r = F.col("side") == F.lit(side_right)
+        per_slice = (
+            sliced.filter(F.col("nsl") > 1)  # every present slice of a
+            # hot key, even ones with left rows only — they need carry
+            .groupBy(*knames, "slc")
+            .agg(
+                F.max(
+                    F.when(is_r, F.struct(F.col("t"), F.col("rid")))
+                ).alias("mx"),
+                F.min(
+                    F.when(is_r, F.struct(
+                        F.col("t"), (-F.col("rid")).alias("nr")
+                    ))
+                ).alias("mn"),
+            )
+            .collect()
+        )
+        from collections import defaultdict
+
+        per_key: dict[tuple, list] = defaultdict(list)
+        for r in per_slice:
+            kv = tuple(
+                bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+                for v in (r[k] for k in knames)
+            )
+            mx = (None if r["mx"] is None
+                  else (int(r["mx"]["t"]), int(r["mx"]["rid"])))
+            mn = (None if r["mn"] is None
+                  else (int(r["mn"]["t"]), -int(r["mn"]["nr"])))
+            per_key[kv].append((int(r["slc"]), mx, mn))
+        carry_rows = []
+        for kv, lst in per_key.items():
+            lst.sort()
+            if want_back:
+                best = None
+                for i in range(1, len(lst)):
+                    cand = lst[i - 1][1]
+                    if cand is not None and (best is None or cand > best):
+                        best = cand
+                    if best is not None:
+                        carry_rows.append(
+                            (*kv, best[0], side_right, best[1], lst[i][0])
+                        )
+            if want_fwd:
+                best = None
+                for i in range(len(lst) - 2, -1, -1):
+                    cand = lst[i + 1][2]
+                    # min by t, tie to greatest rid
+                    if cand is not None and (
+                        best is None
+                        or (cand[0], -cand[1]) < (best[0], -best[1])
+                    ):
+                        best = cand
+                    if best is not None:
+                        carry_rows.append(
+                            (*kv, best[0], side_right, best[1], lst[i][0])
+                        )
+        base_cols = [*knames, "t", "side", "rid", "slc"]
+        u = sliced.select(*base_cols)
+        if carry_rows:
+            lanes_sch = ", ".join(
+                f"{k} {'binary' if b else 'long'}"
+                for k, b in zip(knames, lane_is_bin)
+            )
+            carry_df = spark.createDataFrame(
+                carry_rows,
+                schema=f"{lanes_sch}, t long, side int, rid long, slc long",
+            )
+            u = u.unionByName(carry_df)
+        u = u.repartition(*[F.col(k) for k in knames], F.col("slc"))
+    else:
+        u = u_base.repartition(*[F.col(k) for k in knames])
 
     tol = tolerance
     inner_only = not keep_a
@@ -3246,7 +3363,15 @@ def join_asof(
         # ~t (= -t-1) is an order-reversing involution with no wrap at
         # int64 min, and its pairwise differences equal those of -t
         t_sort = np.bitwise_not(t) if negate else t
-        order = np.lexsort((rid, side, t_sort) + tuple(reversed(lanes)))
+        keys = (rid, side, t_sort)
+        slc = None
+        if with_slices:
+            slc = (
+                tbl.column("slc").to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            keys = keys + (slc,)
+        order = np.lexsort(keys + tuple(reversed(lanes)))
         side_s = side[order]
         t_s = t_sort[order]
         rid_s = rid[order]
@@ -3256,6 +3381,11 @@ def join_asof(
         for lane in lanes:
             ls = lane[order]
             change[1:] |= ls[1:] != ls[:-1]
+        if with_slices:
+            # a slice boundary is a run boundary: carry rows supply the
+            # out-of-slice context, so the merge never crosses it
+            ss = slc[order]
+            change[1:] |= ss[1:] != ss[:-1]
         run_start = np.maximum.accumulate(np.where(change, idx, 0))
         is_right = side_s == side_right
         acc = np.maximum.accumulate(np.where(is_right, idx, -1))
@@ -3614,16 +3744,6 @@ def top_per_key(
         result = final.join(mat, final["rid"] == mat["row_id"], "inner")
         out_cols += [F.col(c) for c in project]
     return result.select(*out_cols)
-
-
-# per-task row bound for the per-key window operators (sessionize /
-# rolling_agg): a key whose row count exceeds this pre-splits into
-# time-range slices so no single task absorbs its whole timeline.
-# 4M narrow lane rows ≈ 100-160 MB of lexsort input — comfortable for
-# one executor task; at 10^12 rows the stats pass that finds hot keys
-# is one map-side-combined O(distinct keys) aggregation.
-_HOT_KEY_ROWS = 4_000_000
-_HOT_KEY_MAX = 100_000  # collectible hot-key descriptors
 
 
 def _split_hot_keys(

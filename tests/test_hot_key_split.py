@@ -199,3 +199,57 @@ def test_cumulative_split_count_only(spark, hot_table):
                AS w_count
         FROM t WHERE uid IS NOT NULL AND t IS NOT NULL""")
     assert split == exp
+
+
+def test_asof_split_matches_unsplit_and_oracle(spark, hot_table):
+    """join_asof under a forced-hot key: carry rows (latest prior /
+    earliest later right per slice) must make every direction's split
+    output identical to the unsplit path — and backward identical to
+    DuckDB's native ASOF JOIN."""
+    from arcade_spark.readops import join_asof
+
+    out, con = hot_table
+    kw = dict(
+        project_b=["ev"],
+        preds_a=[("range", "amt", 0, 120)],
+        preds_b=[("range", "amt", -40, -1)],
+    )
+    for direction in ("backward", "forward", "nearest"):
+        split = _rows(join_asof(
+            spark, out, out, "t", "uid", direction=direction,
+            hot_key_threshold=THRESH, **kw))
+        unsplit = _rows(join_asof(
+            spark, out, out, "t", "uid", direction=direction,
+            hot_key_threshold=None, **kw))
+        assert split == unsplit, direction
+    # DuckDB comparison drops the projection: duplicate (uid, t) right
+    # rows exist in this fixture and the tie pick is engine-arbitrary;
+    # (uid, t, t_b) is deterministic
+    got = _rows(join_asof(
+        spark, out, out, "t", "uid",
+        hot_key_threshold=THRESH,
+        preds_a=[("range", "amt", 0, 120)],
+        preds_b=[("range", "amt", -40, -1)],
+    ))
+    exp = _sql(con, """
+        SELECT a.uid, a.t, b.t AS t_b
+        FROM (SELECT * FROM t WHERE amt BETWEEN 0 AND 120) a
+        ASOF JOIN (SELECT * FROM t WHERE amt BETWEEN -40 AND -1) b
+        ON a.uid = b.uid AND a.t >= b.t""")
+    assert got == exp
+
+
+def test_asof_split_left_tolerance(spark, hot_table):
+    from arcade_spark.readops import join_asof
+
+    out, con = hot_table
+    kw = dict(
+        preds_a=[("range", "amt", 0, 120)],
+        preds_b=[("range", "amt", -40, -1)],
+        how="left", tolerance=900,
+    )
+    split = _rows(join_asof(spark, out, out, "t", "uid",
+                            hot_key_threshold=THRESH, **kw))
+    unsplit = _rows(join_asof(spark, out, out, "t", "uid",
+                              hot_key_threshold=None, **kw))
+    assert split == unsplit
