@@ -326,6 +326,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CC_MAX_ROUNDS = 20
+# below this many (deduped, symmetric) edges the components resolve
+# with one collect + driver union-find: the distributed loop costs
+# several shuffle rounds of fixed latency that dwarf tiny pair sets,
+# and 4M edges is ~64 MB on the driver — the same ceiling class as
+# the semijoin broadcast cap
+_CC_DRIVER_MAX_EDGES = 4_000_000
 
 
 def dedup_cluster(
@@ -333,6 +339,7 @@ def dedup_cluster(
     sf_dir: str,
     pairs: DataFrame | None = None,
     max_rounds: int = _CC_MAX_ROUNDS,
+    driver_max_edges: int = _CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Near-dup CLUSTERING — connected components over the verified
     near-dup pairs, plus canonical-document selection: the last stage
@@ -352,7 +359,11 @@ def dedup_cluster(
     algorithms. The driver-side convergence probe per round counts
     changed labels (one aggregate over the label frame, O(nodes in
     pairs) — never the corpus); ``max_rounds`` bounds the loop and a
-    non-converged graph raises rather than returning partial labels."""
+    non-converged graph raises rather than returning partial labels.
+    Pair sets under ``driver_max_edges`` short-circuit to one collect
+    plus driver union-find instead — the distributed loop's fixed
+    per-round shuffle latency dwarfs a tiny (by design: these are
+    VERIFIED near-dup pairs) edge set."""
     docs = _documents(spark, sf_dir).select("doc_id")
     if pairs is None:
         pairs = dedup_minhash_lsh(spark, sf_dir)
@@ -362,6 +373,42 @@ def dedup_cluster(
         .distinct()
         .cache()
     )
+    # full count, not limit(n+1).count(): CollectLimit executes the
+    # plan partition-batch by partition-batch, re-running the whole
+    # (expensive) pair pipeline several times; one parallel count
+    # materializes the cache in a single pass and costs O(1) to read
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = _find(int(r["u"])), _find(int(r["v"]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        lab = [(x, _find(x)) for x in parent]
+        if lab:
+            lab_df = F.broadcast(
+                spark.createDataFrame(lab, "doc_id long, cluster long")
+            )
+            out = docs.join(lab_df, "doc_id", "left")
+        else:
+            out = docs.withColumn("cluster", F.lit(None).cast("long"))
+        return (
+            out.select(
+                "doc_id",
+                F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+            )
+            .withColumn("keep", F.col("doc_id") == F.col("cluster"))
+        )
     labels = (
         edges.select(F.col("u").alias("id")).distinct()
         .withColumn("lbl", F.col("id"))

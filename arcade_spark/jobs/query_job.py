@@ -240,6 +240,36 @@ def build_query(spark, args):
             window=args.window, agg_col=args.agg_column,
             aggs=tuple(args.aggs.split(",")),
         )
+    if args.cmd == "lag":
+        from arcade_spark.readops import window_shift
+
+        return window_shift(
+            spark, args.encoded, args.by.split(","),
+            args.order.split(","), args.value,
+            offset=args.offset,
+            direction="lead" if args.lead else "lag",
+        )
+    if args.cmd == "rollup":
+        from arcade_spark.readops import filter_group_by_sets
+
+        aggs = [("cnt", "count", None)] + [
+            (f"sum_{c}", "sum", c)
+            for c in (args.sum.split(",") if args.sum else [])
+        ]
+        sets = args.sets
+        if sets not in ("rollup", "cube"):
+            sets = [
+                [c for c in s.split(",") if c]
+                for s in args.sets.split(";")
+            ]
+        preds = []
+        if args.where:
+            col, val = args.where.split("=", 1)
+            preds = [("eq", col, val)]
+        return filter_group_by_sets(
+            spark, args.encoded, preds, args.columns.split(","),
+            aggs, sets=sets,
+        )
     if args.cmd == "group-distinct":
         from arcade_spark.readops import group_count_distinct
 
@@ -351,7 +381,7 @@ def main(argv: list[str] | None = None) -> int:
     asf.add_argument("--right-project", default=None)
     asf.add_argument("--how", default="inner", choices=("inner", "left"))
     asf.add_argument("--direction", default="backward",
-                     choices=("backward", "forward"))
+                     choices=("backward", "forward", "nearest"))
     asf.add_argument("--strict", action="store_true",
                      help="strict inequality (exclude exact matches)")
     asf.add_argument("--tolerance", type=int, default=None,
@@ -398,11 +428,35 @@ def main(argv: list[str] | None = None) -> int:
     ro.add_argument("--by", required=True,
                     help="comma-separated partition keys")
     ro.add_argument("--ts", required=True, help="timestamp column")
-    ro.add_argument("--window", type=int, required=True,
-                    help="trailing window in lane units (micros for ts)")
+    ro.add_argument("--window", type=int, default=None,
+                    help="trailing window in lane units (micros for ts); "
+                         "omit for cumulative (UNBOUNDED PRECEDING)")
     ro.add_argument("--agg-column", default=None)
     ro.add_argument("--aggs", default="count",
-                    help="comma-separated subset of count,sum,avg")
+                    help="comma-separated subset of count,sum,avg,min,max")
+
+    lg = sub.add_parser("lag")
+    lg.add_argument("--by", required=True,
+                    help="comma-separated partition keys")
+    lg.add_argument("--order", required=True,
+                    help="comma-separated order columns (append a "
+                         "unique column for deterministic ties)")
+    lg.add_argument("--value", required=True, help="value column")
+    lg.add_argument("--offset", type=int, default=1)
+    lg.add_argument("--lead", action="store_true",
+                    help="LEAD instead of LAG")
+
+    ru = sub.add_parser("rollup")
+    ru.add_argument("--columns", required=True,
+                    help="comma-separated group columns")
+    ru.add_argument("--sum", default=None,
+                    help="comma-separated columns to SUM")
+    ru.add_argument("--sets", default="rollup",
+                    help="rollup | cube | semicolon-separated "
+                         "grouping sets (comma-separated cols each, "
+                         "empty = grand total)")
+    ru.add_argument("--where", default=None,
+                    help="eq predicate col=value (optional)")
 
     gd = sub.add_parser("group-distinct")
     gd.add_argument("--columns", required=True,

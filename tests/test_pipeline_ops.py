@@ -200,6 +200,15 @@ def test_dedup_cluster_components(spark):
         r["doc_id"]: (r["cluster"], r["keep"])
         for r in dedup_cluster(spark, SF, pairs=pairs).collect()
     }
+    # the distributed label-propagation path must agree with the
+    # driver union-find fast path on the same input
+    dist = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup_cluster(
+            spark, SF, pairs=pairs, driver_max_edges=0
+        ).collect()
+    }
+    assert dist == got
     # union-find replay
     parent = {}
 

@@ -197,3 +197,50 @@ def test_query_job_round6_subcommands(spark, tmp_path_factory):
     assert len(rows) == 60
     assert rows[(0, 0)] == (1, 0)          # e000: v=0
     assert rows[(0, 50)][0] == 2           # e005 sees e000
+
+
+def test_query_job_round7_subcommands(spark, tmp_path_factory):
+    """lag / rollup / cumulative rolling / nearest asof CLI paths."""
+    import arcade_spark.jobs.query_job as qj
+
+    src = spark.createDataFrame(
+        [(f"e{i:03d}", i % 5, i * 10, i % 7) for i in range(60)],
+        "ev string, uid long, t long, v long",
+    )
+    out = str(tmp_path_factory.mktemp("qj7") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=16, order_col="ev")
+
+    # lag: previous v within uid ordered by t
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="lag", encoded=out, by="uid", order="t", value="v",
+        offset=1, lead=False))
+    rows = {(r["uid"], r["t"]): r["shifted"] for r in df.collect()}
+    assert rows[(0, 0)] is None
+    assert rows[(0, 50)] == 0  # e005 lags to e000's v
+
+    # rollup: grand total + per-uid counts
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="rollup", encoded=out, columns="uid", sum="v",
+        sets="rollup", where=None))
+    got = {(r["uid"], r["grouping_id"]): (r["cnt"], r["sum_v"])
+           for r in df.collect()}
+    assert got[(None, 1)] == (60, sum(i % 7 for i in range(60)))
+    assert got[(0, 0)][0] == 12
+    from arcade_spark.readops import release_key_caches
+
+    release_key_caches()
+
+    # cumulative rolling (window omitted)
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="rolling", encoded=out, by="uid", ts="t", window=None,
+        agg_column="v", aggs="count,max"))
+    rows = {(r["uid"], r["t"]): (r["w_count"], r["w_max"])
+            for r in df.collect()}
+    assert rows[(0, 550)][0] == 12  # last event sees all 12
+
+    # nearest asof: self-join matches itself at distance 0
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="asof", encoded=out, right=out, on="t", right_on=None,
+        by="uid", project=None, right_project=None, how="inner",
+        direction="nearest", strict=False, tolerance=None))
+    assert all(r["t_b"] == r["t"] for r in df.collect())
