@@ -2387,17 +2387,26 @@ def group_rank_values(
         _register_key_cache(keyed_b)
 
     gnames = [f"k{i + 1}" for i in range(len(group_cols))]
-    cells = keyed_b.groupBy(*gnames, "bkt").agg(F.count("*").alias("cnt"))
+    cells = keyed_b.groupBy(*gnames, "bkt").agg(
+        F.count("*").alias("cnt")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # probe the cell count BEFORE collecting — an oversized grouping must
     # fail without first materializing 4M+ rows on the driver (mirrors
-    # the _SEMIJOIN_MAX_KEYS pre-check)
-    probe = cells.limit(4_000_001).count()
-    if probe > 4_000_000:
-        raise ValueError(
-            f"over {probe - 1} (group, bucket) cells — too many groups "
-            "for driver-side rank targeting; aggregate or pre-filter first"
-        )
-    crows = cells.collect()
+    # the _SEMIJOIN_MAX_KEYS pre-check). Full parallel count on the
+    # PERSISTED frame, not limit(n+1).count(): CollectLimit executes
+    # the plan partition-batch by partition-batch and re-runs the
+    # upstream kernel several times.
+    try:
+        probe = cells.count()
+        if probe > 4_000_000:
+            raise ValueError(
+                f"{probe} (group, bucket) cells — too many groups "
+                "for driver-side rank targeting; aggregate or pre-filter "
+                "first"
+            )
+        crows = cells.collect()
+    finally:
+        cells.unpersist()
     from collections import defaultdict
 
     gb: dict[tuple, dict[int, int]] = defaultdict(dict)
@@ -3774,6 +3783,8 @@ def _split_hot_keys(
     ``keyed``'s columns — or ``(None, 0)`` when no key is hot. All
     arithmetic is exact int64 (Spark ``div``/``%`` on longs; the
     driver-side slice math uses Python ints)."""
+    from pyspark import StorageLevel
+
     stats = (
         keyed.groupBy(*knames)
         .agg(
@@ -3782,15 +3793,24 @@ def _split_hot_keys(
             F.max(t_name).alias("_tmax"),
         )
         .filter(F.col("_cnt") > threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hot = stats.limit(max_hot + 1).collect()
-    if not hot:
-        return None, 0
-    if len(hot) > max_hot:
-        raise ValueError(
-            f"more than {max_hot} keys exceed {threshold} rows — raise "
-            "the hot-key threshold or aggregate first"
-        )
+    # persist + full count, never limit(n+1).collect(): CollectLimit
+    # executes partition-batch by partition-batch and re-runs the
+    # whole keyed-stream kernel several times (measured 6x the cost
+    # of one full pass on a 200k-row stream)
+    try:
+        n_hot = stats.count()
+        if n_hot == 0:
+            return None, 0
+        if n_hot > max_hot:
+            raise ValueError(
+                f"more than {max_hot} keys exceed {threshold} rows — "
+                "raise the hot-key threshold or aggregate first"
+            )
+        hot = stats.collect()
+    finally:
+        stats.unpersist()
     rows = []
     for r in hot:
         cnt, tmin, tmax = int(r["_cnt"]), int(r["_tmin"]), int(r["_tmax"])

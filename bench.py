@@ -506,6 +506,26 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     timed("topn_skew_zipf25", lambda: _skew_topn("zipf"))
     timed("topn_skew_uniform_twin", lambda: _skew_topn("unif"))
 
+    # hot-key escape hatch under load (round-7): force the time-range
+    # pre-split on the 25%-hot key (~n_fact/4 rows >> the 20k
+    # threshold) — measures the full split machinery (stats pass,
+    # slice/carry construction, stitched kernels) vs the unsplit runs
+    # above on the SAME table
+    from arcade_spark.readops import join_asof as _asof_skew
+    from arcade_spark.readops import sessionize as _sess_skew
+
+    timed("rolling_skew_split", lambda: rolling_agg(
+        spark, os.path.join(skew_base, "zipf"), "k", "row_id",
+        window=1000, agg_col="v", aggs=("count", "sum"),
+        hot_key_threshold=20_000).count())
+    timed("sessionize_skew_split", lambda: _sess_skew(
+        spark, os.path.join(skew_base, "zipf"), "k", "row_id",
+        gap=10, emit="sessions", hot_key_threshold=20_000).count())
+    timed("asof_skew_split", lambda: _asof_skew(
+        spark, os.path.join(skew_base, "zipf"),
+        os.path.join(skew_base, "unif"), "row_id", "k",
+        project_b=["v"], hot_key_threshold=20_000).count())
+
     # string ORDER BY LIMIT k over prefix-truncated zone envelopes
     from arcade_spark.readops import column_topk as _ctopk
 
