@@ -1782,6 +1782,8 @@ def filter_group_by_sets(
             if bad:
                 raise ValueError(f"grouping-set columns not grouped: {bad}")
             idx_sets.append(sorted(group_cols.index(c) for c in s))
+    if not idx_sets:
+        raise ValueError("sets must name at least one grouping set")
     if len(idx_sets) > _MAX_GROUPING_SETS:
         raise ValueError(
             f"{len(idx_sets)} grouping sets exceed {_MAX_GROUPING_SETS}"
@@ -2379,9 +2381,9 @@ def group_rank_values(
     keyed_b = _bucketize_stream(
         keyed, kvts, is_str, splits, len(splits) + 1, second_mode="rid",
     )
-    if persist:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel
 
+    if persist:
         release_key_caches()
         keyed_b = keyed_b.persist(StorageLevel.MEMORY_AND_DISK)
         _register_key_cache(keyed_b)
@@ -2411,10 +2413,7 @@ def group_rank_values(
 
     gb: dict[tuple, dict[int, int]] = defaultdict(dict)
     for r in crows:
-        gkey = tuple(
-            bytes(v) if isinstance(v, (bytearray, memoryview)) else v
-            for v in (r[g] for g in gnames)
-        )  # Row gives bytearray for binary — need hashable bytes
+        gkey = _row_key(r, gnames)
         gb[gkey][r["bkt"]] = r["cnt"]
     # (group tuple, bucket) → [(rank within cell, rank within group)]
     targets: dict[tuple, list[tuple[int, int]]] = {}
@@ -3256,6 +3255,14 @@ def join_asof(
         )
     with_slices = sliced is not None
     if with_slices:
+        # the sliced stream feeds BOTH the per-slice carry aggregation
+        # and the final merge — persist so the union key-stream kernel
+        # and the hot-key join/explode run once, not three times
+        from pyspark import StorageLevel
+
+        release_key_caches()
+        sliced = sliced.persist(StorageLevel.MEMORY_AND_DISK)
+        _register_key_cache(sliced)
         # CARRY rows give each slice the out-of-slice context its merge
         # needs — one virtual right row per (hot key, slice, direction):
         # backward = the latest right of all EARLIER slices (exclusive
@@ -3268,6 +3275,14 @@ def join_asof(
         want_back = direction in ("backward", "nearest")
         want_fwd = direction in ("forward", "nearest")
         is_r = F.col("side") == F.lit(side_right)
+        # forward-carry tie at equal t must MATCH the kernel's pick:
+        # the nearest kernel's suffix-min of positions takes the
+        # SMALLEST rid among tied rights, while the pure forward
+        # merge (max-accumulate over the negated lane) takes the
+        # GREATEST — a mismatched carry would make the split path
+        # diverge from the unsplit one exactly on carried ties
+        fwd_tie = (F.col("rid") if direction == "nearest"
+                   else (-F.col("rid")))
         per_slice = (
             sliced.filter(F.col("nsl") > 1)  # every present slice of a
             # hot key, even ones with left rows only — they need carry
@@ -3278,7 +3293,7 @@ def join_asof(
                 ).alias("mx"),
                 F.min(
                     F.when(is_r, F.struct(
-                        F.col("t"), (-F.col("rid")).alias("nr")
+                        F.col("t"), fwd_tie.alias("r2")
                     ))
                 ).alias("mn"),
             )
@@ -3288,14 +3303,13 @@ def join_asof(
 
         per_key: dict[tuple, list] = defaultdict(list)
         for r in per_slice:
-            kv = tuple(
-                bytes(v) if isinstance(v, (bytearray, memoryview)) else v
-                for v in (r[k] for k in knames)
-            )
+            kv = _row_key(r, knames)
             mx = (None if r["mx"] is None
                   else (int(r["mx"]["t"]), int(r["mx"]["rid"])))
             mn = (None if r["mn"] is None
-                  else (int(r["mn"]["t"]), -int(r["mn"]["nr"])))
+                  else (int(r["mn"]["t"]),
+                        int(r["mn"]["r2"]) if direction == "nearest"
+                        else -int(r["mn"]["r2"])))
             per_key[kv].append((int(r["slc"]), mx, mn))
         carry_rows = []
         for kv, lst in per_key.items():
@@ -3312,12 +3326,15 @@ def join_asof(
                         )
             if want_fwd:
                 best = None
+                # tie key mirrors fwd_tie: smallest rid for nearest
+                # (the kernel's suffix-min), greatest for forward
+                _fk = ((lambda c: (c[0], c[1]))
+                       if direction == "nearest"
+                       else (lambda c: (c[0], -c[1])))
                 for i in range(len(lst) - 2, -1, -1):
                     cand = lst[i + 1][2]
-                    # min by t, tie to greatest rid
                     if cand is not None and (
-                        best is None
-                        or (cand[0], -cand[1]) < (best[0], -best[1])
+                        best is None or _fk(cand) < _fk(best)
                     ):
                         best = cand
                     if best is not None:
@@ -3530,7 +3547,19 @@ def join_asof(
             "left" if keep_a else "inner",
         ).drop("row_id")
         out_cols += [F.col(c) for c in project_b]
-    return joined.select(*out_cols)
+    res = joined.select(*out_cols)
+    if with_slices:
+        res._arcade_key_cache = sliced
+    return res
+
+
+def _row_key(row, names) -> tuple:
+    """Row → hashable driver-side key tuple: Spark hands binary lanes
+    back as bytearray, which doesn't hash — normalize to bytes."""
+    return tuple(
+        bytes(v) if isinstance(v, (bytearray, memoryview)) else v
+        for v in (row[k] for k in names)
+    )
 
 
 def _win_lanes(tbl, names: list[str], is_bin: list[bool]):
@@ -3823,11 +3852,7 @@ def _split_hot_keys(
         nsl_target = -(-cnt // threshold)  # ceil
         s_width = max(int(overlap), -(-(span + 1) // nsl_target), 1)
         nsl = span // s_width + 1
-        key_vals = tuple(
-            bytes(v) if isinstance(v, (bytearray, memoryview)) else v
-            for v in (r[k] for k in knames)
-        )
-        rows.append((*key_vals, tmin, s_width, nsl))
+        rows.append((*_row_key(r, knames), tmin, s_width, nsl))
     lanes_ddl = ", ".join(
         f"{k} {'binary' if b else 'long'}" for k, b in zip(knames, k_bin)
     )
@@ -4124,10 +4149,7 @@ def sessionize(
     ).collect()
     per_key: dict[tuple, list] = defaultdict(list)
     for r in summaries:
-        kv = tuple(
-            bytes(v) if isinstance(v, (bytearray, memoryview)) else v
-            for v in (r[k] for k in knames)
-        )
+        kv = _row_key(r, knames)
         per_key[kv].append(
             (int(r["slc"]), int(r["n_sess"]), int(r["t_first"]),
              int(r["t_last"]))
@@ -4777,10 +4799,7 @@ def rolling_agg(
         ).collect()
         per_key: dict[tuple, list] = defaultdict(list)
         for r in summaries:
-            kv = tuple(
-                bytes(v) if isinstance(v, (bytearray, memoryview)) else v
-                for v in (r[k] for k in knames)
-            )
+            kv = _row_key(r, knames)
             per_key[kv].append(
                 (int(r["slc"]), int(r["s_cnt"]), int(r["s_sum"]),
                  int(r["s_min"]), int(r["s_max"]))

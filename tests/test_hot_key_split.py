@@ -253,3 +253,42 @@ def test_asof_split_left_tolerance(spark, hot_table):
     unsplit = _rows(join_asof(spark, out, out, "t", "uid",
                               hot_key_threshold=None, **kw))
     assert split == unsplit
+
+
+def test_asof_split_carried_ties(spark, tmp_path_factory):
+    """Duplicate right timestamps at slice boundaries: the carry row's
+    tie-break must MATCH the kernel's pick per direction (nearest =
+    smallest rid via suffix-min, forward = greatest rid via the
+    negated-lane fill), or the split path diverges exactly on carried
+    ties. The projected value column distinguishes tied rights."""
+    import numpy as np
+    import pandas as pd
+
+    from arcade_spark.readops import join_asof
+
+    rng = np.random.default_rng(99)
+    n = 4000
+    # ONE hot key; timestamps from a tiny range => duplicates everywhere
+    df = pd.DataFrame({
+        "uid": np.full(n, 3, dtype=np.int64),
+        "t": rng.integers(0, 400, n).astype(np.int64),
+        "side_tag": rng.integers(0, 2, n).astype(np.int64),
+        "val": np.arange(n, dtype=np.int64),
+        "ev": [f"x{i:05d}" for i in range(n)],
+    })
+    out = str(tmp_path_factory.mktemp("ties") / "enc")
+    encode_job(spark, spark.createDataFrame(df), out,
+               num_parts=3, block_rows=256, order_col="ev")
+    kw = dict(
+        project_b=["val"],
+        preds_a=[("eq", "side_tag", 0)],
+        preds_b=[("eq", "side_tag", 1)],
+    )
+    for direction in ("backward", "forward", "nearest"):
+        split = _rows(join_asof(spark, out, out, "t", "uid",
+                                direction=direction,
+                                hot_key_threshold=500, **kw))
+        unsplit = _rows(join_asof(spark, out, out, "t", "uid",
+                                  direction=direction,
+                                  hot_key_threshold=None, **kw))
+        assert split == unsplit, direction

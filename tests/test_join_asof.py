@@ -234,7 +234,7 @@ def test_validation_errors(spark, asof_tables):
     with pytest.raises(ValueError):
         join_asof(spark, oa, ob, "t", "uid", how="full")
     with pytest.raises(ValueError):
-        join_asof(spark, oa, ob, "t", "uid", direction="nearest")
+        join_asof(spark, oa, ob, "t", "uid", direction="sideways")
     with pytest.raises(ValueError):
         join_asof(spark, oa, ob, "t", [])
     with pytest.raises(ValueError):
