@@ -1263,6 +1263,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sets="rollup",
         )
 
+    def arcade_pivot(spark, sf_dir):
+        """PIVOT (round-7): per-language counts/char-sums of four
+        pinned sources in ONE fused kernel pass — the finest-grain
+        (lang, source) partials compute once and Spark's relational
+        pivot runs on that tiny frame; empty cells are null (count 0),
+        SQL conditional-aggregation semantics."""
+        _ship_package(spark)
+        from arcade_spark.readops import pivot_table
+
+        out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+        return pivot_table(
+            spark, out, ["lang"], "source",
+            [("cnt", "count", None), ("chars", "sum", "n_chars")],
+            pivot_values=["src0", "src1", "src2", "src3"],
+        )
+
     def arcade_q5(spark, sf_dir):
         """Three-table fused join chain (round-7) — the full TPC-H Q5
         shape: revenue per customer market segment over lineitem ⋈
@@ -1433,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence never ages more than ~2 rounds for any family.
         "arcade_q5": arcade_q5,
         "arcade_rollup": arcade_rollup,
+        "arcade_pivot": arcade_pivot,
         "arcade_rolling_minmax": arcade_rolling_minmax,
         "arcade_window_lag": arcade_window_lag,
         "arcade_cumulative": arcade_cumulative,
@@ -1460,7 +1477,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_scan_documents": arcade_scan_documents,
         "arcade_filter_lang": arcade_filter_lang,
         "arcade_filter_count": arcade_filter_count,
-        "arcade_filter_range": arcade_filter_range,
         "arcade_filter_dnf": arcade_filter_dnf,
         "arcade_random_access": arcade_random_access,
         "arcade_topk_text": arcade_topk_text,
@@ -1482,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_session_stream": arcade_session_stream,
         "arcade_dedup_stream": arcade_dedup_stream,
         # ---- below the driver's 50-entry sample fold ----
+        "arcade_filter_range": arcade_filter_range,
         "arcade_group_stats": arcade_group_stats,
         "arcade_scan_lineitem": arcade_scan_lineitem,
         "arcade_rolling_count": arcade_rolling_count,
@@ -2166,6 +2183,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND "
             "TIMESTAMP '1999-01-01' "
             "GROUP BY o_orderpriority"
+        ),
+        "arcade_pivot": (
+            "SELECT lang, "
+            "count(*) FILTER (source = 'src0') AS src0_cnt, "
+            "CAST(sum(n_chars) FILTER (source = 'src0') AS BIGINT) AS src0_chars, "
+            "count(*) FILTER (source = 'src1') AS src1_cnt, "
+            "CAST(sum(n_chars) FILTER (source = 'src1') AS BIGINT) AS src1_chars, "
+            "count(*) FILTER (source = 'src2') AS src2_cnt, "
+            "CAST(sum(n_chars) FILTER (source = 'src2') AS BIGINT) AS src2_chars, "
+            "count(*) FILTER (source = 'src3') AS src3_cnt, "
+            "CAST(sum(n_chars) FILTER (source = 'src3') AS BIGINT) AS src3_chars "
+            "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL "
+            "GROUP BY lang"
         ),
         "arcade_rollup": (
             # every rollup level replays the same exact fixed-point

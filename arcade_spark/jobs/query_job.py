@@ -270,6 +270,18 @@ def build_query(spark, args):
             spark, args.encoded, preds, args.columns.split(","),
             aggs, sets=sets,
         )
+    if args.cmd == "pivot":
+        from arcade_spark.readops import pivot_table
+
+        aggs = [("cnt", "count", None)] + [
+            (f"sum_{c}", "sum", c)
+            for c in (args.sum.split(",") if args.sum else [])
+        ]
+        return pivot_table(
+            spark, args.encoded, args.columns.split(","), args.pivot,
+            aggs, pivot_values=args.values.split(",")
+            if args.values else None,
+        )
     if args.cmd == "group-distinct":
         from arcade_spark.readops import group_count_distinct
 
@@ -457,6 +469,16 @@ def main(argv: list[str] | None = None) -> int:
                          "empty = grand total)")
     ru.add_argument("--where", default=None,
                     help="eq predicate col=value (optional)")
+
+    pvt = sub.add_parser("pivot")
+    pvt.add_argument("--columns", required=True,
+                     help="comma-separated group columns")
+    pvt.add_argument("--pivot", required=True, help="pivot column")
+    pvt.add_argument("--values", default=None,
+                     help="comma-separated pinned pivot values "
+                          "(omitted = discover, capped)")
+    pvt.add_argument("--sum", default=None,
+                     help="comma-separated columns to SUM")
 
     gd = sub.add_parser("group-distinct")
     gd.add_argument("--columns", required=True,

@@ -1835,6 +1835,98 @@ def filter_group_by_sets(
     return res
 
 
+_MAX_PIVOT_VALUES = 200
+
+
+def pivot_table(
+    spark: SparkSession,
+    out_dir: str,
+    group_cols: list[str],
+    pivot_col: str,
+    aggs: list[tuple],
+    pivot_values: list | None = None,
+    preds: list[tuple] | None = None,
+    agg_scale: int = 100,
+    max_pivot_values: int = _MAX_PIVOT_VALUES,
+) -> DataFrame:
+    """PIVOT — ``SELECT g..., agg(x) FILTER (WHERE p = v1) AS v1_x, ...
+    GROUP BY g`` in ONE fused kernel pass over the encoded table: the
+    finest-grain partials compute per (group..., pivot) tuple (the same
+    kernel filter_group_by_multi uses), and Spark's relational pivot
+    runs on that TINY frame — every shuffle stays O(distinct tuples),
+    never a second scan. ``aggs`` uses the filter_group_by_multi spec
+    grammar (sum/sumprod/avg/min/max/count, exact fixed-point int64).
+
+    ``pivot_values`` pins the output columns — the shape-stable form a
+    production pipeline should use; when omitted the distinct pivot
+    values are discovered from the partials (one pass over the tiny
+    frame) and capped at ``max_pivot_values``: pivoting an unbounded-
+    cardinality column is a schema explosion, not a query. Rows with a
+    null pivot value or null group key are dropped (the fused group-by
+    family's documented contract). Output columns: the group columns,
+    then ``{value}_{aggname}`` per (pivot value, agg) — a (g, v) cell
+    with no rows is null (count cells 0, SQL conditional-aggregation
+    semantics)."""
+    from arcade_spark.partread import filter_group_by_multi_partials
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if pivot_col in group_cols:
+        raise ValueError(f"pivot column {pivot_col!r} is also grouped")
+    partial, vts, cspecs = filter_group_by_multi_partials(
+        spark, out_dir, _preds_to_spec(preds or []),
+        group_cols + [pivot_col], aggs, agg_scale,
+    )
+    from pyspark import StorageLevel
+
+    release_key_caches()
+    partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
+    _register_key_cache(partial)
+    n = len(group_cols)
+    pv_lane = f"k{n}"
+    pv = _group_key_out(F.col(pv_lane), vts[n]).cast("string").alias("_pv")
+    if pivot_values is None:
+        dv = partial.select(pv).distinct()
+        # full parallel count before collecting (the CollectLimit
+        # lesson), and it materializes the partials cache
+        ndv = dv.count()
+        if ndv > max_pivot_values:
+            raise ValueError(
+                f"{pivot_col!r} has {ndv} distinct values — pass "
+                "pivot_values explicitly or pivot a lower-cardinality "
+                "column"
+            )
+        pivot_values = sorted(r["_pv"] for r in dv.collect())
+    else:
+        pivot_values = [str(v) for v in pivot_values]
+    keys = [f"k{i}" for i in range(n)]
+    merged = (
+        partial.withColumn("_pv", pv)
+        .groupBy(*keys)
+        .pivot("_pv", pivot_values)
+        .agg(*_multi_agg_exprs(cspecs))
+    )
+    out_keys = [
+        _group_key_out(F.col(k), vt).alias(nm)
+        for k, vt, nm in zip(keys, vts, group_cols)
+    ]
+    # Spark names pivot output "{value}_{alias}" for multiple aggs and
+    # just "{value}" for one — normalize to {value}_{aggname} always,
+    # and zero-fill count cells (no partial row = zero matched rows)
+    out_aggs = []
+    single = len(cspecs) == 1
+    for v in pivot_values:
+        for sp in cspecs:
+            src = v if single else f"{v}_{sp['name']}"
+            col = merged[src]  # literal lookup — no backtick parsing
+            if sp["kind"] == "count":
+                col = F.coalesce(col, F.lit(0))
+            out_aggs.append(col.alias(f"{v}_{sp['name']}"))
+    res = merged.select(*out_keys, *out_aggs)
+    res._arcade_key_cache = partial
+    return res
+
+
 def _prefix56(b: bytes) -> int:
     """First 7 bytes big-endian as a non-negative int64 — the bucket
     lane for binary order keys. Monotone w.r.t. full byte order, so

@@ -229,6 +229,20 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 
     timed("rollup_q1_levels", _rollup)
 
+    # PIVOT (round-7): per-flag counts/sums of the line statuses in one
+    # kernel pass + relational pivot over the tiny partial frame
+    from arcade_spark.readops import pivot_table
+
+    def _pivot():
+        n = pivot_table(
+            spark, li_enc, ["l_returnflag"], "l_linestatus",
+            [("cnt", "count", None), ("sum_qty", "sum", "l_quantity")],
+            pivot_values=["F", "O"]).count()
+        release_key_caches()
+        return n
+
+    timed("pivot_q1_status", _pivot)
+
     # encoded-to-encoded shuffle join: (key, rowid) streams + late
     # materialization at matched rowids
     or_enc = os.path.join(

@@ -244,3 +244,31 @@ def test_query_job_round7_subcommands(spark, tmp_path_factory):
         by="uid", project=None, right_project=None, how="inner",
         direction="nearest", strict=False, tolerance=None))
     assert all(r["t_b"] == r["t"] for r in df.collect())
+
+
+def test_query_job_pivot(spark, tmp_path_factory):
+    import arcade_spark.jobs.query_job as qj
+
+    src = spark.createDataFrame(
+        [(f"e{i:03d}", ["a", "b"][i % 2], ["x", "y", "z"][i % 3], i)
+         for i in range(60)],
+        "ev string, g string, p string, v long",
+    )
+    out = str(tmp_path_factory.mktemp("qjp") / "enc")
+    encode_job(spark, src, out, num_parts=2, block_rows=16, order_col="ev")
+    df = qj.build_query(spark, argparse.Namespace(
+        cmd="pivot", encoded=out, columns="g", pivot="p",
+        values=None, sum="v"))
+    rows = {r["g"]: r for r in df.collect()}
+    exp = {(g, p): (0, 0) for g in "ab" for p in "xyz"}
+    for i in range(60):
+        g, p = "ab"[i % 2], "xyz"[i % 3]
+        c, s = exp[(g, p)]
+        exp[(g, p)] = (c + 1, s + i)
+    for g in "ab":
+        for p in "xyz":
+            assert rows[g][f"{p}_cnt"] == exp[(g, p)][0]
+            assert rows[g][f"{p}_sum_v"] == exp[(g, p)][1]
+    from arcade_spark.readops import release_key_caches
+
+    release_key_caches()
