@@ -1156,6 +1156,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
         return window_shift(spark, out, "lang", "doc_id", "n_chars")
 
+    def arcade_rolling_center(spark, sf_dir):
+        """Two-sided RANGE frame (round-7): events in [t−30min, t+10min]
+        per user, for every event — ``RANGE BETWEEN 1800s PRECEDING AND
+        600s FOLLOWING``. Same run-bounded binary searches, one extra
+        saturating upper bound; under a hot key the pre-split
+        replicates context bands in BOTH directions."""
+        _ship_package(spark)
+        from arcade_spark.readops import rolling_agg
+
+        out = _encoded_dir(spark, sf_dir, "events", "event_id")
+        return rolling_agg(
+            spark, out, "user_id", "ts", window=1_800_000_000,
+            agg_col="event_id", aggs=("count", "min", "max"),
+            window_after=600_000_000,
+        )
+
     def arcade_cumulative(spark, sf_dir):
         """Cumulative running aggregates (round-7): ``window=None``
         makes the rolling frame UNBOUNDED PRECEDING — SQL's default
@@ -1453,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_rolling_minmax": arcade_rolling_minmax,
         "arcade_window_lag": arcade_window_lag,
         "arcade_cumulative": arcade_cumulative,
+        "arcade_rolling_center": arcade_rolling_center,
         "arcade_sessionize": arcade_sessionize,
         "token_stats": _wrap(token_stats),
         "quality_score": _wrap(quality_score),
@@ -1481,7 +1498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_random_access": arcade_random_access,
         "arcade_topk_text": arcade_topk_text,
         "arcade_orderby_mixed": arcade_orderby_mixed,
-        "arcade_sum_avg_double": arcade_sum_avg_double,
         "arcade_group_by": arcade_group_by,
         "arcade_group_quantiles": arcade_group_quantiles,
         "arcade_group_minmax_str": arcade_group_minmax_str,
@@ -1498,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arcade_session_stream": arcade_session_stream,
         "arcade_dedup_stream": arcade_dedup_stream,
         # ---- below the driver's 50-entry sample fold ----
+        "arcade_sum_avg_double": arcade_sum_avg_double,
         "arcade_filter_range": arcade_filter_range,
         "arcade_group_stats": arcade_group_stats,
         "arcade_scan_lineitem": arcade_scan_lineitem,
@@ -2122,6 +2139,16 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang ORDER BY doc_id) AS shifted "
             "FROM documents WHERE lang IS NOT NULL "
             "AND doc_id IS NOT NULL"
+        ),
+        "arcade_rolling_center": (
+            "SELECT user_id, ts, count(*) OVER w AS w_count, "
+            "min(event_id) OVER w AS w_min, "
+            "max(event_id) OVER w AS w_max "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_id IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL '1800 seconds' PRECEDING "
+            "AND INTERVAL '600 seconds' FOLLOWING)"
         ),
         "arcade_cumulative": (
             # default SQL frame (RANGE UNBOUNDED PRECEDING, peers

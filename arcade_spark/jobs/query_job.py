@@ -239,6 +239,7 @@ def build_query(spark, args):
             spark, args.encoded, args.by.split(","), args.ts,
             window=args.window, agg_col=args.agg_column,
             aggs=tuple(args.aggs.split(",")),
+            window_after=getattr(args, "window_after", 0),
         )
     if args.cmd == "lag":
         from arcade_spark.readops import window_shift
@@ -446,6 +447,9 @@ def main(argv: list[str] | None = None) -> int:
     ro.add_argument("--agg-column", default=None)
     ro.add_argument("--aggs", default="count",
                     help="comma-separated subset of count,sum,avg,min,max")
+    ro.add_argument("--window-after", type=int, default=0,
+                    help="extend the frame forward (N PRECEDING AND "
+                         "M FOLLOWING)")
 
     lg = sub.add_parser("lag")
     lg.add_argument("--by", required=True,

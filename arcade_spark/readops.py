@@ -3885,6 +3885,7 @@ def _split_hot_keys(
     overlap: int,
     threshold: int,
     max_hot: int = _HOT_KEY_MAX,
+    overlap_after: int = 0,
 ) -> tuple[DataFrame | None, int]:
     """Time-range pre-split for hot keys (PLANS.md §9 escape hatch).
 
@@ -3895,7 +3896,11 @@ def _split_hot_keys(
     when ``overlap > 0`` (rolling frames) — replicates each row in the
     ``overlap`` band below a slice boundary into the NEXT slice as a
     context row (``emit = false``): every emitted row's trailing frame
-    is then complete within its own (key, slc) task. ``overlap = 0``
+    is then complete within its own (key, slc) task. ``overlap_after``
+    symmetrically replicates rows in that band ABOVE a slice's lower
+    boundary into the PREVIOUS slice — two-sided RANGE frames need
+    both; ``S >= overlap + overlap_after`` keeps the bands disjoint
+    (at most one copy per row per direction). ``overlap = 0``
     (sessionize) adds no context rows; boundary stitching is the
     caller's job via the ``nsl`` column (> 1 marks sliced keys).
 
@@ -3942,7 +3947,8 @@ def _split_hot_keys(
                 "time-range slicing would overflow; filter sentinels first"
             )
         nsl_target = -(-cnt // threshold)  # ceil
-        s_width = max(int(overlap), -(-(span + 1) // nsl_target), 1)
+        s_width = max(int(overlap) + int(overlap_after),
+                      -(-(span + 1) // nsl_target), 1)
         nsl = span // s_width + 1
         rows.append((*_row_key(r, knames), tmin, s_width, nsl))
     lanes_ddl = ", ".join(
@@ -3968,6 +3974,21 @@ def _split_hot_keys(
         )
         ctx = F.struct((slc + 1).alias("slc"), F.lit(False).alias("emit"))
         copies = F.when(ctx_cond, F.array(base, ctx)).otherwise(copies)
+    if overlap_after > 0:
+        # rows within `overlap_after` at-or-above a slice's lower
+        # boundary replicate into the PREVIOUS slice (two-sided
+        # frames); disjoint from the up-band since S >= sum of bands,
+        # so array_union of the two whens never double-copies
+        ctx2_cond = (
+            F.col("_s").isNotNull()
+            & (slc > 0)
+            & (F.expr(f"({t_name} - _tmin) % _s")
+               < F.lit(int(overlap_after)))
+        )
+        ctx2 = F.struct((slc - 1).alias("slc"), F.lit(False).alias("emit"))
+        copies = F.when(
+            ctx2_cond, F.concat(copies, F.array(ctx2))
+        ).otherwise(copies)
     out = (
         j.withColumn("_se", F.explode(copies))
         .select(
@@ -4483,6 +4504,7 @@ def rolling_agg(
     aggs: tuple = ("count",),
     preds: list[tuple] | None = None,
     hot_key_threshold: int | None = _HOT_KEY_ROWS,
+    window_after: int = 0,
 ) -> DataFrame:
     """Trailing-window aggregate per key — for every row, COUNT/SUM/AVG
     over the rows of the same key with ``ts`` in ``[t - window, t]``:
@@ -4493,7 +4515,13 @@ def rolling_agg(
     value for ints. ``window=None`` makes the frame UNBOUNDED
     PRECEDING — cumulative running aggregates (SQL's default ``RANGE
     BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` frame, peers of the
-    current timestamp included).
+    current timestamp included). ``window_after`` extends the frame
+    forward — ``RANGE BETWEEN window PRECEDING AND window_after
+    FOLLOWING`` (centered/leading windows); under the hot-key split
+    the context bands replicate in BOTH directions, so every emitted
+    row's two-sided frame is complete in its own task. Not combinable
+    with ``window=None`` (an unbounded-plus-following frame would need
+    emit-masked stitch summaries — unimplemented).
 
     Scale design: narrow (key lanes, ts, [agg lane], rid) rows, one
     hash shuffle on the key lanes; per task ONE lexsort, global prefix
@@ -4539,6 +4567,14 @@ def rolling_agg(
     cumulative = window is None
     if not cumulative and window <= 0:
         raise ValueError(f"window must be > 0: {window}")
+    if window_after < 0:
+        raise ValueError(f"window_after must be >= 0: {window_after}")
+    if cumulative and window_after > 0:
+        raise NotImplementedError(
+            "window=None (UNBOUNDED PRECEDING) cannot combine with "
+            "window_after — the cumulative stitch summaries would need "
+            "emit masking"
+        )
     aggs = tuple(aggs)
     bad = set(aggs) - {"count", "sum", "avg", "min", "max"}
     if bad or not aggs:
@@ -4568,6 +4604,7 @@ def rolling_agg(
     k_bin = [vt in ("str", "binary") for vt in kvts[:g]]
     knames = [f"k{i}" for i in range(g)]
     win_units = window
+    w_after = int(window_after)
     want = aggs
     sliced = None
     if (
@@ -4578,6 +4615,7 @@ def rolling_agg(
             spark, keyed, knames, k_bin, f"k{g}",
             overlap=0 if cumulative else win_units,
             threshold=hot_key_threshold,
+            overlap_after=int(window_after),
         )
     has_slices = sliced is not None
     with_bases = has_slices and cumulative
@@ -4659,9 +4697,13 @@ def rolling_agg(
                 lo = np.where(step, mid + 1, lo)
                 hi = np.where(active & ~less, mid, hi)
             lb = lo
-        # frame upper bound: last j in run with ts[j] <= ts[i]
-        # (peers after i included) — upper_bound of ts[i] within run
-        q_hi = ts_s
+        # frame upper bound: last j in run with ts[j] <= ts[i] + after
+        # (peers after i included) — upper_bound within run; the add
+        # saturates like q_lo (ts near int64 max must not wrap)
+        i64_max = np.iinfo(np.int64).max
+        q_hi = (ts_s if w_after == 0 else np.where(
+            ts_s > i64_max - w_after, i64_max, ts_s + w_after
+        ))
         lo2 = idx + 1  # peers before/at i are already <= ts[i]
         hi2 = run_end
         while True:

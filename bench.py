@@ -387,6 +387,12 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         spark, ev_enc, "user_id", "ts", window=1_800_000_000,
         agg_col="event_id", aggs=("min", "max")).count())
 
+    # two-sided RANGE frame (round-7): N PRECEDING AND M FOLLOWING
+    timed("rolling_center_users", lambda: rolling_agg(
+        spark, ev_enc, "user_id", "ts", window=1_800_000_000,
+        agg_col="event_id", aggs=("count", "min", "max"),
+        window_after=600_000_000).count())
+
     # cumulative running aggregates (round-7): window=None = SQL's
     # default RANGE UNBOUNDED PRECEDING frame
     timed("cumulative_users", lambda: rolling_agg(

@@ -292,3 +292,25 @@ def test_asof_split_carried_ties(spark, tmp_path_factory):
                                   direction=direction,
                                   hot_key_threshold=None, **kw))
         assert split == unsplit, direction
+
+
+def test_rolling_two_sided_split(spark, hot_table):
+    """Two-sided frames under the forced-hot key: context bands
+    replicate in BOTH directions, split == unsplit == DuckDB."""
+    out, con = hot_table
+    kw = dict(window=4000, window_after=2500, agg_col="amt",
+              aggs=("count", "sum", "min", "max"))
+    split = _rows(rolling_agg(spark, out, "uid", "t",
+                              hot_key_threshold=THRESH, **kw))
+    unsplit = _rows(rolling_agg(spark, out, "uid", "t",
+                                hot_key_threshold=None, **kw))
+    assert split == unsplit
+    exp = _sql(con, """
+        SELECT uid, t, count(*) OVER w AS w_count,
+               sum(amt) OVER w AS w_sum,
+               min(amt) OVER w AS w_min, max(amt) OVER w AS w_max
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL
+                 AND amt IS NOT NULL
+        WINDOW w AS (PARTITION BY uid ORDER BY t
+                     RANGE BETWEEN 4000 PRECEDING AND 2500 FOLLOWING)""")
+    assert split == exp

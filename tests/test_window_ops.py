@@ -550,3 +550,33 @@ def test_cumulative_count_only(spark, sess_table):
                AS w_count
         FROM t WHERE uid IS NOT NULL AND t IS NOT NULL""")
     assert got == exp
+
+
+def test_rolling_two_sided_frame(spark, sess_table):
+    """window_after: RANGE BETWEEN N PRECEDING AND M FOLLOWING."""
+    from arcade_spark.readops import rolling_agg
+
+    out, con = sess_table
+    got = _rows(rolling_agg(
+        spark, out, "uid", "t", window=600, agg_col="amt",
+        aggs=("count", "sum", "min", "max"), window_after=300))
+    exp = _sql(con, """
+        SELECT uid, t, count(*) OVER w AS w_count,
+               sum(amt) OVER w AS w_sum,
+               min(amt) OVER w AS w_min, max(amt) OVER w AS w_max
+        FROM t WHERE uid IS NOT NULL AND t IS NOT NULL
+                 AND amt IS NOT NULL
+        WINDOW w AS (PARTITION BY uid ORDER BY t
+                     RANGE BETWEEN 600 PRECEDING AND 300 FOLLOWING)""")
+    assert got == exp
+
+
+def test_rolling_two_sided_validation(spark, sess_table):
+    from arcade_spark.readops import rolling_agg
+
+    out, _ = sess_table
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rolling_agg(spark, out, "uid", "t", window=10, window_after=-1)
+    with _pt.raises(NotImplementedError):
+        rolling_agg(spark, out, "uid", "t", window=None, window_after=5)
