@@ -798,6 +798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q = window_counts(
                 spark, inp, outp, ckpt, "ts timestamp, event_type string",
                 ts_col="ts", key_col="event_type",
+                state_partitions=8,  # 5 event types: size state to key
+                # cardinality, not scan parallelism (same rows)
             )
             q.awaitTermination()
             with open(done, "w") as fh:
@@ -863,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, inp, outp, ckpt, "ts timestamp, user_id long",
                 ts_col="ts", key_col="user_id",
                 gap="30 minutes", watermark="2 hours",
+                state_partitions=8,  # ~150 user keys: size state to
+                # key cardinality, not scan parallelism (same rows)
             )
             q.awaitTermination()
             with open(done, "w") as fh:

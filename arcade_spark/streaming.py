@@ -22,6 +22,37 @@ from arcade_spark import BLOCK_ROWS
 STREAM_PART_BASE = 1_000_000  # streamed part ids: BASE + batch_id * stride
 
 
+class _pinned_state_partitions:
+    """Pin ``spark.sql.shuffle.partitions`` (= the stateful operator's
+    state-partition count, captured when the streaming query starts)
+    for the duration of a ``writer.start()`` call, then restore.
+
+    Why (guide §2.2/§9): every state partition pays a per-trigger
+    state-store open/commit plus one task, so state partitions should
+    be sized to KEY CARDINALITY, not to scan parallelism — a 32-core
+    session running an 8-bucket dedup otherwise spends most of each
+    micro-batch committing 24 empty state stores (measured on the
+    session-window op in round 7: 40 s → ~10 s). StreamExecution
+    clones the session conf synchronously inside ``start()``, so
+    restoring right after start() is race-free; a replayed checkpoint
+    keeps the partition count it was created with."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark = spark
+        self.n = n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(int(self.n)))
+        return self
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def encode_stream(
     spark: SparkSession,
     input_dir: str,
@@ -78,6 +109,7 @@ def dedup_stream(
     buckets: int = 64,
     trigger_available_now: bool = True,
     max_files_per_trigger: int = 1,
+    state_partitions: int | None = None,
 ):
     """Streaming exact dedup with CROSS-MICRO-BATCH state
     (``applyInPandasWithState`` — the custom-stateful-operator path the
@@ -137,7 +169,15 @@ def dedup_stream(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    # state partitions sized to key cardinality: there are exactly
+    # ``buckets`` distinct state groups, so more state partitions than
+    # buckets only add empty per-trigger store commits (guide §2.2).
+    # The row set emitted is identical under any partition count.
+    if state_partitions is None:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        state_partitions = max(1, min(buckets, cur))
+    with _pinned_state_partitions(spark, state_partitions):
+        return writer.start()
 
 
 def session_counts(
@@ -152,6 +192,7 @@ def session_counts(
     watermark: str = "2 hours",
     trigger_available_now: bool = True,
     max_files_per_trigger: int = 1,
+    state_partitions: int | None = None,
 ):
     """Event-time SESSION windows with a watermark (round-6): Spark's
     built-in ``session_window`` — a session extends while successive
@@ -198,7 +239,11 @@ def session_counts(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    # optional state-partition sizing (see _pinned_state_partitions):
+    # session-window state should be sized to key cardinality; None
+    # keeps the session default (callers may pin externally).
+    with _pinned_state_partitions(spark, state_partitions):
+        return writer.start()
 
 
 def window_counts(
@@ -213,6 +258,7 @@ def window_counts(
     watermark: str = "2 hours",
     trigger_available_now: bool = True,
     max_files_per_trigger: int = 1,
+    state_partitions: int | None = None,
 ):
     """Event-time WINDOWED aggregation with a WATERMARK (round-5 — the
     late-data pattern the build mandate names): tumbling epoch-aligned
@@ -250,4 +296,5 @@ def window_counts(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    with _pinned_state_partitions(spark, state_partitions):
+        return writer.start()
