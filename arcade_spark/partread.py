@@ -1044,17 +1044,28 @@ _MAT_SPLIT_ROWS = 1 << 18  # late-materialization task cap (rows per split)
 
 
 def materialize_rowids_parts(
-    spark: SparkSession, out_dir: str, rids: DataFrame, project: list[str]
+    spark: SparkSession, out_dir: str, rids: DataFrame, project: list[str],
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Distributed late materialization: decode ``project`` columns at
     a DataFrame of global row ids (column ``rid``, assumed distinct) —
     the random-access kernel (_ra_part_batches: touched blocks' blobs
     only, seg-only replay before them) run per partition via
     applyInArrow, so no row-id set ever collects to the driver. The
-    only shuffle moves (part_id, lp, rid) triples."""
+    only shuffle moves (part_id, lp, rid) triples.
+
+    ``carry`` (round-8, guide §2.4): names of extra INT64 columns of
+    ``rids`` to ride the same narrow shuffle and re-attach to the
+    decoded rows inside the kernel (vectorized rid→row match). A
+    caller that would otherwise join the materialized rows back to its
+    rid stream (two more exchanges + a sort-merge join, plus a second
+    execution of the rid-producing subtree) gets the attachment for
+    the cost of one extra int64 lane. Output columns: row_id,
+    *carry, *project."""
     from arcade_spark.schema import spark_type_for
     from pyspark.sql import functions as F
 
+    carry = list(carry or [])
     all_cols, parts = load_manifest(out_dir)
     missing = [c for c in project if c not in dict(all_cols)]
     if missing:
@@ -1090,25 +1101,48 @@ def materialize_rowids_parts(
                 [pa.array(pids[pi], type=pa.int32()),
                  pa.array((lp // SPLIT_ROWS).astype(np.int32), type=pa.int32()),
                  pa.array(lp, type=pa.int64()),
-                 pa.array(r, type=pa.int64())],
-                names=["part_id", "split", "lp", "rid"],
+                 pa.array(r, type=pa.int64())]
+                + [batch.column(c).cast(pa.int64()) for c in carry],
+                names=["part_id", "split", "lp", "rid"] + carry,
             )
 
-    tagged = rids.select("rid").mapInArrow(
-        tag, schema="part_id int, split int, lp long, rid long"
+    tagged = rids.select(["rid"] + carry).mapInArrow(
+        tag,
+        schema="part_id int, split int, lp long, rid long"
+        + "".join(f", {c} long" for c in carry),
     )
+    carry_fields = [pa.field(c, pa.int64()) for c in carry]
     out_schema = _out_schema(cols, lead=[pa.field("row_id", pa.int64())])
+    full_schema = _out_schema(
+        cols, lead=[pa.field("row_id", pa.int64())] + carry_fields
+    )
 
     def fn(key: tuple, tbl: pa.Table) -> pa.Table:
         pid = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
         lps = tbl.column("lp").to_numpy(zero_copy_only=False).astype(np.int64)
         rr = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
         batches = list(_ra_part_batches(out_dir, pid, list(zip(lps, rr)), cols))
-        return pa.Table.from_batches(batches, schema=out_schema)
+        out = pa.Table.from_batches(batches, schema=out_schema)
+        if not carry:
+            return out
+        # re-attach carried lanes: rids are distinct, so a sorted
+        # searchsorted maps each output row_id back to its input row
+        order = np.argsort(rr, kind="stable")
+        out_rid = out.column("row_id").to_numpy(zero_copy_only=False)
+        idx = order[np.searchsorted(rr[order], out_rid)]
+        take_idx = pa.array(idx, type=pa.int64())
+        arrays = [out.column("row_id")]
+        for c in carry:
+            # Arrow take, not a numpy round-trip: carried lanes may be
+            # nullable (anti-join null keys) and to_numpy would mangle
+            # nulls into NaN-cast garbage
+            arrays.append(tbl.column(c).combine_chunks().take(take_idx))
+        arrays += [out.column(n) for n, _ in cols]
+        return pa.Table.from_arrays(arrays, schema=full_schema)
 
-    ddl = "row_id long, " + ", ".join(
-        f"{n} {spark_type_for(v)}" for n, v in cols
-    )
+    ddl = ("row_id long, "
+           + "".join(f"{c} long, " for c in carry)
+           + ", ".join(f"{n} {spark_type_for(v)}" for n, v in cols))
     return tagged.groupBy("part_id", "split").applyInArrow(fn, schema=ddl)
 
 

@@ -2760,29 +2760,65 @@ def orderby_export(
         ] + [("rid", "descending" if dirs[0] else "ascending")]
         placement = "at_start" if dirs[0] else "at_end"
 
+    # projection fast path (round-8, guide §1.2 "don't compute things
+    # you throw away"): a projected column that IS an order column
+    # already rides the sort as a decoded lane — emitting it from the
+    # lane skips the whole late-materialization pass (second kernel
+    # read + its shuffle). double/float are excluded: their lane is
+    # the order-KEY transform (bits.float_order_keys), not the value.
+    lane_of = {c: f"k{i}" for i, c in reversed(list(enumerate(order_cols)))}
+    lanes_cover = all(
+        c in lane_of and cols[c] not in ("double", "float") for c in project
+    )
+
     def sort_bucket(key: tuple, tbl: pa.Table) -> pa.Table:
         b = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
         idx = pa.compute.sort_indices(
             tbl, sort_keys=sort_keys, null_placement=placement
         )
-        rid = tbl.column("rid").take(idx)
         pos = pa.array(
             offsets[b] + np.arange(tbl.num_rows, dtype=np.int64)
         )
-        return pa.Table.from_arrays([pos, rid], names=["pos", "rid"])
+        keep = (sorted({lane_of[c] for c in project})
+                if lanes_cover else ["rid"])
+        return pa.Table.from_arrays(
+            [pos] + [tbl.column(k).take(idx) for k in keep],
+            names=["pos"] + keep,
+        )
+
+    if lanes_cover:
+        need = sorted({lane_of[c] for c in project})
+        lane_ddl = ", ".join(
+            f"{k} {'binary' if cols[order_cols[int(k[1:])]] in ('str', 'binary') else 'long'}"
+            for k in need
+        )
+        sorted_rows = keyed_b.groupBy("bkt").applyInArrow(
+            sort_bucket, schema=f"pos long, {lane_ddl}"
+        )
+        result = sorted_rows.select(
+            "pos",
+            *[_group_key_out(F.col(lane_of[c]), cols[c]).alias(c)
+              for c in project],
+        )
+        if persist:
+            result._arcade_key_cache = keyed_b
+        return result
 
     sorted_ids = keyed_b.groupBy("bkt").applyInArrow(
         sort_bucket, schema="pos long, rid long"
     )
 
     # ---- 4) late-materialize the projection at the sorted rowids ----
+    # the global rank rides the materialization shuffle as a carried
+    # int64 lane (round-8, guide §2.4): attaching it by join would add
+    # two exchanges + a sort-merge join AND execute the bucket-sort
+    # subtree twice (once as the join input, once to feed the rid
+    # stream) — measured 3.3 s of the 5.1 s wall on 600k rows
     mat = materialize_rowids_parts(
-        spark, out_dir, sorted_ids.select("rid"), list(project)
+        spark, out_dir, sorted_ids.select("rid", "pos"), list(project),
+        carry=["pos"],
     )
-    result = (
-        sorted_ids.join(mat, sorted_ids["rid"] == mat["row_id"])
-        .select("pos", *project)
-    )
+    result = mat.select("pos", *project)
     if persist:
         # handle kept for callers that release eagerly (bench.py);
         # otherwise the NEXT sort/rank call — or release_key_caches() —
@@ -3121,7 +3157,23 @@ def join_encoded(
         if not project_a:
             return ids.select(*out_cols)
         # rid_a is already unique here (one row per left row after the
-        # deduped-probe semi/anti) — no distinct pass needed
+        # deduped-probe semi/anti) — no distinct pass needed, and the
+        # key lanes can RIDE the materialization shuffle as carried
+        # int64 lanes instead of joining the match stream back to the
+        # decoded rows (round-8: saves two exchanges + a sort-merge
+        # join + a second run of the semi/anti subtree). Binary key
+        # lanes can't ride an int64 lane — they keep the join path.
+        if all(va not in ("str", "binary") for va in kvts_a):
+            mat_a = materialize_rowids_parts(
+                spark, out_a,
+                ids.select(F.col("rid_a").alias("rid"), *knames),
+                project_a, carry=knames,
+            )
+            return mat_a.select(
+                *[_group_key_out(F.col(kn), va).alias(ka_name)
+                  for kn, va, ka_name in zip(knames, kvts_a, keys_a)],
+                *[F.col(c) for c in project_a],
+            )
         mat_a = materialize_rowids_parts(
             spark, out_a,
             ids.select(F.col("rid_a").alias("rid")), project_a,
@@ -3129,6 +3181,20 @@ def join_encoded(
         joined = ids.join(mat_a, ids["rid_a"] == mat_a["row_id"], "inner")
         return joined.select(*out_cols, *[F.col(c) for c in project_a])
     ids = ka_n.join(_hb(kb_n), knames)
+    if project_a or project_b:
+        # the narrow (key, rid_a, rid_b) match stream is consumed up to
+        # three times below (per-side materialization rid sets + the
+        # final attach joins); without a persist each consumer replans
+        # the whole subtree — runtime exchange reuse dedupes the key
+        # kernels but re-runs the join merge per consumer (round-8,
+        # guide §5 "reused AND recomputing is more expensive"). Rows
+        # are tens of bytes; the registry keeps at most one persisted
+        # stream per session (released on the next register/release).
+        from pyspark import StorageLevel
+
+        release_key_caches()
+        ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+        _register_key_cache(ids)
     if keep_a:
         # ANTI join keeps null-key rows too (null never equi-matches)
         unmatched_a = (
