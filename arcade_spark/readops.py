@@ -3457,6 +3457,11 @@ def join_asof(
             )
             .collect()
         )
+        # the per-slice collect materialized the sliced persist — the
+        # split's input key-stream cache is no longer needed
+        _ic = getattr(sliced, "_arcade_input_cache", None)
+        if _ic is not None:
+            _ic.unpersist()
         from collections import defaultdict
 
         per_key: dict[tuple, list] = defaultdict(list)
@@ -3675,6 +3680,9 @@ def join_asof(
                 F.lit(None).cast("long").alias("rid_b"),
             )
         )
+    # (measured round-8: persisting ids here HURTS — the merge kernel
+    # re-run that exchange reuse leaves is cheaper than forcing cache
+    # materialization, unlike join_encoded's triple-consumed stream)
     out_cols = [
         _group_key_out(F.col(kn), vt).alias(name)
         for kn, vt, name in zip(knames, vts_a, by_cols)
@@ -3977,8 +3985,16 @@ def _split_hot_keys(
     driver-side slice math uses Python ints)."""
     from pyspark import StorageLevel
 
+    # persist the NARROW key stream before the stats pass (round-8,
+    # guide §5): the stream is consumed again right below by the
+    # hot-key join/explode, so without this the kernel decode runs
+    # twice (stats + slicing). Rows are tens of bytes. The handle is
+    # attached to the returned frame as ``_arcade_input_cache`` —
+    # callers unpersist it once their own downstream persist is
+    # materialized (or it falls to the next release_key_caches()).
+    keyed_c = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     stats = (
-        keyed.groupBy(*knames)
+        keyed_c.groupBy(*knames)
         .agg(
             F.count("*").alias("_cnt"),
             F.min(t_name).alias("_tmin"),
@@ -3994,8 +4010,10 @@ def _split_hot_keys(
     try:
         n_hot = stats.count()
         if n_hot == 0:
+            keyed_c.unpersist()
             return None, 0
         if n_hot > max_hot:
+            keyed_c.unpersist()
             raise ValueError(
                 f"more than {max_hot} keys exceed {threshold} rows — "
                 "raise the hot-key threshold or aggregate first"
@@ -4064,6 +4082,7 @@ def _split_hot_keys(
             F.coalesce(F.col("_nsl"), F.lit(1)).alias("nsl"),
         )
     )
+    out._arcade_input_cache = keyed_c
     return out, len(hot)
 
 
@@ -4326,6 +4345,11 @@ def sessionize(
         _make_kernel(True, True),
         schema=f"{lanes_ddl}, slc long, n_sess long, t_first long, t_last long",
     ).collect()
+    # the summaries collect materialized u — release the split's input
+    # key-stream cache
+    _ic = getattr(sliced, "_arcade_input_cache", None)
+    if _ic is not None:
+        _ic.unpersist()
     per_key: dict[tuple, list] = defaultdict(list)
     for r in summaries:
         kv = _row_key(r, knames)
@@ -4997,6 +5021,11 @@ def rolling_agg(
             schema=(f"{lanes_ddl}, slc long, s_cnt long, s_sum long, "
                     f"s_min long, s_max long"),
         ).collect()
+        # the summaries collect materialized u — release the split's
+        # input key-stream cache
+        _ic = getattr(sliced, "_arcade_input_cache", None)
+        if _ic is not None:
+            _ic.unpersist()
         per_key: dict[tuple, list] = defaultdict(list)
         for r in summaries:
             kv = _row_key(r, knames)
@@ -5054,6 +5083,13 @@ def rolling_agg(
     else:
         if has_slices:
             u = sliced.repartition(*[F.col(k) for k in knames], F.col("slc"))
+            # the sliced stream is consumed once (lazily, by the
+            # caller's action) — hand the split's input key-stream
+            # cache to the registry so the next op (or an explicit
+            # release_key_caches()) frees it after consumption
+            _ic = getattr(sliced, "_arcade_input_cache", None)
+            if _ic is not None:
+                _register_key_cache(_ic)
         else:
             u = keyed.repartition(*[F.col(k) for k in knames])
         ids = u.mapInArrow(
