@@ -135,14 +135,18 @@ def load_manifest(out_dir: str) -> tuple[list[tuple[str, str]], list[tuple[int, 
 
 def _assign_df(spark: SparkSession, part_ids: list[int]) -> DataFrame:
     """Deterministic part→task assignment via parallelize slicing (never
-    hash-repartition — balls-in-bins leaves slots empty). Slice count is
-    capped at 4× the cluster parallelism: with millions of encoded
-    partitions each task sequentially works a contiguous run of parts,
-    amortizing the constant per-task overhead (python-worker handshake,
-    scheduling) exactly like encode's files_per_task; with few parts it
-    stays 1:1."""
+    hash-repartition — balls-in-bins leaves slots empty). Slice count
+    (round-8, guide §2.2/§6 "fewer, larger tasks"): each Python task
+    costs a measurable constant (~5 ms dispatch + Arrow handshake on
+    this box — a bare 64-task python job is 0.47 s while the same
+    kernel work in-process is 0.05 s), so tasks get ≥2 parts whenever
+    that still fills the cluster; with many parts the old cap of 4×
+    parallelism keeps contiguous runs per task (straggler balance),
+    and with fewer parts than cores it stays 1:1. All three regimes
+    derive from defaultParallelism, never a constant."""
     items = [(int(p),) for p in part_ids]
-    slices = max(1, min(len(items), 4 * spark.sparkContext.defaultParallelism))
+    par = spark.sparkContext.defaultParallelism
+    slices = max(1, min(len(items), max(par, min(len(items) // 2, 4 * par))))
     rdd = spark.sparkContext.parallelize(items, slices)
     return spark.createDataFrame(rdd, "part_id int")
 
