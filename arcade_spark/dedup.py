@@ -379,7 +379,13 @@ def dedup_cluster(
     # materializes the cache in a single pass and costs O(1) to read
     n_edges = edges.count()
     if n_edges <= driver_max_edges:
-        rows = edges.collect()
+        # Arrow toPandas into two primitive int64 arrays, NOT collect():
+        # 4M PySpark Row objects cost hundreds of bytes each (multi-GB
+        # of Python heap near the cap), while two int64 columns are
+        # ~64 MB (round-8, ADVICE r7)
+        pdf = edges.toPandas()
+        us = pdf["u"].to_numpy(dtype="int64")
+        vs = pdf["v"].to_numpy(dtype="int64")
         edges.unpersist()
         parent: dict[int, int] = {}
 
@@ -390,8 +396,8 @@ def dedup_cluster(
                 x = parent[x]
             return x
 
-        for r in rows:
-            ra, rb = _find(int(r["u"])), _find(int(r["v"]))
+        for ru, rv in zip(us.tolist(), vs.tolist()):
+            ra, rb = _find(ru), _find(rv)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         lab = [(x, _find(x)) for x in parent]

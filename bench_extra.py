@@ -159,6 +159,22 @@ def probe_sessionize_skew_split(spark):
         gap=10, emit="sessions", hot_key_threshold=20_000).count()
 
 
+def probe_window_lag_skew_split(spark):
+    """LAG over the 25%-hot zipf key with the split forced (round-8:
+    window_shift's hot-key escape hatch, the r7 verdict perf-weak
+    item) — comparable to the other *_skew_split probes."""
+    from arcade_spark.manifest import FORMAT_REV
+    from arcade_spark.readops import window_shift
+
+    sf, n_cores = _sf_tag()
+    skew_base = os.path.join(
+        tempfile.gettempdir(), f"arcade_bench_skew_v{FORMAT_REV}_{sf}_{n_cores}"
+    )
+    return window_shift(
+        spark, os.path.join(skew_base, "zipf"), "k", ["row_id"], "v",
+        hot_key_threshold=20_000).count()
+
+
 def probe_filter_lang(spark):
     from arcade_spark.readops import equi_filter
 
@@ -188,6 +204,7 @@ PROBES = {
     "join_li_orders": probe_join_li_orders,
     "asof_skew_split": probe_asof_skew_split,
     "sessionize_skew_split": probe_sessionize_skew_split,
+    "window_lag_skew_split": probe_window_lag_skew_split,
     "filter_lang": probe_filter_lang,
 }
 

@@ -111,3 +111,54 @@ def test_pivot_validation_and_cap(spark, pv_table):
         pivot_table(spark, out, ["lang"], "url",
                     [("c", "count", None)], max_pivot_values=5)
     release_key_caches()
+
+
+def test_pivot_dotted_values(spark, pv_table, tmp_path):
+    """Pivot values containing '.' (round-8, ADVICE r7): output columns
+    must resolve positionally — Dataset.col would parse the dot as a
+    struct-field separator and raise UNRESOLVED_COLUMN."""
+    rng = np.random.default_rng(7)
+    n = 300
+    df = pd.DataFrame({
+        "url": [f"u{i:04d}" for i in range(n)],
+        "ver": np.array(["1.5", "2.0.1", "3"])[rng.integers(0, 3, n)],
+        "lang": np.array(["en", "de"])[rng.integers(0, 2, n)],
+        "qty": pd.array(rng.integers(1, 9, n).astype(np.int64),
+                        dtype="Int64"),
+    })
+    out = str(tmp_path / "enc")
+    encode_job(spark, spark.createDataFrame(df), out,
+               num_parts=2, block_rows=128, order_col="url")
+    got = pivot_table(
+        spark, out, ["lang"], "ver",
+        [("cnt", "count", None), ("sq", "sum", "qty")],
+    )
+    rows = _rows(got, ["lang"])
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT lang,
+               count(*) FILTER (ver = '1.5')   AS a_cnt,
+               sum(qty) FILTER (ver = '1.5')   AS a_sq,
+               count(*) FILTER (ver = '2.0.1') AS b_cnt,
+               sum(qty) FILTER (ver = '2.0.1') AS b_sq,
+               count(*) FILTER (ver = '3')     AS c_cnt,
+               sum(qty) FILTER (ver = '3')     AS c_sq
+        FROM t GROUP BY lang ORDER BY lang""").fetchall()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in exp]
+    assert list(got.columns) == [
+        "lang", "1.5_cnt", "1.5_sq", "2.0.1_cnt", "2.0.1_sq",
+        "3_cnt", "3_sq",
+    ]
+
+
+def test_pivot_colliding_output_names(spark, pv_table):
+    """One pivot value being a prefix of another plus an agg name must
+    be refused, not silently mis-projected."""
+    out, _ = pv_table
+    with pytest.raises(ValueError, match="collide"):
+        pivot_table(
+            spark, out, ["lang"], "src",
+            [("x", "count", None), ("news_x", "sum", "qty")],
+            pivot_values=["news", "news_news"],
+        )
