@@ -21,6 +21,8 @@ prune ``v > max_bin`` is applied only when ``max_exact``.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator
 
 import numpy as np
@@ -3205,7 +3207,7 @@ def join_encoded(
         joined = ids.join(mat_a, ids["rid_a"] == mat_a["row_id"], "inner")
         return joined.select(*out_cols, *[F.col(c) for c in project_a])
     ids = ka_n.join(_hb(kb_n), knames)
-    if project_a or project_b:
+    if (project_a or project_b) and os.environ.get("ARCADE_JOIN_IDS_PERSIST", "1") != "0":
         # the narrow (key, rid_a, rid_b) match stream is consumed up to
         # three times below (per-side materialization rid sets + the
         # final attach joins); without a persist each consumer replans
