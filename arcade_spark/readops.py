@@ -3204,6 +3204,8 @@ def join_encoded(
             spark, out_a,
             ids.select(F.col("rid_a").alias("rid")), project_a,
         )
+        if _bcast_mat_ok(out_a):
+            mat_a = F.broadcast(mat_a)  # see attach note below
         joined = ids.join(mat_a, ids["rid_a"] == mat_a["row_id"], "inner")
         return joined.select(*out_cols, *[F.col(c) for c in project_a])
     ids = ka_n.join(_hb(kb_n), knames)
@@ -3242,6 +3244,11 @@ def join_encoded(
         for kn, va, ka_name in zip(knames, kvts_a, keys_a)
     ]
     joined = ids
+    # attach joins: hint BROADCAST on the materialized side when the
+    # manifest's row AND raw-byte totals bound it small (round-8, guide
+    # §3.1) — Catalyst cannot estimate a mapInArrow output, so without
+    # the hint these sort-merge and shuffle the big match stream by
+    # rowid (plans/r08/join_li_orders_before.txt: 4 SortMergeJoin)
     if project_a:
         mat_a = materialize_rowids_parts(
             spark, out_a,
@@ -3249,6 +3256,8 @@ def join_encoded(
             .select(F.col("rid_a").alias("rid")).distinct(),
             project_a,
         )
+        if _bcast_mat_ok(out_a):
+            mat_a = F.broadcast(mat_a)
         joined = joined.join(
             mat_a, joined["rid_a"] == mat_a["row_id"],
             "left" if keep_b else "inner",
@@ -3261,6 +3270,8 @@ def join_encoded(
             .select(F.col("rid_b").alias("rid")).distinct(),
             project_b,
         )
+        if _bcast_mat_ok(out_b):
+            mat_b = F.broadcast(mat_b)
         joined = joined.join(
             mat_b, joined["rid_b"] == mat_b["row_id"],
             "left" if keep_a else "inner",
@@ -3723,6 +3734,8 @@ def join_asof(
             spark, out_a,
             ids.select(F.col("rid_a").alias("rid")), project_a,
         )
+        if _bcast_mat_ok(out_a):
+            mat_a = F.broadcast(mat_a)  # see join_encoded attach note
         joined = joined.join(
             mat_a, joined["rid_a"] == mat_a["row_id"], "inner",
         ).drop("row_id")
@@ -3734,6 +3747,8 @@ def join_asof(
             .select(F.col("rid_b").alias("rid")).distinct(),
             project_b,
         )
+        if _bcast_mat_ok(out_b):
+            mat_b = F.broadcast(mat_b)
         joined = joined.join(
             mat_b, joined["rid_b"] == mat_b["row_id"],
             "left" if keep_a else "inner",
@@ -4138,6 +4153,29 @@ def _manifest_total_rows(out_dir: str) -> int:
 
     _cols, parts = load_manifest(out_dir)
     return sum(n for _pid, n in parts)
+
+
+_BCAST_MAT_MAX_RAW = 128 << 20  # decoded-bytes bound for payload broadcasts
+
+
+def _bcast_mat_ok(out_dir: str) -> bool:
+    """May a MATERIALIZED projection of this table be broadcast-hinted?
+    Manifest row total bounds the row count and the manifest raw-byte
+    total bounds the DECODED size of any projection of it — both free,
+    known before any job runs (guide §3.1: size estimates through
+    mapInArrow are opaque to Catalyst, so without the hint the attach
+    join sort-merges and shuffles the big match stream by rowid)."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    try:
+        mdir = _os.path.join(out_dir, "manifest")
+        t = pq.read_table(mdir, columns=["n_rows", "raw_bytes"])
+        rows = sum(t.column("n_rows").to_pylist())
+        raw = sum(t.column("raw_bytes").to_pylist())
+    except Exception:
+        return False
+    return rows <= _BCAST_MAX_KEY_ROWS and raw <= _BCAST_MAT_MAX_RAW
 
 
 def sessionize(
@@ -4608,6 +4646,8 @@ def join_band(
             spark, out_a,
             ids.select(F.col("rid_a").alias("rid")).distinct(), project_a,
         )
+        if _bcast_mat_ok(out_a):
+            mat_a = F.broadcast(mat_a)  # see join_encoded attach note
         joined = joined.join(
             mat_a, joined["rid_a"] == mat_a["row_id"], "inner",
         ).drop("row_id")
@@ -4619,6 +4659,8 @@ def join_band(
             .select(F.col("rid_b").alias("rid")).distinct(),
             project_b,
         )
+        if _bcast_mat_ok(out_b):
+            mat_b = F.broadcast(mat_b)
         joined = joined.join(
             mat_b, joined["rid_b"] == mat_b["row_id"],
             "left" if keep_a else "inner",
