@@ -52,9 +52,12 @@ _KEY_CACHES: list[DataFrame] = []
 
 def release_key_caches() -> None:
     """Unpersist every registered key-stream cache. Called automatically
-    at the start of each orderby_export / column_rank_values call and by
-    the query-job CLI after its action; call it yourself after consuming
-    a sort/rank result in a long-lived session."""
+    at the start of each orderby_export / column_rank_values /
+    join_encoded call and by the query-job CLI after its action; call it
+    yourself after consuming a sort/rank/join result in a long-lived
+    session. (Round-8: one op may register more than one handle — e.g.
+    a hot-key split's input cache plus its sliced stream — so this
+    releases a short list, still bounded per query.)"""
     while _KEY_CACHES:
         df = _KEY_CACHES.pop()
         try:
@@ -5896,6 +5899,28 @@ def join_group_by_chain(
         )
     )
 
+    # hop products run in DECIMAL(38,0) (exact for any realistic chain)
+    # and convert back to int64 through a checked cast that RAISES past
+    # the 2^62 bar, mirroring the OverflowError guards in rolling_agg /
+    # sessionize — plain int64 products would wrap silently with
+    # spark.sql.ansi.enabled=false and return wrong aggregates
+    # (round-8, ADVICE r7). No extra job: the guard is an output
+    # expression over the already-tiny merged frames.
+    _DEC = "decimal(38,0)"
+
+    def _dec(c):
+        return c.cast(_DEC)
+
+    def _checked_long(c, what: str):
+        return F.when(
+            F.abs(c) >= F.lit(2 ** 62).cast(_DEC),
+            F.raise_error(F.lit(
+                f"join_group_by_chain: {what} exceeds 2^62 — the "
+                "chained-product int64 contract (see docstring) is "
+                "violated; reduce multiplicities or pre-aggregate"
+            )),
+        ).otherwise(c.cast("long"))
+
     # hop 1: re-key A's partials to C's key through the bridge
     j1 = A.join(B, A["jka"] == B["jkb_a"])
     h_aggs = []
@@ -5907,12 +5932,14 @@ def join_group_by_chain(
             s = F.max(f"as{i}")
         else:
             s = F.when(
-                F.sum(F.col(f"ac{i}") * F.col("nb")) > 0,
-                F.sum(F.col(f"as{i}") * F.col("nb")),
+                F.sum(_dec(F.col(f"ac{i}")) * _dec(F.col("nb"))) > 0,
+                F.sum(_dec(F.col(f"as{i}")) * _dec(F.col("nb"))),
             )
         h_aggs.append(s.alias(f"hs{i}"))
-        h_aggs.append(F.sum(F.col(f"ac{i}") * F.col("nb")).alias(f"hc{i}"))
-    h_aggs.append(F.sum(F.col("ca") * F.col("nb")).alias("cab"))
+        h_aggs.append(
+            F.sum(_dec(F.col(f"ac{i}")) * _dec(F.col("nb"))).alias(f"hc{i}")
+        )
+    h_aggs.append(F.sum(_dec(F.col("ca")) * _dec(F.col("nb"))).alias("cab"))
     AB = j1.groupBy("jkb_c").agg(*h_aggs)
 
     # hop 2: multiply by C's multiplicity, group by C's group columns
@@ -5922,16 +5949,19 @@ def join_group_by_chain(
     for i, sp in enumerate(cspecs_a):
         name, kind, div = sp["name"], sp["kind"], sp["div"]
         if kind == "count":
-            final_aggs.append(
-                F.sum(F.col("cab") * F.col("nc")).alias(name)
-            )
+            final_aggs.append(_checked_long(
+                F.sum(F.col("cab") * _dec(F.col("nc"))), f"count {name!r}"
+            ).alias(name))
             continue
         if kind in ("min", "max"):
             s = F.min(f"hs{i}") if kind == "min" else F.max(f"hs{i}")
         else:
-            s = F.when(
-                F.sum(F.col(f"hc{i}") * F.col("nc")) > 0,
-                F.sum(F.col(f"hs{i}") * F.col("nc")),
+            s = _checked_long(
+                F.when(
+                    F.sum(F.col(f"hc{i}") * _dec(F.col("nc"))) > 0,
+                    F.sum(F.col(f"hs{i}") * _dec(F.col("nc"))),
+                ),
+                f"sum {name!r}",
             )
         if kind in ("min", "max") and sp.get("vt") in (
             "ts", "tsntz", "date", "bool", "str", "binary"
@@ -5941,7 +5971,10 @@ def join_group_by_chain(
         if kind == "avg":
             num = (s.cast("double") / F.lit(float(div))) if div != 1 \
                 else s.cast("double")
-            expr = num / F.sum(F.col(f"hc{i}") * F.col("nc")).cast("double")
+            expr = num / _checked_long(
+                F.sum(F.col(f"hc{i}") * _dec(F.col("nc"))),
+                f"avg denominator {name!r}",
+            ).cast("double")
         else:
             expr = (s.cast("double") / F.lit(float(div))) if div != 1 else s
         final_aggs.append(expr.alias(name))

@@ -44,9 +44,8 @@ def _enc(table: str) -> str:
     from arcade_spark.manifest import FORMAT_REV
 
     sf, n_cores = _sf_tag()
-    n = max(2, n_cores // 4) if table == "customer" else n_cores
     p = os.path.join(
-        tempfile.gettempdir(), f"arcade_bench_{table}_v{FORMAT_REV}_{sf}_{n}"
+        tempfile.gettempdir(), f"arcade_bench_{table}_v{FORMAT_REV}_{sf}_{n_cores}"
     )
     if not os.path.isdir(p):
         raise SystemExit(f"{p} missing - run bench.py once first")
