@@ -776,8 +776,13 @@ def random_access_parts(
 
 
 def _ra_part_batches(
-    out_dir: str, pid: int, local: list[tuple[int, int]], all_cols: list[tuple[str, str]]
+    out_dir: str, pid: int, local, all_cols: list[tuple[str, str]]
 ) -> Iterator[pa.RecordBatch]:
+    """``local``: (lps, rids) int64 arrays or a list of (lp, rid)
+    pairs. Rows are emitted grouped by block in ascending local-
+    position order (round-8: fully vectorized — the previous per-row
+    Python grouping loop dominated large materializations, measured
+    1.7 s of a 2.2 s 200k-row attach join)."""
     from arcade_spark.blocks import IntBlock
     from arcade_spark.convert import block_to_arrow
     from arcade_spark.core import (
@@ -788,24 +793,37 @@ def _ra_part_batches(
     from arcade_spark.decode import _out_arrow_type
     from arcade_spark.gdict import GlobalDictDecoder
 
+    if isinstance(local, tuple):
+        lps_in, rids_in = local
+        lps_in = np.asarray(lps_in, dtype=np.int64)
+        rids_in = np.asarray(rids_in, dtype=np.int64)
+    else:
+        lps_in = np.array([p for p, _ in local], dtype=np.int64)
+        rids_in = np.array([r for _, r in local], dtype=np.int64)
+    if len(lps_in) == 0:
+        return
+
     first = _ColFile(out_dir, pid, all_cols[0][0])
     cm0 = first.meta()
     nb = cm0.n
     ends = cm0.row_start + cm0.n_values
-    # block index of every local position
-    lps = np.array(sorted({lp for lp, _ in local}), dtype=np.int64)
-    target_blocks = np.unique(np.searchsorted(ends, lps, side="right"))
-    if len(target_blocks) == 0:
-        return
+    # sort by local position: block index is monotone in lp, so the
+    # sorted stream is grouped by block with in-block positions
+    # ascending (what the decode kernels require) — one argsort, no
+    # per-row Python
+    order = np.argsort(lps_in, kind="stable")
+    lps = lps_in[order]
+    rids = rids_in[order]
+    blocks = np.searchsorted(ends, lps, side="right").astype(np.int64)
+    starts = np.concatenate([[0], np.nonzero(np.diff(blocks))[0] + 1])
+    stops = np.concatenate([starts[1:], [len(blocks)]])
+    target_blocks = blocks[starts]
+    pos_all = lps - cm0.row_start[blocks]
     last_t = int(target_blocks[-1])
     tmask = np.zeros(nb, dtype=bool)
     tmask[target_blocks] = True
-
-    # per target block: (positions within block sorted, row_ids aligned)
-    by_block: dict[int, list[tuple[int, int]]] = {}
-    for lp, rid in local:
-        b = int(np.searchsorted(ends, lp, side="right"))
-        by_block.setdefault(b, []).append((lp - int(cm0.row_start[b]), rid))
+    span = {int(b): (int(s), int(e))
+            for b, s, e in zip(target_blocks, starts, stops)}
 
     schema = _out_schema(all_cols, lead=[pa.field("row_id", pa.int64())])
     decoded: dict[str, dict[int, pa.Array]] = {}
@@ -813,7 +831,7 @@ def _ra_part_batches(
         cf = first if name == all_cols[0][0] else _ColFile(out_dir, pid, name)
         cm = cm0 if name == all_cols[0][0] else cf.meta()
         out: dict[int, pa.Array] = {}
-        blobs = cf.payloads(target_blocks.astype(np.int64), "blob")
+        blobs = cf.payloads(target_blocks, "blob")
         if vt in ("str", "binary"):
             rng = np.arange(nb)
             seg_rows = np.nonzero((cm.stateful | tmask) & (rng <= last_t))[0]
@@ -824,16 +842,13 @@ def _ra_part_batches(
                 if not tmask[b]:
                     replay_str_block(meta, gdec)
                     continue
-                pos = np.array([p for p, _ in by_block[b]], dtype=np.int64)
-                order = np.argsort(pos, kind="stable")
-                inv = np.empty(len(order), dtype=np.int64)
-                inv[order] = np.arange(len(order))
-                blkd = decode_str_positions(blobs[b], meta, pos[order], gdec)
-                arr = block_to_arrow(blkd, vt).cast(_out_arrow_type(vt))
-                out[b] = arr.take(pa.array(inv, type=pa.int64()))
+                s0, e0 = span[b]
+                blkd = decode_str_positions(blobs[b], meta, pos_all[s0:e0], gdec)
+                out[b] = block_to_arrow(blkd, vt).cast(_out_arrow_type(vt))
         else:
             for b in (int(x) for x in target_blocks):
-                pos = np.array([p for p, _ in by_block[b]], dtype=np.int64)
+                s0, e0 = span[b]
+                pos = pos_all[s0:e0]
                 iblock = decode_int_block(blobs[b], cm.meta_dict(b))
                 sub = IntBlock(
                     values=iblock.values[pos],
@@ -843,11 +858,10 @@ def _ra_part_batches(
         decoded[name] = out
 
     for b in (int(x) for x in target_blocks):
-        rids = pa.array(
-            np.array([r for _, r in by_block[b]], dtype=np.int64), type=pa.int64()
-        )
+        s0, e0 = span[b]
         yield pa.RecordBatch.from_arrays(
-            [rids] + [decoded[n][b] for n, _ in all_cols], schema=schema
+            [pa.array(rids[s0:e0], type=pa.int64())]
+            + [decoded[n][b] for n, _ in all_cols], schema=schema
         )
 
 
@@ -1125,7 +1139,7 @@ def materialize_rowids_parts(
         pid = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
         lps = tbl.column("lp").to_numpy(zero_copy_only=False).astype(np.int64)
         rr = tbl.column("rid").to_numpy(zero_copy_only=False).astype(np.int64)
-        batches = list(_ra_part_batches(out_dir, pid, list(zip(lps, rr)), cols))
+        batches = list(_ra_part_batches(out_dir, pid, (lps, rr), cols))
         out = pa.Table.from_batches(batches, schema=out_schema)
         if not carry:
             return out
