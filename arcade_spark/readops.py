@@ -3443,13 +3443,14 @@ def join_asof(
     )
     u_base = lv.unionByName(rv)
     sliced = None
-    if hot_key_threshold is not None and (
+    _rb = (
         _manifest_total_rows(out_a) + _manifest_total_rows(out_b)
-        > hot_key_threshold
-    ):
+        if hot_key_threshold is not None else 0
+    )
+    if hot_key_threshold is not None and _rb > hot_key_threshold:
         sliced, _n_hot = _split_hot_keys(
             spark, u_base, knames, lane_is_bin, "t",
-            overlap=0, threshold=hot_key_threshold,
+            overlap=0, threshold=hot_key_threshold, row_bound=_rb,
         )
     with_slices = sliced is not None
     if with_slices:
@@ -4021,6 +4022,7 @@ def _split_hot_keys(
     threshold: int,
     max_hot: int = _HOT_KEY_MAX,
     overlap_after: int = 0,
+    row_bound: int | None = None,
 ) -> tuple[DataFrame | None, int]:
     """Time-range pre-split for hot keys (PLANS.md §9 escape hatch).
 
@@ -4054,7 +4056,7 @@ def _split_hot_keys(
     # callers unpersist it once their own downstream persist is
     # materialized (or it falls to the next release_key_caches()).
     keyed_c = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    stats = (
+    stats_df = (
         keyed_c.groupBy(*knames)
         .agg(
             F.count("*").alias("_cnt"),
@@ -4062,26 +4064,36 @@ def _split_hot_keys(
             F.max(t_name).alias("_tmax"),
         )
         .filter(F.col("_cnt") > threshold)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # persist + full count, never limit(n+1).collect(): CollectLimit
-    # executes partition-batch by partition-batch and re-runs the
-    # whole keyed-stream kernel several times (measured 6x the cost
-    # of one full pass on a 200k-row stream)
-    try:
-        n_hot = stats.count()
-        if n_hot == 0:
+    if row_bound is not None and row_bound // max(threshold, 1) <= max_hot:
+        # a key is hot only past `threshold` rows, so n_hot <=
+        # row_bound/threshold — when that bound already fits max_hot
+        # the guard count is redundant and one whole action round is
+        # saved (round-8; the stats pass is the split's serial prefix)
+        hot = stats_df.collect()
+        if not hot:
             keyed_c.unpersist()
             return None, 0
-        if n_hot > max_hot:
-            keyed_c.unpersist()
-            raise ValueError(
-                f"more than {max_hot} keys exceed {threshold} rows — "
-                "raise the hot-key threshold or aggregate first"
-            )
-        hot = stats.collect()
-    finally:
-        stats.unpersist()
+    else:
+        stats = stats_df.persist(StorageLevel.MEMORY_AND_DISK)
+        # persist + full count, never limit(n+1).collect(): CollectLimit
+        # executes partition-batch by partition-batch and re-runs the
+        # whole keyed-stream kernel several times (measured 6x the cost
+        # of one full pass on a 200k-row stream)
+        try:
+            n_hot = stats.count()
+            if n_hot == 0:
+                keyed_c.unpersist()
+                return None, 0
+            if n_hot > max_hot:
+                keyed_c.unpersist()
+                raise ValueError(
+                    f"more than {max_hot} keys exceed {threshold} rows — "
+                    "raise the hot-key threshold or aggregate first"
+                )
+            hot = stats.collect()
+        finally:
+            stats.unpersist()
     rows = []
     for r in hot:
         cnt, tmin, tmax = int(r["_cnt"]), int(r["_tmin"]), int(r["_tmax"])
@@ -4379,13 +4391,12 @@ def sessionize(
         for kn, vt, name in zip(knames, kvts, key_cols)
     ]
     sliced = None
-    if (
-        hot_key_threshold is not None
-        and _manifest_total_rows(out_dir) > hot_key_threshold
-    ):
+    _rb = (_manifest_total_rows(out_dir)
+           if hot_key_threshold is not None else 0)
+    if hot_key_threshold is not None and _rb > hot_key_threshold:
         sliced, _n_hot = _split_hot_keys(
             spark, keyed, knames, k_bin, f"k{g}",
-            overlap=0, threshold=hot_key_threshold,
+            overlap=0, threshold=hot_key_threshold, row_bound=_rb,
         )
     if sliced is None:
         u = keyed.repartition(*[F.col(k) for k in knames])
@@ -4785,15 +4796,15 @@ def rolling_agg(
     w_after = int(window_after)
     want = aggs
     sliced = None
-    if (
-        hot_key_threshold is not None
-        and _manifest_total_rows(out_dir) > hot_key_threshold
-    ):
+    _rb = (_manifest_total_rows(out_dir)
+           if hot_key_threshold is not None else 0)
+    if hot_key_threshold is not None and _rb > hot_key_threshold:
         sliced, _n_hot = _split_hot_keys(
             spark, keyed, knames, k_bin, f"k{g}",
             overlap=0 if cumulative else win_units,
             threshold=hot_key_threshold,
             overlap_after=int(window_after),
+            row_bound=_rb,
         )
     has_slices = sliced is not None
     with_bases = has_slices and cumulative
@@ -5472,15 +5483,17 @@ def window_shift(
     v_ddl = _lane_ddl(v_bin, v_float)
 
     sliced = None
+    _rb = (_manifest_total_rows(out_dir)
+           if hot_key_threshold is not None else 0)
     if (
         hot_key_threshold is not None
         and not o_bin[0]  # no range arithmetic over binary lanes
         and off * 8 <= hot_key_threshold  # carry stays far below data
-        and _manifest_total_rows(out_dir) > hot_key_threshold
+        and _rb > hot_key_threshold
     ):
         sliced, _n_hot = _split_hot_keys(
             spark, keyed, knames, k_bin, f"k{g}",
-            overlap=0, threshold=hot_key_threshold,
+            overlap=0, threshold=hot_key_threshold, row_bound=_rb,
         )
     if sliced is not None:
         from pyspark import StorageLevel
